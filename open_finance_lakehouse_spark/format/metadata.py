@@ -1,0 +1,166 @@
+"""Table metadata: versioned JSON documents + snapshot log.
+
+Model (a deliberately small subset of the public Apache Iceberg spec,
+reimplemented from the spec's ideas, not its code):
+
+- ``metadata/v{N}.metadata.json`` — immutable, atomically created with
+  O_EXCL; the table's current state is the highest N present. Concurrent
+  committers race on creating v{N+1}; the loser re-reads and revalidates
+  (optimistic concurrency). On a local/NFS/HDFS filesystem exclusive create
+  is atomic; on S3-style object stores a catalog swap would replace this —
+  the commit protocol is isolated in ``LakeTable._try_commit`` so only that
+  seam changes at deployment scale.
+- each snapshot points at a list of immutable manifest Parquet files; a
+  manifest lists data files with per-file stats (see ``manifests.py``).
+
+The reference's analogue is the Delta transaction log it leans on for
+idempotence and time travel (/root/reference/ofl/streaming/bronze.py:185-194);
+ours is built from scratch because the environment has no table-format jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+
+_VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    sequence_number: int
+    timestamp_ms: int
+    operation: str  # append | rewrite | overwrite | merge | expire
+    manifests: list[str]  # paths relative to the table root
+    summary: dict = field(default_factory=dict)
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    name: str
+    location: str
+    schema_ddl: str
+    partition_spec: dict | None  # {"kind": "bucket", "column": c, "num_buckets": n}
+    properties: dict
+    current_snapshot_id: int | None
+    snapshots: list[Snapshot]
+    version: int = 0
+
+    # -- snapshot helpers ---------------------------------------------------
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise ValueError(f"snapshot {sid} not found in {self.name}")
+
+    def next_snapshot(
+        self, operation: str, manifests: list[str], summary: dict
+    ) -> Snapshot:
+        seq = max((s.sequence_number for s in self.snapshots), default=0) + 1
+        return Snapshot(
+            snapshot_id=seq,
+            parent_id=self.current_snapshot_id,
+            sequence_number=seq,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifests=manifests,
+            summary=summary,
+        )
+
+    def with_snapshot(self, snap: Snapshot) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=self.table_uuid,
+            name=self.name,
+            location=self.location,
+            schema_ddl=self.schema_ddl,
+            partition_spec=self.partition_spec,
+            properties=dict(self.properties),
+            current_snapshot_id=snap.snapshot_id,
+            snapshots=[*self.snapshots, snap],
+            version=self.version,
+        )
+
+    # -- (de)serialization ----------------------------------------------------
+
+    def to_json(self) -> str:
+        doc = asdict(self)
+        doc.pop("version")
+        doc["format_version"] = 1
+        return json.dumps(doc, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str, version: int) -> "TableMetadata":
+        doc = json.loads(text)
+        doc.pop("format_version", None)
+        snaps = [Snapshot(**s) for s in doc.pop("snapshots")]
+        return TableMetadata(snapshots=snaps, version=version, **doc)
+
+
+def new_table_metadata(
+    name: str,
+    location: str,
+    schema_ddl: str,
+    partition_spec: dict | None,
+    properties: dict | None,
+) -> TableMetadata:
+    return TableMetadata(
+        table_uuid=str(uuid.uuid4()),
+        name=name,
+        location=location,
+        schema_ddl=schema_ddl,
+        partition_spec=partition_spec,
+        properties=properties or {},
+        current_snapshot_id=None,
+        snapshots=[],
+        version=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# filesystem IO
+# ---------------------------------------------------------------------------
+
+
+def metadata_dir(location: str) -> str:
+    return os.path.join(location, "metadata")
+
+
+def list_metadata_versions(location: str) -> list[int]:
+    try:
+        names = os.listdir(metadata_dir(location))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        int(m.group(1)) for n in names if (m := _VERSION_RE.match(n)) is not None
+    )
+
+
+def read_current_metadata(location: str) -> TableMetadata:
+    versions = list_metadata_versions(location)
+    if not versions:
+        raise FileNotFoundError(f"no table metadata at {location}")
+    v = versions[-1]
+    path = os.path.join(metadata_dir(location), f"v{v}.metadata.json")
+    with open(path, encoding="utf-8") as f:
+        return TableMetadata.from_json(f.read(), version=v)
+
+
+def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
+    """Atomically create v{version}; raises FileExistsError on a lost race."""
+    d = metadata_dir(meta.location)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"v{version}.metadata.json")
+    with open(path, "x", encoding="utf-8") as f:
+        f.write(meta.to_json())
+    return path

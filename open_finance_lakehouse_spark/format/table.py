@@ -1,0 +1,395 @@
+"""LakeTable: the engine's table abstraction over the frost format.
+
+Responsibilities: staged Parquet writes, per-file stats, snapshot commits
+with optimistic concurrency, stats-pruned scans, time travel, snapshot
+expiry and orphan GC. All data movement is Spark DataFrame plans; all
+metadata is driver-side (the "optimizer is a driver-side metadata planner"
+architecture, SURVEY.md §4).
+
+Scale notes (100 TB / 1000 executors):
+- manifests are Parquet and reused across commits untouched-partition-wise,
+  so a commit is O(files touched), not O(files total);
+- ``files_df`` exposes the file inventory as a Spark DataFrame so planners
+  prune distributedly instead of driver-materializing millions of entries
+  (``plan_files`` is the driver-side convenience for sandbox scale);
+- scans pass explicit file lists to the Parquet reader — Catalyst still
+  applies row-group pushdown and column pruning inside each file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format import manifests as mf
+from open_finance_lakehouse_spark.format import metadata as md
+
+
+class CommitConflict(Exception):
+    """A concurrent commit invalidated this one (removed files not live)."""
+
+
+@dataclass
+class ColumnRange:
+    """Conjunctive range predicate used for manifest-level file pruning."""
+
+    column: str
+    lo: object | None = None  # inclusive
+    hi: object | None = None  # inclusive
+
+    def overlaps(self, bounds) -> bool:
+        if bounds is None:
+            return True  # no stats -> cannot prune
+        fmin, fmax = bounds
+        if self.lo is not None and fmax is not None and fmax < self.lo:
+            return False
+        if self.hi is not None and fmin is not None and fmin > self.hi:
+            return False
+        return True
+
+    def to_spark_filter(self):
+        cond = F.lit(True)
+        if self.lo is not None:
+            cond = cond & (F.col(self.column) >= F.lit(self.lo))
+        if self.hi is not None:
+            cond = cond & (F.col(self.column) <= F.lit(self.hi))
+        return cond
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, location: str, meta: md.TableMetadata):
+        self.spark = spark
+        self.location = location
+        self.meta = meta
+
+    # ------------------------------------------------------------------ init
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        name: str,
+        schema_ddl: str,
+        partition_spec: dict | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(location, "data"), exist_ok=True)
+        meta = md.new_table_metadata(name, location, schema_ddl, partition_spec,
+                                     properties)
+        md.write_metadata_exclusive(meta, version=1)
+        meta.version = 1
+        return LakeTable(spark, location, meta)
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "LakeTable":
+        return LakeTable(spark, location, md.read_current_metadata(location))
+
+    def refresh(self) -> "LakeTable":
+        self.meta = md.read_current_metadata(self.location)
+        return self
+
+    # ---------------------------------------------------------------- files
+
+    def live_files(self, snapshot_id: int | None = None) -> list[mf.DataFile]:
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out: list[mf.DataFile] = []
+        for m in snap.manifests:
+            out.extend(mf.read_manifest(self.location, m))
+        return out
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``.files`` metadata table as a Spark DataFrame (distributed
+        planning path for cluster scale)."""
+        snap = self.meta.snapshot(snapshot_id)
+        paths = [os.path.join(self.location, m) for m in (snap.manifests if snap else [])]
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "file_path string, partition string, record_count long, "
+                    "file_size_bytes long")
+        return self.spark.read.parquet(*paths)
+
+    def plan_files(
+        self,
+        snapshot_id: int | None = None,
+        predicates: list[ColumnRange] | None = None,
+    ) -> tuple[list[mf.DataFile], int]:
+        """Stats-pruned file planning. Returns (selected, total_live)."""
+        files = self.live_files(snapshot_id)
+        if not predicates:
+            return files, len(files)
+        kept = [
+            f
+            for f in files
+            if all(p.overlaps(f.bounds(p.column)) for p in predicates)
+        ]
+        return kept, len(files)
+
+    # ---------------------------------------------------------------- scans
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame([], self.meta.schema_ddl)
+
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        predicates: list[ColumnRange] | None = None,
+        with_file_path: bool = False,
+    ) -> DataFrame:
+        """Read the table at a snapshot; manifest stats prune whole files,
+        Catalyst pushes the residual predicate into surviving files."""
+        files, _ = self.plan_files(snapshot_id, predicates)
+        if not files:
+            df = self._empty_df()
+        else:
+            paths = [os.path.join(self.location, f.file_path) for f in files]
+            df = self.spark.read.parquet(*paths)
+            for p in predicates or []:
+                df = df.filter(p.to_spark_filter())
+        if with_file_path:
+            df = df.withColumn("_file", F.input_file_name())
+        return df
+
+    # ---------------------------------------------------------------- writes
+
+    def partition_value_col(self):
+        """Column computing the partition value for a row, per the spec."""
+        spec = self.meta.partition_spec
+        if not spec:
+            return F.lit("0")
+        if spec["kind"] == "bucket":
+            return F.pmod(
+                F.xxhash64(F.col(spec["column"])), F.lit(spec["num_buckets"])
+            ).cast("string")
+        raise ValueError(f"unknown partition spec {spec}")
+
+    def stage_dataframe(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        repartition_by_partition: bool = True,
+    ) -> list[mf.DataFile]:
+        """Write ``df`` as immutable data files + collect footer stats.
+
+        No snapshot commit happens here — callers stage, then commit, so a
+        maintenance job can stage many rewrite batches and publish one
+        atomic snapshot (or resume from staged files after a crash).
+        """
+        staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
+        spec = self.meta.partition_spec
+        writer_df = df.withColumn("__part", self.partition_value_col())
+        if spec and repartition_by_partition:
+            writer_df = writer_df.repartition("__part")
+        writer = writer_df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.partitionBy("__part").parquet(staging)
+
+        entries: list[mf.DataFile] = []
+        for root, _dirs, names in os.walk(staging):
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                part = "0"
+                base = os.path.basename(root)
+                if base.startswith("__part="):
+                    part = base.split("=", 1)[1]
+                part_dir = os.path.join(self.location, "data", f"part={part}")
+                os.makedirs(part_dir, exist_ok=True)
+                rel = os.path.join("data", f"part={part}",
+                                   f"{uuid.uuid4().hex}.parquet")
+                abs_dst = os.path.join(self.location, rel)
+                os.replace(os.path.join(root, n), abs_dst)
+                entries.append(mf.collect_file_stats(abs_dst, rel, part))
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    # --------------------------------------------------------------- commits
+
+    def _try_commit(self, build) -> md.Snapshot:
+        """Optimistic-concurrency commit loop: read latest, build, CAS-write."""
+        for _ in range(10):
+            self.refresh()
+            snap, new_meta = build(self.meta)
+            try:
+                md.write_metadata_exclusive(new_meta, self.meta.version + 1)
+                new_meta.version = self.meta.version + 1
+                self.meta = new_meta
+                return snap
+            except FileExistsError:
+                time.sleep(0.05)  # lost the race; re-read and revalidate
+        raise CommitConflict("gave up after 10 commit attempts")
+
+    def commit_append(self, added: list[mf.DataFile], summary: dict | None = None
+                      ) -> md.Snapshot:
+        manifest = mf.write_manifest(self.location, added)
+
+        def build(meta: md.TableMetadata):
+            parent = meta.snapshot()
+            manifests = [*(parent.manifests if parent else []), manifest]
+            snap = meta.next_snapshot(
+                "append",
+                manifests,
+                {"added_files": len(added),
+                 "added_records": sum(e.record_count for e in added),
+                 **(summary or {})},
+            )
+            return snap, meta.with_snapshot(snap)
+
+        return self._try_commit(build)
+
+    def commit_rewrite(
+        self,
+        removed_paths: set[str],
+        added: list[mf.DataFile],
+        operation: str = "rewrite",
+        summary: dict | None = None,
+    ) -> md.Snapshot:
+        """Atomically replace ``removed_paths`` with ``added`` files.
+
+        Manifest handling is incremental: untouched manifests are reused
+        by path; only manifests intersecting the removal set are rewritten.
+        Validates (under the commit loop) that every removed file is still
+        live — the snapshot-isolation guard against concurrent rewrites.
+        """
+        added_manifest = mf.write_manifest(self.location, added) if added else None
+
+        def build(meta: md.TableMetadata):
+            parent = meta.snapshot()
+            if parent is None:
+                raise CommitConflict("rewrite on empty table")
+            new_manifests: list[str] = []
+            seen: set[str] = set()
+            for m in parent.manifests:
+                entries = mf.read_manifest(self.location, m)
+                hit = [e for e in entries if e.file_path in removed_paths]
+                seen.update(e.file_path for e in hit)
+                if not hit:
+                    new_manifests.append(m)  # reuse untouched manifest
+                else:
+                    survivors = [e for e in entries
+                                 if e.file_path not in removed_paths]
+                    if survivors:
+                        new_manifests.append(
+                            mf.write_manifest(self.location, survivors))
+            if seen != removed_paths:
+                raise CommitConflict(
+                    f"{len(removed_paths - seen)} files to remove are no "
+                    "longer live (concurrent rewrite?)")
+            if added_manifest:
+                new_manifests.append(added_manifest)
+            snap = meta.next_snapshot(
+                operation,
+                new_manifests,
+                {"removed_files": len(removed_paths), "added_files": len(added),
+                 **(summary or {})},
+            )
+            return snap, meta.with_snapshot(snap)
+
+        return self._try_commit(build)
+
+    def append(self, df: DataFrame, max_records_per_file: int | None = None,
+               summary: dict | None = None) -> md.Snapshot:
+        return self.commit_append(
+            self.stage_dataframe(df, max_records_per_file), summary)
+
+    # ---------------------------------------------------------- maintenance
+
+    def expire_snapshots(
+        self,
+        retain_last: int = 1,
+        older_than_ms: int | None = None,
+    ) -> list[int]:
+        """Drop snapshots from the log (current snapshot always survives).
+
+        A snapshot is expired if it is NOT among the ``retain_last`` most
+        recent AND (when given) is older than ``older_than_ms``. Returns the
+        expired snapshot ids. File deletion is ``delete_orphans``'s job —
+        split so readers of retained snapshots never lose files (snapshot
+        isolation), mirroring Iceberg's expire/remove-orphans split.
+        """
+
+        def build(meta: md.TableMetadata):
+            ordered = sorted(meta.snapshots, key=lambda s: s.sequence_number)
+            keep_ids = {s.snapshot_id for s in ordered[-max(retain_last, 1):]}
+            if meta.current_snapshot_id is not None:
+                keep_ids.add(meta.current_snapshot_id)
+            kept, dropped = [], []
+            for s in ordered:
+                old_enough = (older_than_ms is None
+                              or s.timestamp_ms < older_than_ms)
+                if s.snapshot_id in keep_ids or not old_enough:
+                    kept.append(s)
+                else:
+                    dropped.append(s.snapshot_id)
+            snap_meta = md.TableMetadata(
+                table_uuid=meta.table_uuid, name=meta.name,
+                location=meta.location, schema_ddl=meta.schema_ddl,
+                partition_spec=meta.partition_spec,
+                properties=dict(meta.properties),
+                current_snapshot_id=meta.current_snapshot_id,
+                snapshots=kept, version=meta.version,
+            )
+            marker = meta.next_snapshot("expire", [], {})  # unused, api shape
+            marker.manifests = []
+            self._expired = dropped
+            return marker, snap_meta
+
+        self._expired: list[int] = []
+        self._try_commit(build)
+        return self._expired
+
+    def reachable_paths(self) -> set[str]:
+        """All file paths (data + manifests) referenced by any live snapshot."""
+        reach: set[str] = set()
+        for s in self.meta.snapshots:
+            for m in s.manifests:
+                reach.add(m)
+                reach.update(e.file_path for e in mf.read_manifest(self.location, m))
+        return reach
+
+    def delete_orphans(self, grace_ms: int = 0, dry_run: bool = False) -> list[str]:
+        """Delete data/manifest files unreachable from any live snapshot.
+
+        ``grace_ms`` protects in-flight staged files (a writer may have
+        staged data not yet committed) — the standard orphan-GC safety
+        window. Listing is driver-side os.walk here; at cluster scale the
+        listing itself is distributed (parallel listing of partition dirs).
+        """
+        self.refresh()
+        reach = self.reachable_paths()
+        now = time.time()
+        victims: list[str] = []
+        for sub in ("data", os.path.join("metadata", "manifests")):
+            base = os.path.join(self.location, sub)
+            for root, _d, names in os.walk(base):
+                for n in names:
+                    ap = os.path.join(root, n)
+                    rel = os.path.relpath(ap, self.location)
+                    if rel in reach:
+                        continue
+                    if grace_ms and (now - os.path.getmtime(ap)) * 1000 < grace_ms:
+                        continue
+                    victims.append(rel)
+        if not dry_run:
+            for rel in victims:
+                os.remove(os.path.join(self.location, rel))
+        return sorted(victims)
+
+    # ------------------------------------------------------------- metadata
+
+    def snapshots(self) -> list[md.Snapshot]:
+        return sorted(self.meta.snapshots, key=lambda s: s.sequence_number)
+
+    def current_snapshot_id(self) -> int | None:
+        return self.meta.current_snapshot_id
+
+    def total_bytes(self, snapshot_id: int | None = None) -> int:
+        return sum(f.file_size_bytes for f in self.live_files(snapshot_id))

@@ -1,0 +1,92 @@
+"""SparkSession builder with pinned, deterministic configuration.
+
+Mirrors the reference's discipline of an explicit session-config module
+(/root/reference/ofl/platform/spark.py:18-54 and
+/root/reference/ofl/streaming/bronze.py:61-77 pin shuffle partitions,
+case sensitivity, and memory rather than trusting defaults) — re-expressed
+for a maintenance engine that must scale from local[8] smoke runs to a
+multi-executor cluster:
+
+- AQE on (runtime coalesce + skew-join splitting) so the same plan survives
+  a 100x scale-up without retuning static shuffle partition counts;
+- Arrow enabled for the vectorized pandas-UDF kernels (the only Python in
+  any hot path);
+- UTC session timezone so DuckDB-oracle comparisons are stable;
+- shuffle partitions default to the local core count (overridable) —
+  on a real cluster this is executors*cores*2-3, and AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` shipment.
+
+    The same artifact is attached automatically by ``build_session`` via
+    ``sc.addPyFile`` so Python workers can import the engine regardless of
+    the driver's working directory — in cluster mode this is the
+    ``--py-files`` argument (north_rule packaging requirement).
+    """
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.basename(pkg_root)
+    dest = os.path.join(dest_dir or tempfile.gettempdir(),
+                        "open_finance_lakehouse_spark.zip")
+    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, names in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for n in sorted(names):
+                if n.endswith(".py"):
+                    ap = os.path.join(root, n)
+                    rel = os.path.join(base, os.path.relpath(ap, pkg_root))
+                    zf.write(ap, rel)
+    return dest
+
+
+def build_session(
+    app_name: str = "ofl_spark_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's pinned config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    # In local[N] mode parallelism == N; shuffle partitions should track it.
+    n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+    if n == "*":
+        n = str(os.cpu_count() or 8)
+    shuffle = str(shuffle_partitions or n)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.default.parallelism", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.caseSensitive", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("OFL_DRIVER_MEMORY", "48g"))
+        # binary audio payloads make rows wide; keep Arrow batches bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(package_zip())  # --py-files equivalent
+    return spark
