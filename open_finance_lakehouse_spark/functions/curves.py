@@ -118,41 +118,67 @@ def hilbert_axes_to_key(coords: np.ndarray, bits: int = BITS_3D) -> np.ndarray:
 # Spark columns
 # ---------------------------------------------------------------------------
 
-# Bounds for normalizing the clip table's clustering dimensions. Known from
-# the deterministic generator (FIXTURES.md §1); a production planner derives
-# them from table-level min/max stats in the current snapshot's manifests.
+# Fallback bounds for normalizing the clip table's clustering dimensions
+# (the deterministic generator's value domains, FIXTURES.md §1). The planner
+# passes *observed* bounds from the current snapshot's manifest stats instead
+# — normalizing against the data's real range is what gives each dimension
+# full bit-resolution in the interleave (a dimension occupying 5% of a fixed
+# range has constant high bits and contributes nothing to the sort order).
 CLIP_DIM_BOUNDS = {
     "dur_ms": (0.0, 16384.0),
     "sr_hz": (0.0, 49152.0),
 }
 
 
-def _clip_coords(pdf_hash: pd.Series, pdf_dur: pd.Series, pdf_sr: pd.Series):
-    # xxhash64 is already uniform; take its top 21 bits as the first axis
-    a = (pdf_hash.to_numpy().astype(np.int64).astype(_U64)) >> _U64(64 - BITS_3D)
-    lo_d, hi_d = CLIP_DIM_BOUNDS["dur_ms"]
-    lo_s, hi_s = CLIP_DIM_BOUNDS["sr_hz"]
-    b = normalize_to_bits(pdf_dur.to_numpy(), lo_d, hi_d)
-    c = normalize_to_bits(pdf_sr.to_numpy(), lo_s, hi_s)
-    return a, b, c
+def _make_coords(bounds: dict[str, tuple[float, float]]):
+    lo_d, hi_d = bounds["dur_ms"]
+    lo_s, hi_s = bounds["sr_hz"]
+
+    def clip_coords(pdf_hash: pd.Series, pdf_dur: pd.Series, pdf_sr: pd.Series):
+        # xxhash64 is already uniform; take its top 21 bits as the first axis
+        a = (pdf_hash.to_numpy().astype(np.int64).astype(_U64)
+             ) >> _U64(64 - BITS_3D)
+        b = normalize_to_bits(pdf_dur.to_numpy(), lo_d, hi_d)
+        c = normalize_to_bits(pdf_sr.to_numpy(), lo_s, hi_s)
+        return a, b, c
+
+    return clip_coords
 
 
-@F.pandas_udf(LongType())
-def zorder_key_udf(h: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series) -> pd.Series:
-    """Morton key over (xxhash64(clip_id) top bits, dur_ms, sr_hz)."""
-    a, b, c = _clip_coords(h, dur_ms, sr_hz)
-    return pd.Series(morton3(a, b, c).astype(np.int64))
+def make_curve_key_udf(curve: str, bounds: dict[str, tuple[float, float]]):
+    """Vectorized pandas UDF computing the curve key with the given
+    normalization bounds (planner-supplied, from manifest min/max stats)."""
+    coords_fn = _make_coords(bounds)
+
+    if curve == "zorder":
+
+        @F.pandas_udf(LongType())
+        def key_udf(h: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series
+                    ) -> pd.Series:
+            a, b, c = coords_fn(h, dur_ms, sr_hz)
+            return pd.Series(morton3(a, b, c).astype(np.int64))
+
+    elif curve == "hilbert":
+
+        @F.pandas_udf(LongType())
+        def key_udf(h: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series
+                    ) -> pd.Series:
+            a, b, c = coords_fn(h, dur_ms, sr_hz)
+            coords = np.stack([a, b, c], axis=1)
+            return pd.Series(hilbert_axes_to_key(coords).astype(np.int64))
+
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
+    return key_udf
 
 
-@F.pandas_udf(LongType())
-def hilbert_key_udf(h: pd.Series, dur_ms: pd.Series, sr_hz: pd.Series) -> pd.Series:
-    """Hilbert key over the same three coordinates."""
-    a, b, c = _clip_coords(h, dur_ms, sr_hz)
-    coords = np.stack([a, b, c], axis=1)
-    return pd.Series(hilbert_axes_to_key(coords).astype(np.int64))
+# module-level UDFs with the generator's fallback bounds (test surface)
+zorder_key_udf = make_curve_key_udf("zorder", CLIP_DIM_BOUNDS)
+hilbert_key_udf = make_curve_key_udf("hilbert", CLIP_DIM_BOUNDS)
 
 
-def curve_key_col(curve: str = "zorder"):
+def curve_key_col(curve: str = "zorder",
+                  bounds: dict[str, tuple[float, float]] | None = None):
     """Column expression producing the clustering key for the clip table."""
-    udf = {"zorder": zorder_key_udf, "hilbert": hilbert_key_udf}[curve]
+    udf = make_curve_key_udf(curve, bounds or CLIP_DIM_BOUNDS)
     return udf(F.xxhash64(F.col("clip_id")), F.col("dur_ms"), F.col("sr_hz"))

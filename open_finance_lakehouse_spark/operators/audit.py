@@ -1,0 +1,114 @@
+"""Post-maintenance audits: scan parity, SNR invariant, table metrics.
+
+Discipline copied from the reference: checks return *violating rows* and an
+empty result means pass (/root/reference/ofl/transform/gold/runner.py:82-107
+— any returned row withholds the publish); idempotence/parity is a claim
+about committed TABLE STATE witnessed by an independent reader, never about
+run statistics (/root/reference/ofl/streaming/metrics.py:1-26,100-104: "Reading
+with deltalake rather than the session that just wrote the table is what
+makes this evidence").
+
+- ``scan_parity``: full-outer join on the natural key with per-column
+  comparison — the reference's reconciliation-join shape
+  (/root/reference/ofl/transform/gold/checks/assert_real_interest_ipca_recomputes.sql:51-64),
+  where a key present on only one side is itself a violation reason. Binary
+  payloads compare by xxhash64 so the join never shuffles audio bytes twice.
+- ``snr_violations``: per-row decoded-PCM SNR >= 30 dB + transcript shape
+  (BASELINE.json input_hint invariant), vectorized via mapInPandas.
+- ``table_audit``: rows / distinct keys / duplicate keys / payload bytes —
+  the independent table-state metrics the idempotence harness compares
+  (fields mirror /root/reference/ofl/streaming/metrics.py:41).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.sources.synth import verify_snr_df
+
+SNR_THRESHOLD_DB = 30.0
+
+CLIP_SCALAR_COLS = ("sr_hz", "dur_ms", "codec", "transcript")
+
+
+def scan_parity(
+    before: DataFrame,
+    after: DataFrame,
+    key: str = "clip_id",
+    compare_cols: tuple[str, ...] = CLIP_SCALAR_COLS,
+    binary_cols: tuple[str, ...] = ("bytes",),
+) -> DataFrame:
+    """Violating rows between two scans; empty DataFrame == byte-identical
+    row sets. Reasons: missing_after / extra_after / <col>_mismatch."""
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        cols = [F.col(key)]
+        for c in compare_cols:
+            cols.append(F.col(c).alias(f"{side}_{c}"))
+        for c in binary_cols:
+            cols.append(F.xxhash64(F.col(c)).alias(f"{side}_{c}_h"))
+        return df.select(*cols)
+
+    b = digest(before, "b")
+    a = digest(after, "a")
+    j = b.join(a, key, "full_outer")
+
+    reasons = [
+        F.when(F.col(f"a_{compare_cols[0]}").isNull()
+               & F.col(f"a_{binary_cols[0]}_h").isNull()
+               & F.col(f"b_{binary_cols[0]}_h").isNotNull(),
+               F.lit("missing_after")),
+        F.when(F.col(f"b_{binary_cols[0]}_h").isNull()
+               & F.col(f"a_{binary_cols[0]}_h").isNotNull(),
+               F.lit("extra_after")),
+    ]
+    for c in compare_cols:
+        reasons.append(
+            F.when(
+                F.col(f"b_{c}").isNotNull() & F.col(f"a_{c}").isNotNull()
+                & (F.col(f"b_{c}") != F.col(f"a_{c}")),
+                F.lit(f"{c}_mismatch"),
+            )
+        )
+    for c in binary_cols:
+        reasons.append(
+            F.when(
+                F.col(f"b_{c}_h").isNotNull() & F.col(f"a_{c}_h").isNotNull()
+                & (F.col(f"b_{c}_h") != F.col(f"a_{c}_h")),
+                F.lit(f"{c}_mismatch"),
+            )
+        )
+    reason = F.coalesce(*reasons)
+    return j.withColumn("reason", reason).filter(F.col("reason").isNotNull()) \
+            .select(key, "reason")
+
+
+def snr_violations(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB
+                   ) -> DataFrame:
+    """Rows whose decoded payload falls below the SNR invariant."""
+    scored = verify_snr_df(clips)
+    return scored.filter(F.col("snr_db") < F.lit(threshold_db))
+
+
+def table_audit(df: DataFrame, key: str = "clip_id") -> dict:
+    """Independent table-state metrics (compare across runs for idempotence)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(key).alias("distinct_keys"),
+        F.sum(F.length("bytes")).alias("payload_bytes"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+        F.min(key).alias("min_key"),
+        F.max(key).alias("max_key"),
+    ).first()
+    d = row.asDict()
+    d["duplicate_keys"] = d["rows"] - d["distinct_keys"]
+    return d
+
+
+def independent_audit(location: str, spark: SparkSession) -> dict:
+    """Re-open the table from disk (fresh metadata read — not the writer's
+    in-memory state) and audit committed state only."""
+    t = LakeTable.load(spark, location)
+    return table_audit(t.scan())

@@ -1,0 +1,173 @@
+"""Z-order / Hilbert clustering rewrite.
+
+Replaces the reference's proprietary ``OPTIMIZE ... ZORDER BY (series_id,
+date)`` (/root/reference/ofl/transform/spark/silver.py:368-371) with an
+explicit Spark plan:
+
+  scan partition files
+    → curve key via vectorized Arrow UDF (``functions.curves`` — the only
+      Python in the plan, batch-vectorized; north_rule's sanctioned escape)
+    → ``repartitionByRange(n_out, zval)`` (ONE shuffle, range-partitioned so
+      output files tile the curve)
+    → ``sortWithinPartitions(zval, clip_id)`` (deterministic tie-break —
+      SURVEY.md §7.3 determinism-under-shuffle)
+    → write one ~target-size file per range partition; footer min/max stats
+      on the clustered dimensions become tight, which is what makes
+      manifest-level file skipping selective (measured by
+      ``tests/test_maintenance.py`` before/after files-read counts).
+
+The curve key is a derived column dropped before write — the table schema
+never changes; clustering is purely a physical-layout operation.
+
+Scale: bytes move exactly once through one range exchange. Range boundaries
+come from Spark's range-partition sampling, so skewed curve-key densities
+still yield balanced output files; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.functions.curves import (
+    CLIP_DIM_BOUNDS,
+    curve_key_col,
+)
+from open_finance_lakehouse_spark.operators import binpack
+from open_finance_lakehouse_spark.plans.ledger import (
+    STATUS_COMMITTED,
+    STATUS_REWRITING,
+    CheckpointLedger,
+    CheckpointRecord,
+    file_set_hash,
+)
+
+
+def observed_bounds(files, columns=("dur_ms", "sr_hz")) -> dict:
+    """Normalization bounds for the curve axes from manifest min/max stats —
+    no data scan. Normalizing to the OBSERVED range gives every dimension
+    full bit-resolution in the interleave (a fixed global range would leave
+    narrow-domain dimensions with constant high bits and no sort influence)."""
+    out = {}
+    for c in columns:
+        los = [f.bounds(c)[0] for f in files if f.bounds(c) is not None]
+        his = [f.bounds(c)[1] for f in files if f.bounds(c) is not None]
+        if los:
+            lo, hi = float(min(los)), float(max(his))
+            out[c] = (lo, hi if hi > lo else lo + 1.0)
+    return out
+
+
+def cluster(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    curve: str = "zorder",
+    target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Rewrite every partition sorted by the space-filling-curve key."""
+    by_part: dict[str, list] = {}
+    all_files = table.live_files()
+    for f in all_files:
+        by_part.setdefault(f.partition, []).append(f)
+    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds(all_files)}
+
+    totals = {
+        "job_id": job_id,
+        "operation": f"cluster[{curve}]",
+        "partitions_planned": len(by_part),
+        "partitions_rewritten": 0,
+        "partitions_skipped": 0,
+        "files_in": 0,
+        "files_out": 0,
+        "bytes_in": 0,
+        "bytes_out": 0,
+        "rows": 0,
+        "engine_ms": 0,
+    }
+    for part in sorted(by_part):
+        files = by_part[part]
+        paths_rel = [f.file_path for f in files]
+        fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
+        part_id = f"part={part}"
+        if ledger.is_committed(job_id, part_id, fingerprint):
+            totals["partitions_skipped"] += 1
+            continue
+
+        t0 = time.monotonic()
+        bytes_in = sum(f.file_size_bytes for f in files)
+        records_in = sum(f.record_count for f in files)
+        ledger.upsert(CheckpointRecord(
+            job_id=job_id, table=table.meta.name, partition_id=part_id,
+            file_set_hash=fingerprint, status=STATUS_REWRITING,
+            files_in=len(files), bytes_in=bytes_in,
+        ))
+
+        paths = [os.path.join(table.location, p) for p in paths_rel]
+        df = table.spark.read.schema(table._empty_df().schema).parquet(*paths)
+        n_out = max(1, math.ceil(bytes_in / target_bytes))
+        rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
+        clustered = (
+            df.withColumn("__zval", curve_key_col(curve, bounds))
+            .repartitionByRange(n_out, "__zval")
+            .sortWithinPartitions("__zval", "clip_id")
+            .drop("__zval")
+        )
+        added = table.stage_dataframe(
+            clustered,
+            max_records_per_file=rpf,
+            repartition_by_partition=False,
+        )
+        snap = table.commit_rewrite(
+            set(paths_rel), added, operation="cluster",
+            summary={"job_id": job_id, "curve": curve, "partition": part},
+        )
+        engine_ms = int((time.monotonic() - t0) * 1000)
+
+        ledger.append_lineage(job_id, part_id, paths_rel,
+                              [a.file_path for a in added], "cluster")
+        ledger.upsert(CheckpointRecord(
+            job_id=job_id, table=table.meta.name, partition_id=part_id,
+            file_set_hash=fingerprint, status=STATUS_COMMITTED,
+            rows=sum(a.record_count for a in added),
+            bytes_in=bytes_in,
+            bytes_out=sum(a.file_size_bytes for a in added),
+            files_in=len(files), files_out=len(added),
+            engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
+            # output fingerprint: a re-run whose input IS this output is a
+            # no-op (the partition is already clustered on this curve)
+            output_file_set_hash=file_set_hash(
+                [f"{curve}:{a.file_path}" for a in added]),
+        ))
+        totals["partitions_rewritten"] += 1
+        totals["files_in"] += len(files)
+        totals["files_out"] += len(added)
+        totals["bytes_in"] += bytes_in
+        totals["bytes_out"] += sum(a.file_size_bytes for a in added)
+        totals["rows"] += sum(a.record_count for a in added)
+        totals["engine_ms"] += engine_ms
+    return totals
+
+
+def clustering_quality(table: LakeTable, column: str = "dur_ms") -> float:
+    """Mean pairwise min/max overlap fraction across files — lower = better
+    clustered. Used by tests to assert clustering actually tightened stats."""
+    files = table.live_files()
+    bounds = [f.bounds(column) for f in files]
+    bounds = [b for b in bounds if b is not None]
+    if len(bounds) < 2:
+        return 0.0
+    overlaps = 0
+    pairs = 0
+    for i in range(len(bounds)):
+        for j in range(i + 1, len(bounds)):
+            pairs += 1
+            lo = max(bounds[i][0], bounds[j][0])
+            hi = min(bounds[i][1], bounds[j][1])
+            if lo <= hi:
+                overlaps += 1
+    return overlaps / pairs if pairs else 0.0

@@ -1,0 +1,150 @@
+"""Bin-packing small-file compaction over LakeTable snapshots.
+
+The reference compacts with one proprietary SQL call
+(``OPTIMIZE delta.`uri``` — /root/reference/ofl/transform/spark/silver.py:368-371);
+we build the whole mechanism: a driver-side planner over the snapshot's file
+inventory (SURVEY.md §4: "a maintenance engine's optimizer is a driver-side
+metadata planner plus ordinary Catalyst execution"), per-partition rewrite
+tasks that move bytes exactly once (read → write, no extra exchange — the
+binary audio payload dominates IO, SURVEY.md §7.3), and per-partition
+checkpointed commits so an interrupted job resumes at file granularity.
+
+Row-preservation contract: compaction re-writes bytes verbatim — scans over
+the compacted snapshot return byte-identical row sets (verified by
+``operators.audit.scan_parity``) and decoded-PCM SNR is untouched.
+
+Execution shape per partition:
+  1. fingerprint the partition's bin inputs; skip if the ledger says
+     ``committed`` with the same fingerprint (idempotent replay);
+  2. read ONLY the binned files (explicit path list — no shuffle: the write
+     re-packs via ``maxRecordsPerFile`` on the scan's natural partitions,
+     and ``coalesce`` caps tiny-task overhead without an exchange);
+  3. stage output files + footer stats, commit a rewrite snapshot that
+     removes exactly the binned files (snapshot isolation: concurrent
+     readers of the old snapshot still see the old files);
+  4. write checkpoint + lineage records with task-measured engine_ms.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from open_finance_lakehouse_spark.format import manifests as mf
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.operators import binpack
+from open_finance_lakehouse_spark.plans.ledger import (
+    STATUS_COMMITTED,
+    STATUS_REWRITING,
+    CheckpointLedger,
+    CheckpointRecord,
+    file_set_hash,
+)
+
+
+def plan_compaction(
+    table: LakeTable,
+    target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+    small_file_ratio: float = binpack.DEFAULT_SMALL_FILE_RATIO,
+    min_files_per_bin: int = 2,
+) -> dict[str, list[binpack.Bin]]:
+    """Partition → rewrite bins, from the current snapshot's manifests."""
+    by_part: dict[str, list[tuple[str, int, int]]] = {}
+    for f in table.live_files():
+        by_part.setdefault(f.partition, []).append(
+            (f.file_path, f.file_size_bytes, f.record_count)
+        )
+    plan: dict[str, list[binpack.Bin]] = {}
+    for part in sorted(by_part):
+        bins = binpack.plan_bins(
+            by_part[part], target_bytes, small_file_ratio, min_files_per_bin
+        )
+        if bins:
+            plan[part] = bins
+    return plan
+
+
+def compact(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+    small_file_ratio: float = binpack.DEFAULT_SMALL_FILE_RATIO,
+    min_files_per_bin: int = 2,
+    max_bins_per_partition: int | None = None,
+) -> dict:
+    """Run compaction; returns job metrics. Safe to re-run: committed
+    partitions with unchanged inputs are skipped (measured no-op)."""
+    plan = plan_compaction(table, target_bytes, small_file_ratio,
+                           min_files_per_bin)
+    totals = {
+        "job_id": job_id,
+        "operation": "compact",
+        "partitions_planned": len(plan),
+        "partitions_rewritten": 0,
+        "partitions_skipped": 0,
+        "files_in": 0,
+        "files_out": 0,
+        "bytes_in": 0,
+        "bytes_out": 0,
+        "rows": 0,
+        "engine_ms": 0,
+    }
+    for part, bins in plan.items():
+        if max_bins_per_partition:
+            # backpressure: bound work per task batch the way the reference
+            # bounds micro-batches (maxFilesPerTrigger,
+            # /root/reference/ofl/streaming/bronze.py:229-231)
+            bins = bins[:max_bins_per_partition]
+        all_paths = [p for b in bins for p in b.paths]
+        fingerprint = file_set_hash(all_paths)
+        part_id = f"part={part}"
+        if ledger.is_committed(job_id, part_id, fingerprint):
+            totals["partitions_skipped"] += 1
+            continue
+
+        t0 = time.monotonic()
+        bytes_in = sum(b.total_bytes for b in bins)
+        records_in = sum(b.total_records for b in bins)
+        ledger.upsert(CheckpointRecord(
+            job_id=job_id, table=table.meta.name, partition_id=part_id,
+            file_set_hash=fingerprint, status=STATUS_REWRITING,
+            files_in=len(all_paths), bytes_in=bytes_in,
+        ))
+
+        paths = [os.path.join(table.location, p) for p in all_paths]
+        df = table.spark.read.schema(
+            table._empty_df().schema).parquet(*paths)
+        rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
+        n_out = max(1, math.ceil(records_in / rpf))
+        added = table.stage_dataframe(
+            df.coalesce(n_out),
+            max_records_per_file=rpf,
+            repartition_by_partition=False,  # rows already in this partition
+        )
+        snap = table.commit_rewrite(
+            set(all_paths), added, operation="compact",
+            summary={"job_id": job_id, "partition": part},
+        )
+        engine_ms = int((time.monotonic() - t0) * 1000)
+
+        ledger.append_lineage(job_id, part_id, all_paths,
+                              [a.file_path for a in added], "compact")
+        ledger.upsert(CheckpointRecord(
+            job_id=job_id, table=table.meta.name, partition_id=part_id,
+            file_set_hash=fingerprint, status=STATUS_COMMITTED,
+            rows=sum(a.record_count for a in added),
+            bytes_in=bytes_in,
+            bytes_out=sum(a.file_size_bytes for a in added),
+            files_in=len(all_paths), files_out=len(added),
+            engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
+        ))
+        totals["partitions_rewritten"] += 1
+        totals["files_in"] += len(all_paths)
+        totals["files_out"] += len(added)
+        totals["bytes_in"] += bytes_in
+        totals["bytes_out"] += sum(a.file_size_bytes for a in added)
+        totals["rows"] += sum(a.record_count for a in added)
+        totals["engine_ms"] += engine_ms
+    return totals

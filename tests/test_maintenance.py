@@ -1,0 +1,417 @@
+"""Maintenance-operator suites the north_rule names: compaction idempotence,
+Z-order file-skipping selectivity, expire-snapshots reachability, MERGE
+upsert/delete semantics — each with negative tests that plant the precise
+bug (reference layer-2 rule, /root/reference/tests/test_gold_marts.py:331-402).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import ColumnRange, LakeTable
+from open_finance_lakehouse_spark.operators import binpack
+from open_finance_lakehouse_spark.operators.audit import (
+    scan_parity,
+    snr_violations,
+    table_audit,
+)
+from open_finance_lakehouse_spark.operators.cluster import (
+    cluster,
+    clustering_quality,
+)
+from open_finance_lakehouse_spark.operators.compact import compact, plan_compaction
+from open_finance_lakehouse_spark.operators.expire import expire
+from open_finance_lakehouse_spark.operators.merge_into import (
+    choose_salt_count,
+    dedup_latest_salted,
+    merge_into,
+)
+from open_finance_lakehouse_spark.operators.pipeline import run_maintenance
+from open_finance_lakehouse_spark.plans.ledger import (
+    STATUS_COMMITTED,
+    CheckpointLedger,
+    CheckpointRecord,
+    file_set_hash,
+)
+from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL, synth_clips
+
+N_CLIPS = 240
+
+
+@pytest.fixture(scope="module")
+def clip_table(spark, tmp_path_factory):
+    """Bucket-partitioned clip table written as many small files
+    (FIXTURES.md 'small-files layout')."""
+    loc = str(tmp_path_factory.mktemp("wh") / "clips")
+    t = LakeTable.create(
+        spark, loc, "clips", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 4},
+    )
+    clips = synth_clips(spark, N_CLIPS, dur_max_ms=900)
+    # two appends -> multi-snapshot history; tiny files force compaction work
+    t.append(clips.filter(F.xxhash64("clip_id") % 2 == 0),
+             max_records_per_file=10)
+    t.append(clips.filter(F.xxhash64("clip_id") % 2 != 0),
+             max_records_per_file=10)
+    return t
+
+
+@pytest.fixture(scope="module")
+def ledger(tmp_path_factory):
+    return CheckpointLedger(str(tmp_path_factory.mktemp("ledger")))
+
+
+# ---------------------------------------------------------------- binpack
+
+
+def test_binpack_hand_checkable():
+    # sizes engineered so expected bins are hand-computable (FIXTURES.md §8
+    # pattern): target 100, threshold 75
+    files = [("a", 60, 6), ("b", 50, 5), ("c", 40, 4), ("d", 30, 3),
+             ("e", 90, 9), ("f", 10, 1)]
+    bins = binpack.plan_bins(files, target_bytes=100, small_file_ratio=0.75,
+                             min_files_per_bin=2)
+    # candidates (size < 75): a60 b50 c40 d30 f10 -> FFD:
+    # a60+c40? a(60)->bin1; b(50) doesn't fit bin1(60+50>100)->bin2;
+    # c(40) fits bin1(100) -> bin1; d(30) fits bin2(80) -> bin2;
+    # f(10) fits bin2(90) -> bin2
+    assert [sorted(b.paths) for b in bins] == [["a", "c"], ["b", "d", "f"]]
+    assert [b.total_bytes for b in bins] == [100, 90]
+    # e (90 >= threshold) untouched
+    assert all("e" not in b.paths for b in bins)
+
+
+def test_binpack_invariants():
+    files = [(f"f{i}", 7 * (i % 13) + 1, i + 1) for i in range(50)]
+    target = 64
+    bins = binpack.plan_bins(files, target_bytes=target, min_files_per_bin=2)
+    seen = [p for b in bins for p in b.paths]
+    assert len(seen) == len(set(seen))  # no file in two bins
+    for b in bins:
+        assert len(b.paths) >= 2
+        assert b.total_bytes <= target or len(b.paths) == 1
+    # deterministic
+    again = binpack.plan_bins(files, target_bytes=target, min_files_per_bin=2)
+    assert [b.paths for b in again] == [b.paths for b in bins]
+
+
+# ----------------------------------------------------------------- compact
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, clip_table, ledger):
+    t = clip_table
+    before_files = len(t.live_files())
+    before_audit = table_audit(t.scan())
+    before = t.scan().cache()
+    before.count()
+
+    plan = plan_compaction(t, target_bytes=4 * 1024 * 1024)
+    assert plan, "small-files fixture must produce a compaction plan"
+    res = compact(t, ledger, "job-compact-1", target_bytes=4 * 1024 * 1024)
+    assert res["partitions_rewritten"] == len(plan)
+
+    after_files = len(t.live_files())
+    assert after_files < before_files
+    after_audit = table_audit(t.scan())
+    assert after_audit == before_audit  # independent-state idempotence claim
+
+    violations = scan_parity(before, t.scan())
+    assert violations.count() == 0
+    before.unpersist()
+
+
+def test_compact_rerun_is_noop(spark, clip_table, ledger):
+    t = clip_table
+    snaps_before = len(t.snapshots())
+    res = compact(t, ledger, "job-compact-1", target_bytes=4 * 1024 * 1024)
+    # measured no-op: every planned partition skipped via the ledger,
+    # no new snapshots committed
+    assert res["partitions_rewritten"] == 0
+    assert len(t.snapshots()) == snaps_before
+
+
+def test_compact_resume_skips_committed_partition(spark, clip_table, ledger):
+    t = clip_table
+    # fresh small files so there is work again
+    t.append(synth_clips(spark, 40, id_offset=10_000, dur_max_ms=900),
+             max_records_per_file=5)
+    plan = plan_compaction(t, target_bytes=4 * 1024 * 1024)
+    assert plan
+    # simulate a prior partial run: first planned partition already committed
+    part = sorted(plan)[0]
+    paths = [p for b in plan[part] for p in b.paths]
+    ledger.upsert(CheckpointRecord(
+        job_id="job-compact-2", table=t.meta.name, partition_id=f"part={part}",
+        file_set_hash=file_set_hash(paths), status=STATUS_COMMITTED,
+    ))
+    res = compact(t, ledger, "job-compact-2", target_bytes=4 * 1024 * 1024)
+    assert res["partitions_skipped"] == 1
+    assert res["partitions_rewritten"] == len(plan) - 1
+
+
+def test_checkpoint_and_lineage_dataframes(spark, ledger):
+    cps = ledger.checkpoints_df(spark)
+    assert cps.filter(F.col("status") == STATUS_COMMITTED).count() > 0
+    lin = ledger.lineage_df(spark)
+    assert lin.filter(F.col("op") == "compact").count() > 0
+    # every lineage row names a job the checkpoint table knows
+    jobs = {r["job_id"] for r in cps.select("job_id").distinct().collect()}
+    assert {r["job_id"] for r in lin.select("job_id").distinct().collect()} \
+        <= jobs
+
+
+# ----------------------------------------------------------------- cluster
+
+
+def test_cluster_tightens_stats_and_enables_skipping(spark, clip_table, ledger):
+    t = clip_table
+    before = t.scan().cache()
+    before.count()
+    q_before = clustering_quality(t, "dur_ms")
+    sel_before, total_before = t.plan_files(
+        predicates=[ColumnRange("dur_ms", lo=200, hi=280)])
+
+    res = cluster(t, ledger, "job-cluster-1", curve="zorder",
+                  target_bytes=512 * 1024)
+    assert res["partitions_rewritten"] > 0
+
+    q_after = clustering_quality(t, "dur_ms")
+    sel_after, total_after = t.plan_files(
+        predicates=[ColumnRange("dur_ms", lo=200, hi=280)])
+    # file-skipping selectivity: clustered stats prune a strictly larger
+    # fraction of files
+    assert sel_before and total_before
+    assert (len(sel_after) / total_after) < (len(sel_before) / total_before)
+    assert q_after < q_before  # pairwise min/max overlap dropped
+
+    # clustering is purely physical: row set is byte-identical
+    assert scan_parity(before, t.scan()).count() == 0
+    # pruned scan still returns exactly the predicate's rows
+    full = before.filter((F.col("dur_ms") >= 200) & (F.col("dur_ms") <= 280))
+    pruned = t.scan(predicates=[ColumnRange("dur_ms", lo=200, hi=280)])
+    assert pruned.count() == full.count()
+    before.unpersist()
+
+
+def test_cluster_rerun_is_noop(spark, clip_table, ledger):
+    t = clip_table
+    snaps = len(t.snapshots())
+    res = cluster(t, ledger, "job-cluster-1", curve="zorder",
+                  target_bytes=512 * 1024)
+    assert res["partitions_rewritten"] == 0
+    assert len(t.snapshots()) == snaps
+
+
+# ------------------------------------------------------------------ expire
+
+
+def test_expire_and_orphan_gc(spark, clip_table, ledger, tmp_path):
+    t = clip_table
+    audit_before = table_audit(t.scan())
+    all_data_files = []
+    for root, _d, names in os.walk(os.path.join(t.location, "data")):
+        all_data_files += [os.path.join(root, n) for n in names]
+    live = {os.path.join(t.location, f.file_path) for f in t.live_files()}
+    assert set(all_data_files) > live  # history holds superseded files
+
+    # negative control: a planted orphan must be collected
+    orphan = os.path.join(t.location, "data", "part=0", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+
+    res = expire(t, ledger, "job-expire-1", retain_last=1, gc_grace_ms=0)
+    assert res["orphans_deleted"] > 0
+    assert not os.path.exists(orphan)
+
+    # reachability: every live file still present, table state unchanged
+    for f in t.live_files():
+        assert os.path.exists(os.path.join(t.location, f.file_path))
+    assert table_audit(t.scan()) == audit_before
+    # superseded files actually deleted
+    remaining = []
+    for root, _d, names in os.walk(os.path.join(t.location, "data")):
+        remaining += [os.path.join(root, n) for n in names]
+    assert set(remaining) == {
+        os.path.join(t.location, f.file_path) for f in t.live_files()}
+
+
+def test_gc_grace_window_protects_staged_files(spark, clip_table, ledger):
+    t = clip_table
+    fresh = os.path.join(t.location, "data", "part=0", "inflight.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"staged-not-yet-committed")
+    victims = t.delete_orphans(grace_ms=60_000, dry_run=False)
+    assert os.path.exists(fresh)  # younger than grace -> protected
+    assert all("inflight" not in v for v in victims)
+    os.remove(fresh)
+
+
+# ------------------------------------------------------------------- merge
+
+
+def _merge_source(spark, t, upd_ids, del_ids, hot_dup=50):
+    """Updates (new transcript, seq 2) + hot-key duplicate churn (seq 0..n)
+    + deletes; the winning row per key is the highest seq."""
+    base = t.scan().filter(F.col("clip_id").isin(upd_ids + del_ids))
+    upd = (
+        base.filter(F.col("clip_id").isin(upd_ids))
+        .withColumn("transcript", F.concat(F.lit("UPDATED "), "transcript"))
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(2).cast("long"))
+    )
+    # hot churn: stale versions of the first updated key, seq below winner
+    hot = (
+        spark.range(hot_dup).crossJoin(
+            base.filter(F.col("clip_id") == upd_ids[0]).drop("id"))
+        .withColumn("transcript", F.lit("stale"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", (F.col("id") % 2).cast("long")).drop("id")
+    )
+    dele = (
+        base.filter(F.col("clip_id").isin(del_ids))
+        .withColumn("op", F.lit("D")).withColumn("seq", F.lit(3).cast("long"))
+    )
+    cols = [*t.scan().columns, "op", "seq"]
+    return upd.select(cols).unionByName(hot.select(cols)) \
+              .unionByName(dele.select(cols))
+
+
+_MERGE_IDS: dict[str, list[str]] = {}
+
+
+def test_merge_upsert_delete_semantics(spark, clip_table, ledger):
+    t = clip_table
+    ids = [r["clip_id"] for r in
+           t.scan().select("clip_id").orderBy("clip_id").limit(6).collect()]
+    _MERGE_IDS["batch-1"] = ids  # replay test re-sends the identical batch
+    upd_ids, del_ids = ids[:3], ids[3:]
+    rows_before = t.scan().count()
+    src = _merge_source(spark, t, upd_ids, del_ids)
+
+    assert choose_salt_count(src, rows_per_reducer=10) > 1  # hot key observed
+    deduped = dedup_latest_salted(src).collect()
+    assert len(deduped) == 6
+    win = {r["clip_id"]: r for r in deduped}
+    assert all(win[i]["transcript"].startswith("UPDATED") for i in upd_ids)
+    assert all(win[i]["op"] == "D" for i in del_ids)
+
+    res = merge_into(t, src, ledger, "job-merge-1", source_token="batch-1")
+    assert res["partitions_rewritten"] > 0
+
+    after = t.scan().cache()
+    assert after.count() == rows_before - len(del_ids)
+    assert after.filter(F.col("clip_id").isin(del_ids)).count() == 0
+    got = {r["clip_id"]: r["transcript"] for r in
+           after.filter(F.col("clip_id").isin(upd_ids)).collect()}
+    assert all(v.startswith("UPDATED ") for v in got.values())
+    # untouched rows byte-identical (oracle: previous scan minus merge keys)
+    prev = LakeTable.load(spark, t.location)
+    after.unpersist()
+
+
+def test_merge_insert_new_keys(spark, clip_table, ledger):
+    t = clip_table
+    rows_before = t.scan().count()
+    new = (
+        synth_clips(spark, 8, id_offset=77_000, dur_max_ms=600)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    merge_into(t, new, ledger, "job-merge-2", source_token="batch-2")
+    assert t.scan().count() == rows_before + 8
+    # inserted rows satisfy the SNR invariant end-to-end
+    inserted = t.scan().filter(F.col("clip_id").like("clip-00000007%"))
+    assert snr_violations(inserted).count() == 0
+
+
+def test_merge_replay_is_noop(spark, clip_table, ledger):
+    t = clip_table
+    audit_before = table_audit(t.scan())
+    snaps = len(t.snapshots())
+    ids = _MERGE_IDS["batch-1"]
+    src = _merge_source(spark, t, ids[:3], ids[3:])
+    res = merge_into(t, src, ledger, "job-merge-1", source_token="batch-1")
+    assert res["partitions_rewritten"] == 0
+    assert res["partitions_skipped"] == res["partitions_planned"]
+    assert len(t.snapshots()) == snaps
+    assert table_audit(t.scan()) == audit_before
+
+
+# ----------------------------------------------------------- negative gates
+
+
+def test_snr_gate_catches_corrupted_rewrite(spark, clip_table, ledger):
+    """Plant the precise bug: a maintenance rewrite that corrupts payload
+    bytes must trip the SNR check (reference layer-2 discipline)."""
+    t = clip_table
+    victim = t.scan().select("clip_id").orderBy(F.desc("clip_id")).first()[0]
+    original = t.scan().filter(F.col("clip_id") == victim).cache()
+    original.count()
+    corrupted = (
+        t.scan().filter(F.col("clip_id") == victim)
+        .withColumn("bytes",
+                    F.expr("substring(bytes, 1, 64)"))  # truncated payload
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(9).cast("long"))
+    )
+    merge_into(t, corrupted, ledger, "job-corrupt", source_token="corrupt")
+    bad = snr_violations(t.scan()).collect()
+    assert [r["clip_id"] for r in bad] == [victim]
+    # repair with the captured pre-corruption row so later tests are clean
+    repair = (
+        original
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(10).cast("long"))
+    )
+    merge_into(t, repair, ledger, "job-repair", source_token="repair")
+    assert snr_violations(t.scan()).count() == 0
+    original.unpersist()
+
+
+def test_parity_gate_catches_dropped_and_mutated_rows(spark, clip_table):
+    t = clip_table
+    before = t.scan()
+    some_id = before.select("clip_id").orderBy("clip_id").first()[0]
+    dropped = before.filter(F.col("clip_id") != some_id)
+    v = scan_parity(before, dropped).collect()
+    assert [(r["clip_id"], r["reason"]) for r in v] == \
+        [(some_id, "missing_after")]
+
+    mutated = before.withColumn(
+        "transcript",
+        F.when(F.col("clip_id") == some_id, F.lit("tampered"))
+        .otherwise(F.col("transcript")),
+    )
+    v2 = scan_parity(before, mutated).collect()
+    assert [(r["clip_id"], r["reason"]) for r in v2] == \
+        [(some_id, "transcript_mismatch")]
+
+
+# ---------------------------------------------------------------- pipeline
+
+
+def test_full_pipeline_end_to_end(spark, tmp_path):
+    loc = str(tmp_path / "clips2")
+    t = LakeTable.create(
+        spark, loc, "clips2", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 80, dur_max_ms=700), max_records_per_file=8)
+    ledger = CheckpointLedger(str(tmp_path / "ledger2"))
+    before = t.scan().cache()
+    before.count()
+
+    m = run_maintenance(t, ledger, job_id="pipe-1",
+                        target_bytes=2 * 1024 * 1024)
+    assert m["clips"] == 80
+    assert m["clips_per_sec"] > 0
+    assert m["table_audit"]["rows"] == 80
+    assert m["table_audit"]["duplicate_keys"] == 0
+    assert scan_parity(before, t.scan()).count() == 0
+    assert snr_violations(t.scan()).count() == 0
+    # expiry kept only the current snapshot; orphans gone
+    assert len(t.snapshots()) == 1
+    before.unpersist()
