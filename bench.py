@@ -1,0 +1,102 @@
+"""Benchmark: headline queries + the full maintenance pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": <total>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "maintenance_clips_per_sec": <engine-measured throughput>, ...}
+
+Measurement discipline (BASELINE.md): maintenance throughput divides clip
+count by ENGINE-measured stage time (never wall clock / JVM startup);
+query timings are wall seconds for plan+execute (collect-to-count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "brand_lineitem_rollup",
+    "lineitem_order_share",
+    "hourly_event_ohlc",
+    "merge_semantics",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash_near_pairs",
+    "embedding_topk_bruteforce",
+    "embedding_ivf_ann",
+]
+
+
+def run_bench(sf_dir: str, cpus: str, out=None):
+    import tempfile
+
+    from open_finance_lakehouse_spark.format.table import LakeTable
+    from open_finance_lakehouse_spark.operators.pipeline import run_maintenance
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+    from open_finance_lakehouse_spark.queries import REGISTRY
+    from open_finance_lakehouse_spark.queries.multimodal import (
+        clips_from_documents,
+    )
+    from open_finance_lakehouse_spark.session import build_session
+    from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL
+
+    spark = build_session("bench", master=f"local[{cpus}]")
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    # maintenance pipeline on a clip table derived from this SF's documents
+    workdir = os.path.join(tempfile.gettempdir(),
+                           f"ofl_bench_{uuid.uuid4().hex[:8]}")
+    t = LakeTable.create(
+        spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": int(cpus)},
+    )
+    t0 = time.monotonic()
+    t.append(clips_from_documents(spark, sf_dir), max_records_per_file=64)
+    timings["clip_synthesis_write"] = round(time.monotonic() - t0, 3)
+
+    ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
+    t0 = time.monotonic()
+    metrics = run_maintenance(t, ledger, job_id="bench",
+                              target_bytes=32 * 1024 * 1024, with_audit=False)
+    timings["maintenance_pipeline"] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "e2e_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "maintenance_clips": metrics["clips"],
+        "maintenance_engine_ms": metrics["engine_ms"],
+        "maintenance_clips_per_sec": round(metrics["clips_per_sec"], 2),
+    }
+    line = json.dumps(result)
+    print(line)
+    if out:
+        with open(out, "w") as f:
+            f.write(line + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    run_bench(sf_dir, cpus)

@@ -1,0 +1,114 @@
+"""CLI front door: ``spark-submit --py-files <pkg.zip> -m`` entrypoints for
+every maintenance job (north_rule M5: "maintenance implemented and
+callable" — /root/reference/README.md:314-317; single argparse front door
+mirroring /root/reference/ofl/cli.py:159-219).
+
+Subcommands: synth | compact | cluster | expire | merge | pipeline | bench.
+
+Example (cluster mode keeps the same shape — only --master changes):
+  python -m open_finance_lakehouse_spark.cli pipeline \
+      --table /data/wh/clips --ledger /data/wh/ledger --target-mb 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+from open_finance_lakehouse_spark.session import build_session
+from open_finance_lakehouse_spark.sources.synth import (
+    CLIP_SCHEMA_DDL,
+    synth_clips,
+)
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--table", required=True, help="table location")
+    p.add_argument("--ledger", required=True, help="checkpoint ledger root")
+    p.add_argument("--job-id", default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--target-mb", type=int, default=128)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("ofl-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="create + populate a clip table")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--rows", type=int, required=True)
+    sp.add_argument("--buckets", type=int, default=16)
+    sp.add_argument("--records-per-file", type=int, default=None)
+    sp.add_argument("--master", default=None)
+
+    for name in ("compact", "cluster", "expire", "pipeline"):
+        p = sub.add_parser(name)
+        _common(p)
+        if name == "cluster":
+            p.add_argument("--curve", default="zorder",
+                           choices=["zorder", "hilbert"])
+        if name in ("expire", "pipeline"):
+            p.add_argument("--retain-last", type=int, default=1)
+
+    mp = sub.add_parser("merge", help="MERGE a parquet source (op/seq cols)")
+    _common(mp)
+    mp.add_argument("--source", required=True, help="parquet path of source")
+    mp.add_argument("--source-token", required=True,
+                    help="batch fingerprint for replay idempotence")
+
+    args = ap.parse_args(argv)
+    spark = build_session(f"ofl-{args.cmd}", master=args.master)
+
+    if args.cmd == "synth":
+        t = LakeTable.create(
+            spark, args.table, "clips", CLIP_SCHEMA_DDL,
+            partition_spec={"kind": "bucket", "column": "clip_id",
+                            "num_buckets": args.buckets},
+        )
+        snap = t.append(synth_clips(spark, args.rows),
+                        max_records_per_file=args.records_per_file)
+        out = {"operation": "synth", "rows": args.rows,
+               "snapshot": snap.snapshot_id}
+    else:
+        t = LakeTable.load(spark, args.table)
+        ledger = CheckpointLedger(args.ledger)
+        job_id = args.job_id or f"{args.cmd}-cli"
+        target = args.target_mb * 1024 * 1024
+        if args.cmd == "compact":
+            from open_finance_lakehouse_spark.operators.compact import compact
+
+            out = compact(t, ledger, job_id, target_bytes=target)
+        elif args.cmd == "cluster":
+            from open_finance_lakehouse_spark.operators.cluster import cluster
+
+            out = cluster(t, ledger, job_id, curve=args.curve,
+                          target_bytes=target)
+        elif args.cmd == "expire":
+            from open_finance_lakehouse_spark.operators.expire import expire
+
+            out = expire(t, ledger, job_id, retain_last=args.retain_last)
+        elif args.cmd == "merge":
+            from open_finance_lakehouse_spark.operators.merge_into import (
+                merge_into,
+            )
+
+            src = spark.read.parquet(args.source)
+            out = merge_into(t, src, ledger, job_id, target_bytes=target,
+                             source_token=args.source_token)
+        else:
+            from open_finance_lakehouse_spark.operators.pipeline import (
+                run_maintenance,
+            )
+
+            out = run_maintenance(t, ledger, job_id=args.job_id,
+                                  target_bytes=target,
+                                  retain_last=args.retain_last)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,47 @@
+"""Query registry: every operator from SURVEY.md §2 re-expressed as an
+idiomatic Spark DataFrame plan over the driver's test tables, each paired
+with an independent ANSI-SQL oracle (DuckDB dialect) — the reference's
+two-code-path reconciliation discipline
+(/root/reference/ofl/transform/gold/checks/assert_real_interest_ipca_recomputes.sql:1-17:
+the check recomputes the mart a second way and joins the results).
+
+``REGISTRY`` maps query name → QuerySpec(fn, oracle_sql). ``oracle_sql`` is
+None only for genuinely non-SQL-expressible operators (binary audio
+kernels, maintenance pipelines) — the driver then records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle_sql: Optional[str]
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle_sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle_sql)
+        return fn
+
+    return deco
+
+
+def _load_all():
+    from open_finance_lakehouse_spark.queries import (  # noqa: F401
+        multimodal,
+        relational,
+        textops,
+        vectorops,
+    )
+
+
+_load_all()

@@ -1,0 +1,155 @@
+"""Multimodal (audio) operators over driver test tables.
+
+The clip table is derived DETERMINISTICALLY from ``documents`` (doc_id →
+clip attributes via the same hash-of-key rules as FIXTURES.md §1), so these
+queries run on the driver's parquet without external data while exercising
+the real binary-payload plumbing: schema with BinaryType, Arrow-batched
+mapInPandas encode/decode, SNR verification, and the maintenance pipeline.
+
+No SQL oracles — binary payloads and numpy DSP are outside DuckDB's reach;
+the driver records rows-only checks (the contract allows this for
+non-SQL-expressible operators). Correctness is enforced by the violation
+shape: these queries RETURN VIOLATING ROWS (reference gold-check discipline,
+/root/reference/ofl/transform/gold/runner.py:82-107), so a correct engine
+yields deterministic summary rows with zero violation counts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.operators.audit import (
+    scan_parity,
+    snr_violations,
+)
+from open_finance_lakehouse_spark.operators.pipeline import run_maintenance
+from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+from open_finance_lakehouse_spark.queries import register
+from open_finance_lakehouse_spark.queries.base import load
+from open_finance_lakehouse_spark.sources import synth
+from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL
+
+
+def clips_from_documents(spark, sf_dir, limit: int | None = None):
+    """Deterministic clip table keyed by doc_id: every attribute is a pure
+    function of clip_id (FIXTURES.md determinism rule), payload synthesized
+    by the vectorized mapInPandas kernel."""
+    d = load(spark, sf_dir, "documents")
+    if limit:
+        d = d.filter(F.col("doc_id") < limit)
+    attrs = d.select(
+        F.format_string("clip-%012d", F.col("doc_id")).alias("clip_id"),
+        F.col("text"),
+    )
+    hid = F.xxhash64("clip_id")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (F.pmod(F.xxhash64("clip_id", F.lit("sr")), F.lit(4)) + 1).cast("int"),
+    )
+    dur = (200 + F.pmod(F.xxhash64("clip_id", F.lit("dur")), F.lit(1800))
+           ).cast("int")
+    codec = F.element_at(
+        F.array(F.lit("pcm16"), F.lit("ulaw"), F.lit("alaw")),
+        (F.pmod(F.xxhash64("clip_id", F.lit("codec")), F.lit(3)) + 1)
+        .cast("int"),
+    )
+    attrs = (
+        attrs.withColumn("sr_hz", sr)
+        .withColumn("dur_ms", dur)
+        .withColumn("codec", codec)
+        .withColumn("seed", hid)
+        .withColumn("transcript", F.col("text"))
+        .drop("text")
+    )
+    return attrs.mapInPandas(synth._payload_batches,
+                             schema=synth._PAYLOAD_SCHEMA)
+
+
+@register("audio_codec_roundtrip_stats", None)
+def audio_codec_roundtrip_stats(spark, sf_dir):
+    """Per-codec round-trip audit: every encoded payload decodes to SNR ≥ 30
+    dB against its reference waveform (BASELINE.json per-row invariant).
+    Violations counted per codec — expected 0 everywhere."""
+    clips = clips_from_documents(spark, sf_dir)
+    scored = synth.verify_snr_df(clips)
+    joined = clips.select("clip_id", "codec").join(scored, "clip_id")
+    return (
+        joined.groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.when(F.col("snr_db") < 30.0, 1).otherwise(0))
+            .alias("snr_violations"),
+            F.sum("n_samples").alias("total_samples"),
+        )
+        .orderBy("codec")
+    )
+
+
+@register("audio_payload_profile", None)
+def audio_payload_profile(spark, sf_dir):
+    """Binary-column profiling without decode: payload sizes must equal the
+    codec's bytes-per-sample × sample count — a pure metadata invariant
+    checkable at full scale (no DSP in the plan)."""
+    clips = clips_from_documents(spark, sf_dir)
+    expected = (
+        F.when(F.col("codec") == "pcm16", 2).otherwise(1)
+        * (F.col("dur_ms").cast("long") * F.col("sr_hz") / 1000).cast("long")
+    )
+    return (
+        clips.select(
+            "codec",
+            F.length("bytes").alias("payload_bytes"),
+            expected.alias("expected_bytes"),
+        )
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum(F.when(F.col("payload_bytes") != F.col("expected_bytes"), 1)
+                  .otherwise(0)).alias("size_violations"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+        .orderBy("codec")
+    )
+
+
+@register("audio_maintenance_pipeline", None)
+def audio_maintenance_pipeline(spark, sf_dir):
+    """End-to-end maintenance over a real table of derived clips:
+    small-files write → compact → Z-order → expire, then the full
+    post-maintenance gate (row parity + SNR). Returns one summary row per
+    stage with violation counts — all zeros on a correct engine."""
+    workdir = os.path.join(tempfile.gettempdir(),
+                           f"ofl_mm_{uuid.uuid4().hex[:8]}")
+    t = LakeTable.create(
+        spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 4},
+    )
+    clips = clips_from_documents(spark, sf_dir, limit=200)
+    t.append(clips, max_records_per_file=10)
+    before = t.scan().cache()
+    n_before = before.count()
+
+    ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
+    metrics = run_maintenance(t, ledger, job_id="mm-pipe",
+                              target_bytes=4 * 1024 * 1024, with_audit=True)
+
+    parity_bad = scan_parity(before, t.scan()).count()
+    snr_bad = snr_violations(t.scan()).count()
+    before.unpersist()
+    rows = [
+        ("rows_before", int(n_before), 0),
+        ("rows_after", int(metrics["table_audit"]["rows"]), 0),
+        ("duplicate_keys", int(metrics["table_audit"]["duplicate_keys"]), 0),
+        ("parity_violations", int(parity_bad), 0),
+        ("snr_violations", int(snr_bad), 0),
+        ("files_compacted", int(metrics["stages"]["compact"]["files_in"]), 0),
+        ("snapshots_after_expire", len(t.snapshots()), 0),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value long, violations long")

@@ -1,0 +1,448 @@
+"""Training-data text pipeline operators over the ``documents`` table:
+exact dedup, MinHash+LSH, SimHash, n-gram Jaccard near-dup, language ID,
+quality scoring, token stats, fingerprinting.
+
+All pure DataFrame algebra — higher-order array functions, no Python UDFs
+(north_rule). Every hash that must agree with the DuckDB oracle uses the
+shared md5-derived 32-bit hash (``queries.base.h32``); every pair-finding
+step blocks first (LSH bands / blocking keys), because at 100 TB the O(n²)
+all-pairs comparison is never an option — candidate generation must be an
+equi-join on a derived key (shuffle-partitionable), with the quadratic work
+confined to within-bucket comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.queries import register
+from open_finance_lakehouse_spark.queries.base import H32_SQL, h32, load, r6
+
+# deterministic MinHash parameters: k=8 affine hash functions mod a prime
+MH_PRIME = 2_147_483_647
+MH_PARAMS = [(2 * i + 3, 7 * i + 11) for i in range(8)]  # (a, b)
+
+_TOKENS = "split(text, ' ')"
+_TOKENS_SQL = "string_split(text, ' ')"
+
+# trigram shingles, 0-indexed (Spark) vs 1-indexed (DuckDB)
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
+    " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
+    " split(text,' ')[i+2])))"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1,"
+    " greatest(len(string_split(text,' '))-2, 0)),"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    " || ' ' || string_split(text,' ')[i+2]))"
+)
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: one shuffle on the digest, keeper =
+    min(doc_id) (deterministic, reference A2 discipline). At scale the
+    digest groupBy is the cheapest possible dedup — no pairwise work."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens,
+           round(len(list_distinct({_TOKENS_SQL}))::DOUBLE
+                 / len({_TOKENS_SQL}), 6) AS ttr,
+           n_chars,
+           round(n_chars::DOUBLE / len({_TOKENS_SQL}), 6) AS chars_per_token
+    FROM documents
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting + type/token-ratio quality signal — whitespace
+    tokenizer as a pure array expression (the BPE-ish regex variant is the
+    same plan with a regexp split)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        r6(F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("ttr"),
+        "n_chars",
+        r6(F.col("n_chars").cast("double") / F.size(toks))
+        .alias("chars_per_token"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_TOKENS_SQL}) BETWEEN 20 AND 400
+                 AND len(list_distinct({_TOKENS_SQL}))::DOUBLE
+                     / len({_TOKENS_SQL}) >= 0.3
+                THEN 'keep' ELSE 'drop' END AS verdict,
+           round(least(len({_TOKENS_SQL}) / 400.0, 1.0) * 0.5
+                 + (len(list_distinct({_TOKENS_SQL}))::DOUBLE
+                    / len({_TOKENS_SQL})) * 0.5, 6) AS quality
+    FROM documents
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    """Heuristic quality gate (length band + lexical diversity) with an
+    explicit keep/drop verdict — the filter stage of a training-data
+    pipeline, expressed so the verdict is pushdown-able."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    return d.select(
+        "doc_id",
+        F.when(n.between(20, 400) & (ttr >= 0.3), "keep").otherwise("drop")
+        .alias("verdict"),
+        r6(F.least(n / F.lit(400.0), F.lit(1.0)) * 0.5 + ttr * 0.5)
+        .alias("quality"),
+    )
+
+
+_LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in"],
+    "es": ["el", "la", "de", "que", "y", "en"],
+    "fr": ["le", "la", "et", "les", "des", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "zh": ["de", "shi", "le", "zai", "wo", "you"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS[lang])
+    return (f"len(list_intersect(list_distinct({_TOKENS_SQL}), [{words}])) ")
+
+
+@register(
+    "doc_lang_id",
+    f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE
+             WHEN {_lang_score_sql('en')} >= greatest({_lang_score_sql('es')},
+                  {_lang_score_sql('fr')}, {_lang_score_sql('de')},
+                  {_lang_score_sql('zh')}, 1) THEN 'en'
+             WHEN {_lang_score_sql('es')} >= greatest({_lang_score_sql('fr')},
+                  {_lang_score_sql('de')}, {_lang_score_sql('zh')}, 1) THEN 'es'
+             WHEN {_lang_score_sql('fr')} >= greatest({_lang_score_sql('de')},
+                  {_lang_score_sql('zh')}, 1) THEN 'fr'
+             WHEN {_lang_score_sql('de')} >= greatest({_lang_score_sql('zh')}, 1)
+                  THEN 'de'
+             WHEN {_lang_score_sql('zh')} >= 1 THEN 'zh'
+             ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def doc_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID: per-language evidence = |distinct
+    tokens ∩ stopword list|, argmax with a fixed priority tie-break
+    (deterministic CASE ladder)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    scores = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_STOPWORDS.items()
+    }
+    order = ["en", "es", "fr", "de", "zh"]
+    pred = F.lit("und")
+    for lang in reversed(order):
+        later = [scores[o] for o in order[order.index(lang) + 1:]]
+        floor = F.greatest(*later, F.lit(1)) if later else F.lit(1)
+        pred = F.when(scores[lang] >= floor, lang).otherwise(pred)
+    return d.select("doc_id", F.col("lang").alias("lang_label"),
+                    pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, bit_xor(h * i) AS fingerprint FROM (
+      SELECT doc_id,
+             {H32_SQL.format(x='tok')} AS h,
+             i + 1 AS i
+      FROM (SELECT doc_id,
+                   unnest({_TOKENS_SQL}) AS tok,
+                   unnest(range(len({_TOKENS_SQL}))) AS i
+            FROM documents))
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-sensitive document fingerprint: XOR-fold of position-weighted
+    token hashes — pure array algebra in Spark, recomputed by the oracle via
+    unnest + bit_xor aggregation (two code paths, reference discipline
+    /root/reference/ofl/streaming/schema.py:57-73)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(zip_with(split(text,' '), sequence(1, size(split(text,' '))), "
+        "(t, i) -> cast(conv(substring(md5(t),1,8),16,10) as bigint) * i), "
+        "0L, (acc, x) -> acc ^ x)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "doc_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+             {_SHINGLES_SQL} AS shingles
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    """,
+)
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    """Trigram-shingle Jaccard near-dup with blocking: candidates must share
+    (lang, length bucket) — an equi-join — before any set comparison. The
+    blocked join is the scale story: pairwise work is confined to buckets,
+    never n² over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        F.expr(_SHINGLES).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.05)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                r6(jac).alias("jaccard"))
+    )
+
+
+def _minhash_expr_spark() -> str:
+    """array<long> signature: for each (a,b) param, min over shingles of
+    (a * h32(s) + b) % prime. Hashes each shingle ONCE (column ``sh32``,
+    projected upstream), then applies the k affine maps to the hash array —
+    k× cheaper than re-hashing per function."""
+    parts = ", ".join(
+        f"array_min(transform(sh32, h -> pmod({a}L * h + {b}L, {MH_PRIME}L)))"
+        for a, b in MH_PARAMS
+    )
+    return f"array({parts})"
+
+
+def _minhash_expr_sql() -> str:
+    parts = ", ".join(
+        f"list_min(list_transform({_SHINGLES_SQL}, s -> "
+        f"({a} * {H32_SQL.format(x='s')} + {b}) % {MH_PRIME}))"
+        for a, b in MH_PARAMS
+    )
+    return f"[{parts}]"
+
+
+@register(
+    "doc_minhash_lsh_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id, {_minhash_expr_sql()} AS sig FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0),
+    bands AS (
+      SELECT doc_id, sig,
+             unnest(range(4)) AS band,
+             unnest([sig[1] * 4000000037 + sig[2],
+                     sig[3] * 4000000037 + sig[4],
+                     sig[5] * 4000000037 + sig[6],
+                     sig[7] * 4000000037 + sig[8]]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(range(8),
+                 i -> sa.sig[i + 1] = sb.sig[i + 1]))::DOUBLE / 8, 6)
+             AS est_similarity
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """,
+)
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup: shingle → k=8 affine min-hashes → 4 bands of
+    2 rows → candidates = docs sharing a band key (EQUI-join on the band
+    key: the LSH trick that makes near-dup shuffle-partitionable at 100 TB)
+    → estimated similarity = fraction of matching signature slots."""
+    d = load(spark, sf_dir, "documents")
+    sig = (
+        d.select(
+            "doc_id",
+            F.expr(
+                f"transform({_SHINGLES}, s -> "
+                "cast(conv(substring(md5(s),1,8),16,10) as bigint))"
+            ).alias("sh32"),
+        )
+        .filter(F.size("sh32") > 0)
+        .select("doc_id", F.expr(_minhash_expr_spark()).alias("sig"))
+    )
+
+    bands = sig.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(
+            "array(sig[0] * 4000000037L + sig[1],"
+            " sig[2] * 4000000037L + sig[3],"
+            " sig[4] * 4000000037L + sig[5],"
+            " sig[6] * 4000000037L + sig[7])"
+        )).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    matches = F.size(F.expr(
+        "filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                r6(matches.cast("double") / 8).alias("est_similarity"))
+    )
+
+
+def _simhash_cols(h_expr: str, n_expr: str, bits: int = 32):
+    """SQL fragment: simhash = Σ_j (cnt_j > n/2) << j, identical text in
+    both dialects given engine-appropriate hash/count exprs."""
+    terms = " + ".join(
+        f"(CASE WHEN sum(({h_expr} >> {j}) & 1) * 2 > {n_expr}"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return terms
+
+
+@register(
+    "doc_simhash",
+    f"""
+    SELECT doc_id,
+           CAST({_simhash_cols(H32_SQL.format(x='tok'), 'count(*)')} AS BIGINT)
+             AS simhash
+    FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+          FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def doc_simhash(spark, sf_dir):
+    """SimHash: per bit j, majority vote of distinct-token hash bits.
+    Formulated as explode → 32 conditional sums → bit reassembly, so the
+    whole computation is one shuffle on doc_id (combinable map-side)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", h32(F.col("tok")))
+    n = F.count(F.lit(1))
+    sim = None
+    for j in range(32):
+        bit = F.when(
+            F.sum(F.shiftright("h", j).bitwiseAND(1)) * 2 > n, 1 << j
+        ).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return tok.groupBy("doc_id").agg(sim.cast("bigint").alias("simhash"))
+
+
+@register(
+    "doc_simhash_near_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             CAST({_simhash_cols(H32_SQL.format(x='tok'), 'count(*)')} AS BIGINT)
+               AS simhash
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+            FROM documents)
+      GROUP BY doc_id),
+    keyed AS (
+      SELECT doc_id, simhash, unnest([0, 1]) AS half,
+             unnest([simhash >> 16, simhash & 65535]) AS half_key
+      FROM sh)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.half = b.half AND a.half_key = b.half_key AND a.doc_id < b.doc_id
+    JOIN sh sa ON sa.doc_id = a.doc_id
+    JOIN sh sb ON sb.doc_id = b.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+    """,
+)
+def doc_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: block on 16-bit signature halves (any pair
+    within Hamming ≤ 6 of 32 bits shares at least one exact half only
+    heuristically — the standard multi-block recall/precision trade), then
+    verify with bit_count(xor). Candidates come from an equi-join on the
+    half key — no n² comparison."""
+    sh = doc_simhash(spark, sf_dir)
+    keyed = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(
+            F.shiftright("simhash", 16),
+            F.col("simhash").bitwiseAND(65535),
+        )).alias("half", "half_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.half") == F.col("b.half"))
+               & (F.col("a.half_key") == F.col("b.half_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sim_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(ham <= 6)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
+    )

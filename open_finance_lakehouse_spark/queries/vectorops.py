@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Cosine math runs in float64 with a sequential left-to-right fold on both
+engines (validated bit-exact against DuckDB's list_dot_product on DOUBLE[]),
+so rounded scores agree exactly.
+
+Scale shapes:
+- brute-force top-k is the correctness baseline (quadratic — bounded here by
+  a query-side sample, exactly how a production run bounds it per batch);
+- the IVF variant is the scale path: assign every vector to its nearest
+  coarse centroid (tiny broadcast join), then search only within the
+  cluster — candidate generation becomes an equi-join on cluster_id,
+  shuffle-partitionable at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.queries import register
+from open_finance_lakehouse_spark.queries.base import load, r6
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+    " (acc, v) -> acc + v)"
+)
+_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+
+
+def _cos(a: str, b: str) -> str:
+    return (f"({_DOT.format(a=a, b=b)} / (sqrt({_DOT.format(a=a, b=a)})"
+            f" * sqrt({_DOT.format(a=b, b=b)})))")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_DOT_SQL.format(a=a, b=b)} / (sqrt({_DOT_SQL.format(a=a, b=a)})"
+            f" * sqrt({_DOT_SQL.format(a=b, b=b)})))")
+
+
+@register(
+    "embedding_topk_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    scored AS (
+      SELECT q.vec_id, e.vec_id AS neighbor_id,
+             {_cos_sql('q.embedding', 'e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+    SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+)
+def embedding_topk_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-3 per sampled query vector; rank-1..3 via
+    window (deterministic tie-break on neighbor_id). The corpus side
+    broadcasts when small; at scale this is the per-batch exact rescoring
+    stage after an ANN candidate pass."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("c_emb"))
+    scored = (
+        q.join(c, F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cos", F.expr(_cos("q_emb", "c_emb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("q_id").alias("vec_id"), "neighbor_id",
+                r6(F.col("cos")).alias("cosine"), "rn")
+    )
+
+
+@register(
+    "embedding_ivf_ann",
+    f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
+                  FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_cos_sql('e.embedding', 'c.cemb')} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+    nn AS (
+      SELECT a.vec_id, a.cid, b.vec_id AS nn_id,
+             {_cos_sql('a.embedding', 'b.embedding')} AS cos,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               {_cos_sql('a.embedding', 'b.embedding')} DESC, b.vec_id ASC)
+               AS rn
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+    SELECT vec_id, cid AS cluster_id, nn_id, round(cos, 6) AS cosine
+    FROM nn WHERE rn = 1
+    """,
+)
+def embedding_ivf_ann(spark, sf_dir):
+    """IVF-style approximate NN: 8 coarse centroids (deterministically the
+    first 8 vectors), assignment = broadcast argmax-cosine, then nearest
+    neighbor WITHIN the assigned cluster only. Candidate generation is an
+    equi-join on cluster_id — the scale path replacing the n² search."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.expr(_cos("embedding", "cemb")))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter("rn = 1")
+        .select("vec_id", "embedding", "cid")
+    )
+    a = assigned.select(F.col("vec_id"), F.col("cid"),
+                        F.col("embedding").alias("a_emb"))
+    b = assigned.select(F.col("vec_id").alias("nn_id"),
+                        F.col("cid").alias("b_cid"),
+                        F.col("embedding").alias("b_emb"))
+    nw = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nn_id"))
+    return (
+        a.join(b, (F.col("cid") == F.col("b_cid"))
+               & (F.col("vec_id") != F.col("nn_id")))
+        .withColumn("cos", F.expr(_cos("a_emb", "b_emb")))
+        .withColumn("rn", F.row_number().over(nw))
+        .filter("rn = 1")
+        .select("vec_id", F.col("cid").alias("cluster_id"), "nn_id",
+                r6(F.col("cos")).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_label_cohesion",
+    f"""
+    SELECT a.label,
+           count(*) AS n_pairs,
+           round(avg({_cos_sql('a.embedding', 'b.embedding')}), 6)
+             AS avg_within_cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.label
+    """,
+)
+def embedding_label_cohesion(spark, sf_dir):
+    """Within-label cohesion: average pairwise cosine per label — the
+    label-blocked join keeps pair counts bounded per group."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("a_id"),
+                 F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("label").alias("b_label"),
+                 F.col("vec_id").alias("b_id"),
+                 F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, (F.col("label") == F.col("b_label"))
+               & (F.col("a_id") < F.col("b_id")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             r6(F.avg(F.expr(_cos("a_emb", "b_emb"))))
+             .alias("avg_within_cosine"))
+    )
