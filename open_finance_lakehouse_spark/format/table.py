@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 import uuid
 from dataclasses import dataclass
@@ -67,6 +68,10 @@ class LakeTable:
         self.spark = spark
         self.location = location
         self.meta = meta
+        # serializes this handle's commit section: concurrent partition
+        # rewrites stage in parallel (Spark jobs), commits queue briefly —
+        # commits are O(ms) metadata ops, staging is the parallel work
+        self._commit_lock = threading.Lock()
 
     # ------------------------------------------------------------------ init
 
@@ -214,18 +219,23 @@ class LakeTable:
     # --------------------------------------------------------------- commits
 
     def _try_commit(self, build) -> md.Snapshot:
-        """Optimistic-concurrency commit loop: read latest, build, CAS-write."""
-        for _ in range(10):
-            self.refresh()
-            snap, new_meta = build(self.meta)
-            try:
-                md.write_metadata_exclusive(new_meta, self.meta.version + 1)
-                new_meta.version = self.meta.version + 1
-                self.meta = new_meta
-                return snap
-            except FileExistsError:
-                time.sleep(0.05)  # lost the race; re-read and revalidate
-        raise CommitConflict("gave up after 10 commit attempts")
+        """Optimistic-concurrency commit loop: read latest, build, CAS-write.
+
+        Thread-safe for concurrent partition rewrites on one handle (the
+        lock), and process-safe across writers (the O_EXCL version-file CAS
+        — a loser re-reads and revalidates)."""
+        with self._commit_lock:
+            for _ in range(10):
+                meta = md.read_current_metadata(self.location)
+                snap, new_meta = build(meta)
+                try:
+                    md.write_metadata_exclusive(new_meta, meta.version + 1)
+                    new_meta.version = meta.version + 1
+                    self.meta = new_meta
+                    return snap
+                except FileExistsError:
+                    time.sleep(0.05)  # lost the race; re-read and revalidate
+            raise CommitConflict("gave up after 10 commit attempts")
 
     def commit_append(self, added: list[mf.DataFile], summary: dict | None = None
                       ) -> md.Snapshot:

@@ -30,6 +30,9 @@ from __future__ import annotations
 import math
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
+
+DEFAULT_PARTITION_CONCURRENCY = 8
 
 from open_finance_lakehouse_spark.format import manifests as mf
 from open_finance_lakehouse_spark.format.table import LakeTable
@@ -65,6 +68,59 @@ def plan_compaction(
     return plan
 
 
+def _compact_partition(table, ledger, job_id, part, bins, target_bytes):
+    """One partition's rewrite — runs on a driver worker thread; Spark jobs
+    from concurrent partitions interleave on the cluster (FAIR scheduler).
+    Returns per-partition metrics, or None if skipped via the ledger."""
+    all_paths = [p for b in bins for p in b.paths]
+    fingerprint = file_set_hash(all_paths)
+    part_id = f"part={part}"
+    if ledger.is_committed(job_id, part_id, fingerprint):
+        return None
+
+    t0 = time.monotonic()
+    bytes_in = sum(b.total_bytes for b in bins)
+    records_in = sum(b.total_records for b in bins)
+    ledger.upsert(CheckpointRecord(
+        job_id=job_id, table=table.meta.name, partition_id=part_id,
+        file_set_hash=fingerprint, status=STATUS_REWRITING,
+        files_in=len(all_paths), bytes_in=bytes_in,
+    ))
+
+    paths = [os.path.join(table.location, p) for p in all_paths]
+    df = table.spark.read.schema(table._empty_df().schema).parquet(*paths)
+    rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
+    n_out = max(1, math.ceil(records_in / rpf))
+    added = table.stage_dataframe(
+        df.coalesce(n_out),
+        max_records_per_file=rpf,
+        repartition_by_partition=False,  # rows already in this partition
+    )
+    snap = table.commit_rewrite(
+        set(all_paths), added, operation="compact",
+        summary={"job_id": job_id, "partition": part},
+    )
+    engine_ms = int((time.monotonic() - t0) * 1000)
+
+    ledger.append_lineage(job_id, part_id, all_paths,
+                          [a.file_path for a in added], "compact")
+    ledger.upsert(CheckpointRecord(
+        job_id=job_id, table=table.meta.name, partition_id=part_id,
+        file_set_hash=fingerprint, status=STATUS_COMMITTED,
+        rows=sum(a.record_count for a in added),
+        bytes_in=bytes_in,
+        bytes_out=sum(a.file_size_bytes for a in added),
+        files_in=len(all_paths), files_out=len(added),
+        engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
+    ))
+    return {
+        "files_in": len(all_paths), "files_out": len(added),
+        "bytes_in": bytes_in,
+        "bytes_out": sum(a.file_size_bytes for a in added),
+        "rows": sum(a.record_count for a in added),
+    }
+
+
 def compact(
     table: LakeTable,
     ledger: CheckpointLedger,
@@ -73,78 +129,49 @@ def compact(
     small_file_ratio: float = binpack.DEFAULT_SMALL_FILE_RATIO,
     min_files_per_bin: int = 2,
     max_bins_per_partition: int | None = None,
+    concurrency: int = DEFAULT_PARTITION_CONCURRENCY,
 ) -> dict:
     """Run compaction; returns job metrics. Safe to re-run: committed
-    partitions with unchanged inputs are skipped (measured no-op)."""
+    partitions with unchanged inputs are skipped (measured no-op).
+
+    Partitions execute CONCURRENTLY (driver thread pool): staging is
+    parallel Spark work, commits serialize briefly on the CAS loop. On a
+    multi-executor cluster this is what keeps all executors busy when
+    individual partitions are small. ``engine_ms`` is the wall time of the
+    execute phase (JVM/session startup excluded — the reference's
+    trigger-time discipline, /root/reference/ofl/streaming/metrics.py:53-62)."""
     plan = plan_compaction(table, target_bytes, small_file_ratio,
                            min_files_per_bin)
     totals = {
-        "job_id": job_id,
-        "operation": "compact",
-        "partitions_planned": len(plan),
-        "partitions_rewritten": 0,
-        "partitions_skipped": 0,
-        "files_in": 0,
-        "files_out": 0,
-        "bytes_in": 0,
-        "bytes_out": 0,
-        "rows": 0,
-        "engine_ms": 0,
+        "job_id": job_id, "operation": "compact",
+        "partitions_planned": len(plan), "partitions_rewritten": 0,
+        "partitions_skipped": 0, "files_in": 0, "files_out": 0,
+        "bytes_in": 0, "bytes_out": 0, "rows": 0, "engine_ms": 0,
     }
-    for part, bins in plan.items():
+    if not plan:
+        return totals
+    items = []
+    for part, bins in sorted(plan.items()):
         if max_bins_per_partition:
             # backpressure: bound work per task batch the way the reference
             # bounds micro-batches (maxFilesPerTrigger,
             # /root/reference/ofl/streaming/bronze.py:229-231)
             bins = bins[:max_bins_per_partition]
-        all_paths = [p for b in bins for p in b.paths]
-        fingerprint = file_set_hash(all_paths)
-        part_id = f"part={part}"
-        if ledger.is_committed(job_id, part_id, fingerprint):
+        items.append((part, bins))
+
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=min(concurrency, len(items))) as ex:
+        results = list(ex.map(
+            lambda it: _compact_partition(table, ledger, job_id, it[0], it[1],
+                                          target_bytes),
+            items,
+        ))
+    totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
+    for res in results:
+        if res is None:
             totals["partitions_skipped"] += 1
             continue
-
-        t0 = time.monotonic()
-        bytes_in = sum(b.total_bytes for b in bins)
-        records_in = sum(b.total_records for b in bins)
-        ledger.upsert(CheckpointRecord(
-            job_id=job_id, table=table.meta.name, partition_id=part_id,
-            file_set_hash=fingerprint, status=STATUS_REWRITING,
-            files_in=len(all_paths), bytes_in=bytes_in,
-        ))
-
-        paths = [os.path.join(table.location, p) for p in all_paths]
-        df = table.spark.read.schema(
-            table._empty_df().schema).parquet(*paths)
-        rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
-        n_out = max(1, math.ceil(records_in / rpf))
-        added = table.stage_dataframe(
-            df.coalesce(n_out),
-            max_records_per_file=rpf,
-            repartition_by_partition=False,  # rows already in this partition
-        )
-        snap = table.commit_rewrite(
-            set(all_paths), added, operation="compact",
-            summary={"job_id": job_id, "partition": part},
-        )
-        engine_ms = int((time.monotonic() - t0) * 1000)
-
-        ledger.append_lineage(job_id, part_id, all_paths,
-                              [a.file_path for a in added], "compact")
-        ledger.upsert(CheckpointRecord(
-            job_id=job_id, table=table.meta.name, partition_id=part_id,
-            file_set_hash=fingerprint, status=STATUS_COMMITTED,
-            rows=sum(a.record_count for a in added),
-            bytes_in=bytes_in,
-            bytes_out=sum(a.file_size_bytes for a in added),
-            files_in=len(all_paths), files_out=len(added),
-            engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
-        ))
         totals["partitions_rewritten"] += 1
-        totals["files_in"] += len(all_paths)
-        totals["files_out"] += len(added)
-        totals["bytes_in"] += bytes_in
-        totals["bytes_out"] += sum(a.file_size_bytes for a in added)
-        totals["rows"] += sum(a.record_count for a in added)
-        totals["engine_ms"] += engine_ms
+        for k, v in res.items():
+            totals[k] += v
     return totals

@@ -28,22 +28,35 @@ def run_maintenance(
     ledger: CheckpointLedger,
     job_id: str | None = None,
     target_bytes: int = 8 * 1024 * 1024,
-    curve: str = "zorder",
+    curve: str | None = "zorder",
     retain_last: int = 1,
     with_audit: bool = True,
     spark_for_audit: SparkSession | None = None,
+    subsume_compaction: bool = True,
+    concurrency: int = 8,
 ) -> dict:
     """compact → cluster → expire; returns run metrics + (optionally) an
-    independently-read table audit."""
+    independently-read table audit.
+
+    ``subsume_compaction`` (default): when clustering runs, the separate
+    compaction pass is skipped — the clustering rewrite already re-packs
+    every partition into target-size files, so a prior compaction would
+    move every byte twice. This mirrors the reference, whose single
+    ``OPTIMIZE ... ZORDER BY`` call IS compaction+clustering in one rewrite
+    (/root/reference/ofl/transform/spark/silver.py:368-371). Set
+    ``curve=None`` for compaction-only maintenance."""
     job_id = job_id or f"maint-{uuid.uuid4().hex[:12]}"
     clip_count = sum(f.record_count for f in table.live_files())
 
     stages = {}
-    stages["compact"] = compact(
-        table, ledger, f"{job_id}/compact", target_bytes=target_bytes)
-    stages["cluster"] = cluster(
-        table, ledger, f"{job_id}/cluster", curve=curve,
-        target_bytes=target_bytes)
+    if curve is None or not subsume_compaction:
+        stages["compact"] = compact(
+            table, ledger, f"{job_id}/compact", target_bytes=target_bytes,
+            concurrency=concurrency)
+    if curve is not None:
+        stages["cluster"] = cluster(
+            table, ledger, f"{job_id}/cluster", curve=curve,
+            target_bytes=target_bytes, concurrency=concurrency)
     stages["expire"] = expire(
         table, ledger, f"{job_id}/expire", retain_last=retain_last)
 

@@ -148,7 +148,7 @@ def audio_maintenance_pipeline(spark, sf_dir):
         ("duplicate_keys", int(metrics["table_audit"]["duplicate_keys"]), 0),
         ("parity_violations", int(parity_bad), 0),
         ("snr_violations", int(snr_bad), 0),
-        ("files_compacted", int(metrics["stages"]["compact"]["files_in"]), 0),
+        ("files_rewritten", int(metrics["stages"]["cluster"]["files_in"]), 0),
         ("snapshots_after_expire", len(t.snapshots()), 0),
     ]
     return spark.createDataFrame(

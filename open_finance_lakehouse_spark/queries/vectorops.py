@@ -1,8 +1,11 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
 Cosine math runs in float64 with a sequential left-to-right fold on both
-engines (validated bit-exact against DuckDB's list_dot_product on DOUBLE[]),
-so rounded scores agree exactly.
+engines (validated bit-exact against DuckDB's list_dot_product on DOUBLE[]).
+Vectors are L2-NORMALIZED ONCE per row in a projected column, so each pair
+comparison is a single dot-product fold — at 1M×1M pair scale the
+normalize-once refactor is a 3× cut in the inner-loop cost, and both
+engines use the identical normalized-dot formula so rounded scores agree.
 
 Scale shapes:
 - brute-force top-k is the correctness baseline (quadratic — bounded here by
@@ -22,31 +25,37 @@ from open_finance_lakehouse_spark.queries import register
 from open_finance_lakehouse_spark.queries.base import load, r6
 
 _DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) ->"
-    " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
     " (acc, v) -> acc + v)"
 )
-_DOT_SQL = "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+_DOT_SQL = "list_dot_product({a}, {b})"
+
+# L2-normalized double array from the float column, computed once per row
+_NORMED = (
+    "transform({e}, x -> cast(x as double) / sqrt(aggregate("
+    "zip_with({e}, {e}, (p, q) -> cast(p as double) * cast(q as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)))"
+)
+_NORMED_SQL = (
+    "list_transform({e}::DOUBLE[], x -> x /"
+    " sqrt(list_dot_product({e}::DOUBLE[], {e}::DOUBLE[])))"
+)
 
 
 def _cos(a: str, b: str) -> str:
-    return (f"({_DOT.format(a=a, b=b)} / (sqrt({_DOT.format(a=a, b=a)})"
-            f" * sqrt({_DOT.format(a=b, b=b)})))")
-
-
-def _cos_sql(a: str, b: str) -> str:
-    return (f"({_DOT_SQL.format(a=a, b=b)} / (sqrt({_DOT_SQL.format(a=a, b=a)})"
-            f" * sqrt({_DOT_SQL.format(a=b, b=b)})))")
+    return _DOT.format(a=a, b=b)
 
 
 @register(
     "embedding_topk_bruteforce",
     f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id, emb FROM n WHERE vec_id % 4 = 0),
     scored AS (
       SELECT q.vec_id, e.vec_id AS neighbor_id,
-             {_cos_sql('q.embedding', 'e.embedding')} AS cos
-      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+             {_DOT_SQL.format(a='q.emb', b='e.emb')} AS cos
+      FROM q JOIN n e ON e.vec_id <> q.vec_id)
     SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rn FROM (
       SELECT *, row_number() OVER (PARTITION BY vec_id
                  ORDER BY cos DESC, neighbor_id ASC) AS rn
@@ -58,11 +67,16 @@ def embedding_topk_bruteforce(spark, sf_dir):
     window (deterministic tie-break on neighbor_id). The corpus side
     broadcasts when small; at scale this is the per-batch exact rescoring
     stage after an ANN candidate pass."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
+    # persist: the InMemoryRelation stops Catalyst collapsing the
+    # normalization projection into the join (which would re-evaluate the
+    # per-element norm fold for every PAIR instead of once per row)
+    e = e.persist()
     q = e.filter(F.col("vec_id") % 4 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").alias("c_emb"))
+                 F.col("emb").alias("c_emb"))
     scored = (
         q.join(c, F.col("neighbor_id") != F.col("q_id"))
         .withColumn("cos", F.expr(_cos("q_emb", "c_emb")))
@@ -79,19 +93,21 @@ def embedding_topk_bruteforce(spark, sf_dir):
 @register(
     "embedding_ivf_ann",
     f"""
-    WITH cent AS (SELECT vec_id AS cid, embedding AS cemb
-                  FROM embeddings WHERE vec_id < 8),
+    WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < 8),
     assigned AS (
-      SELECT vec_id, embedding, cid FROM (
-        SELECT e.vec_id, e.embedding, c.cid,
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 {_cos_sql('e.embedding', 'c.cemb')} DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+                 {_DOT_SQL.format(a='e.emb', b='c.cemb')} DESC, c.cid ASC)
+                 AS rn
+        FROM n e CROSS JOIN cent c) WHERE rn = 1),
     nn AS (
       SELECT a.vec_id, a.cid, b.vec_id AS nn_id,
-             {_cos_sql('a.embedding', 'b.embedding')} AS cos,
+             {_DOT_SQL.format(a='a.emb', b='b.emb')} AS cos,
              row_number() OVER (PARTITION BY a.vec_id ORDER BY
-               {_cos_sql('a.embedding', 'b.embedding')} DESC, b.vec_id ASC)
+               {_DOT_SQL.format(a='a.emb', b='b.emb')} DESC, b.vec_id ASC)
                AS rn
       FROM assigned a JOIN assigned b
         ON a.cid = b.cid AND a.vec_id <> b.vec_id)
@@ -104,23 +120,24 @@ def embedding_ivf_ann(spark, sf_dir):
     first 8 vectors), assignment = broadcast argmax-cosine, then nearest
     neighbor WITHIN the assigned cluster only. Candidate generation is an
     equi-join on cluster_id — the scale path replacing the n² search."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
+    e = e.persist()  # projection-collapse barrier (see topk)
     cent = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("cid"))
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
         e.crossJoin(F.broadcast(cent))
-        .withColumn("ccos", F.expr(_cos("embedding", "cemb")))
+        .withColumn("ccos", F.expr(_cos("emb", "cemb")))
         .withColumn("rn", F.row_number().over(aw))
         .filter("rn = 1")
-        .select("vec_id", "embedding", "cid")
+        .select("vec_id", "emb", "cid")
     )
     a = assigned.select(F.col("vec_id"), F.col("cid"),
-                        F.col("embedding").alias("a_emb"))
+                        F.col("emb").alias("a_emb"))
     b = assigned.select(F.col("vec_id").alias("nn_id"),
                         F.col("cid").alias("b_cid"),
-                        F.col("embedding").alias("b_emb"))
+                        F.col("emb").alias("b_emb"))
     nw = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nn_id"))
     return (
         a.join(b, (F.col("cid") == F.col("b_cid"))
@@ -136,24 +153,27 @@ def embedding_ivf_ann(spark, sf_dir):
 @register(
     "embedding_label_cohesion",
     f"""
+    WITH n AS (SELECT vec_id, label, {_NORMED_SQL.format(e='embedding')} AS emb
+               FROM embeddings)
     SELECT a.label,
            count(*) AS n_pairs,
-           round(avg({_cos_sql('a.embedding', 'b.embedding')}), 6)
+           round(avg({_DOT_SQL.format(a='a.emb', b='b.emb')}), 6)
              AS avg_within_cosine
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     GROUP BY a.label
     """,
 )
 def embedding_label_cohesion(spark, sf_dir):
     """Within-label cohesion: average pairwise cosine per label — the
     label-blocked join keeps pair counts bounded per group."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_NORMED.format(e="embedding")).alias("emb"))
+    e = e.persist()  # projection-collapse barrier (see topk)
     a = e.select("label", F.col("vec_id").alias("a_id"),
-                 F.col("embedding").alias("a_emb"))
+                 F.col("emb").alias("a_emb"))
     b = e.select(F.col("label").alias("b_label"),
                  F.col("vec_id").alias("b_id"),
-                 F.col("embedding").alias("b_emb"))
+                 F.col("emb").alias("b_emb"))
     return (
         a.join(b, (F.col("label") == F.col("b_label"))
                & (F.col("a_id") < F.col("b_id")))
