@@ -50,8 +50,13 @@ def main(argv=None):
         if name == "cluster":
             p.add_argument("--curve", default="zorder",
                            choices=["zorder", "hilbert"])
+            p.add_argument("--mode", default="global",
+                           choices=["global", "per-partition"])
         if name in ("expire", "pipeline"):
             p.add_argument("--retain-last", type=int, default=1)
+        if name == "pipeline":
+            p.add_argument("--cluster-mode", default="global",
+                           choices=["global", "per-partition"])
 
     mp = sub.add_parser("merge", help="MERGE a parquet source (op/seq cols)")
     _common(mp)
@@ -82,10 +87,14 @@ def main(argv=None):
 
             out = compact(t, ledger, job_id, target_bytes=target)
         elif args.cmd == "cluster":
-            from open_finance_lakehouse_spark.operators.cluster import cluster
+            from open_finance_lakehouse_spark.operators.cluster import (
+                cluster,
+                cluster_global,
+            )
 
-            out = cluster(t, ledger, job_id, curve=args.curve,
-                          target_bytes=target)
+            fn = cluster_global if args.mode == "global" else cluster
+            out = fn(t, ledger, job_id, curve=args.curve,
+                     target_bytes=target)
         elif args.cmd == "expire":
             from open_finance_lakehouse_spark.operators.expire import expire
 
@@ -105,7 +114,8 @@ def main(argv=None):
 
             out = run_maintenance(t, ledger, job_id=args.job_id,
                                   target_bytes=target,
-                                  retain_last=args.retain_last)
+                                  retain_last=args.retain_last,
+                                  cluster_mode=args.cluster_mode)
     print(json.dumps(out, default=str))
     return 0
 

@@ -93,10 +93,16 @@ class LakeTable:
 
     @staticmethod
     def load(spark: SparkSession, location: str) -> "LakeTable":
-        return LakeTable(spark, location, md.read_current_metadata(location))
+        meta = md.read_current_metadata(location)
+        # tables are relocatable (all internal paths are root-relative):
+        # the actual load path wins over the recorded location, so a copied
+        # or moved table commits to ITS OWN metadata dir
+        meta.location = location
+        return LakeTable(spark, location, meta)
 
     def refresh(self) -> "LakeTable":
         self.meta = md.read_current_metadata(self.location)
+        self.meta.location = self.location  # relocatable (see load)
         return self
 
     # ---------------------------------------------------------------- files
@@ -227,6 +233,7 @@ class LakeTable:
         with self._commit_lock:
             for _ in range(10):
                 meta = md.read_current_metadata(self.location)
+                meta.location = self.location  # relocatable (see load)
                 snap, new_meta = build(meta)
                 try:
                     md.write_metadata_exclusive(new_meta, meta.version + 1)

@@ -177,8 +177,59 @@ zorder_key_udf = make_curve_key_udf("zorder", CLIP_DIM_BOUNDS)
 hilbert_key_udf = make_curve_key_udf("hilbert", CLIP_DIM_BOUNDS)
 
 
+# ---------------------------------------------------------------------------
+# pure-JVM Morton key (no Python worker in the plan)
+# ---------------------------------------------------------------------------
+
+
+def _spread_bits_3_col(col):
+    """Column-expression version of ``_spread_bits_3``: 5 shift-or-mask
+    steps, all JVM bitwise ops inside whole-stage codegen."""
+    x = col.bitwiseAND(F.lit(0x1FFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, int(shift)))).bitwiseAND(
+            F.lit(int(mask)))
+    return x
+
+
+def _normalize_col(col, lo: float, hi: float, bits: int = BITS_3D):
+    """JVM mirror of ``normalize_to_bits`` (same clamp/floor math)."""
+    span = max(hi - lo, 1e-300)
+    max_code = (1 << bits) - 1
+    f = (col.cast("double") - F.lit(float(lo))) / F.lit(span)
+    return F.least(
+        F.greatest(F.floor(f * max_code), F.lit(0)), F.lit(max_code)
+    ).cast("long")
+
+
+def zorder_key_native(bounds: dict[str, tuple[float, float]] | None = None):
+    """Morton key as a PURE column expression — bitwise interleave entirely
+    inside whole-stage codegen, no Arrow transfer, no Python worker. This is
+    the hot-path clustering key: with N concurrent partition rewrites the
+    Python-UDF variant serializes on worker spawn-per-stage, while this
+    expression scales with cores. Equivalence with the vectorized numpy
+    kernel (and the scalar mirror) is asserted in tests."""
+    b = bounds or CLIP_DIM_BOUNDS
+    lo_d, hi_d = b["dur_ms"]
+    lo_s, hi_s = b["sr_hz"]
+    a = F.shiftrightunsigned(F.xxhash64(F.col("clip_id")), 64 - BITS_3D)
+    dd = _normalize_col(F.col("dur_ms"), lo_d, hi_d)
+    ss = _normalize_col(F.col("sr_hz"), lo_s, hi_s)
+    return (
+        _spread_bits_3_col(a)
+        .bitwiseOR(F.shiftleft(_spread_bits_3_col(dd), 1))
+        .bitwiseOR(F.shiftleft(_spread_bits_3_col(ss), 2))
+    )
+
+
 def curve_key_col(curve: str = "zorder",
                   bounds: dict[str, tuple[float, float]] | None = None):
-    """Column expression producing the clustering key for the clip table."""
+    """Column expression producing the clustering key for the clip table.
+
+    Z-order uses the native JVM expression; Hilbert (a bit-serial state
+    machine, not expressible as closed-form column algebra) stays on the
+    Arrow-vectorized pandas UDF."""
+    if curve == "zorder":
+        return zorder_key_native(bounds)
     udf = make_curve_key_udf(curve, bounds or CLIP_DIM_BOUNDS)
     return udf(F.xxhash64(F.col("clip_id")), F.col("dur_ms"), F.col("sr_hz"))

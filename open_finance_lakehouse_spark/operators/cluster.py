@@ -63,6 +63,97 @@ def observed_bounds(files, columns=("dur_ms", "sr_hz")) -> dict:
     return out
 
 
+def cluster_global(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    curve: str = "zorder",
+    target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Whole-table clustering as ONE Spark job: scan all live files → curve
+    key → one range exchange on (partition, zval) → sorted write → one
+    atomic commit.
+
+    This is the throughput path: fixed per-job costs (range-sampling pass,
+    stage scheduling, JIT warm-up) are paid once for the table instead of
+    once per partition, so wall time tracks bytes/cores — the property the
+    N→4N scaling target measures. Resume granularity is the whole job
+    (coarser than ``cluster``'s per-partition checkpoints); per-partition
+    stats still land in the ledger for metrics parity. Equivalent to the
+    reference's single ``OPTIMIZE ... ZORDER BY`` table-wide call
+    (/root/reference/ofl/transform/spark/silver.py:368-371)."""
+    files = table.live_files()
+    totals = {
+        "job_id": job_id, "operation": f"cluster_global[{curve}]",
+        "partitions_planned": len({f.partition for f in files}),
+        "partitions_rewritten": 0, "partitions_skipped": 0,
+        "files_in": len(files), "files_out": 0,
+        "bytes_in": sum(f.file_size_bytes for f in files),
+        "bytes_out": 0, "rows": 0, "engine_ms": 0,
+    }
+    if not files:
+        return totals
+    paths_rel = [f.file_path for f in files]
+    fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
+    if ledger.is_committed(job_id, "__table__", fingerprint):
+        totals["partitions_skipped"] = totals["partitions_planned"]
+        return totals
+
+    t0 = time.monotonic()
+    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds(files)}
+    bytes_in = totals["bytes_in"]
+    records_in = sum(f.record_count for f in files)
+    ledger.upsert(CheckpointRecord(
+        job_id=job_id, table=table.meta.name, partition_id="__table__",
+        file_set_hash=fingerprint, status=STATUS_REWRITING,
+        files_in=len(files), bytes_in=bytes_in,
+    ))
+    paths = [os.path.join(table.location, p) for p in paths_rel]
+    df = table.spark.read.schema(table._empty_df().schema).parquet(*paths)
+    n_out = max(1, math.ceil(bytes_in / target_bytes))
+    rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
+    clustered = (
+        df.withColumn("__part", table.partition_value_col())
+        .withColumn("__zval", curve_key_col(curve, bounds))
+        .repartitionByRange(n_out, "__part", "__zval")
+        .sortWithinPartitions("__part", "__zval", "clip_id")
+        .drop("__zval")
+        .drop("__part")
+    )
+    added = table.stage_dataframe(
+        clustered, max_records_per_file=rpf, repartition_by_partition=False)
+    snap = table.commit_rewrite(
+        set(paths_rel), added, operation="cluster",
+        summary={"job_id": job_id, "curve": curve, "mode": "global"})
+    engine_ms = int((time.monotonic() - t0) * 1000)
+
+    # per-partition ledger records (metrics grain preserved) + job record
+    by_out: dict[str, list] = {}
+    for a in added:
+        by_out.setdefault(a.partition, []).append(a)
+    for part, outs in sorted(by_out.items()):
+        ledger.append_lineage(job_id, f"part={part}", paths_rel,
+                              [a.file_path for a in outs], "cluster")
+    ledger.upsert(CheckpointRecord(
+        job_id=job_id, table=table.meta.name, partition_id="__table__",
+        file_set_hash=fingerprint, status=STATUS_COMMITTED,
+        rows=sum(a.record_count for a in added),
+        bytes_in=bytes_in, bytes_out=sum(a.file_size_bytes for a in added),
+        files_in=len(files), files_out=len(added),
+        engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
+        output_file_set_hash=file_set_hash(
+            [f"{curve}:{a.file_path}" for a in added]),
+    ))
+    totals.update(
+        partitions_rewritten=totals["partitions_planned"],
+        files_out=len(added),
+        bytes_out=sum(a.file_size_bytes for a in added),
+        rows=sum(a.record_count for a in added),
+        engine_ms=engine_ms,
+    )
+    return totals
+
+
 def cluster(
     table: LakeTable,
     ledger: CheckpointLedger,

@@ -17,7 +17,10 @@ from pyspark.sql import SparkSession
 
 from open_finance_lakehouse_spark.format.table import LakeTable
 from open_finance_lakehouse_spark.operators import audit as audit_ops
-from open_finance_lakehouse_spark.operators.cluster import cluster
+from open_finance_lakehouse_spark.operators.cluster import (
+    cluster,
+    cluster_global,
+)
 from open_finance_lakehouse_spark.operators.compact import compact
 from open_finance_lakehouse_spark.operators.expire import expire
 from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
@@ -34,6 +37,7 @@ def run_maintenance(
     spark_for_audit: SparkSession | None = None,
     subsume_compaction: bool = True,
     concurrency: int = 8,
+    cluster_mode: str = "global",
 ) -> dict:
     """compact → cluster → expire; returns run metrics + (optionally) an
     independently-read table audit.
@@ -54,9 +58,17 @@ def run_maintenance(
             table, ledger, f"{job_id}/compact", target_bytes=target_bytes,
             concurrency=concurrency)
     if curve is not None:
-        stages["cluster"] = cluster(
-            table, ledger, f"{job_id}/cluster", curve=curve,
-            target_bytes=target_bytes, concurrency=concurrency)
+        if cluster_mode == "global":
+            # one table-wide job: lowest overhead, core-bound scaling;
+            # per-partition mode trades throughput for file-granularity
+            # resume (pick it for very large tables / flaky clusters)
+            stages["cluster"] = cluster_global(
+                table, ledger, f"{job_id}/cluster", curve=curve,
+                target_bytes=target_bytes)
+        else:
+            stages["cluster"] = cluster(
+                table, ledger, f"{job_id}/cluster", curve=curve,
+                target_bytes=target_bytes, concurrency=concurrency)
     stages["expire"] = expire(
         table, ledger, f"{job_id}/expire", retain_last=retain_last)
 

@@ -77,9 +77,17 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.caseSensitive", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.parquet.compression.codec", "snappy")
+        # lz4_raw: measured 2-4x faster than snappy/zstd on the ~60KB binary
+        # audio payloads that dominate rewrite IO (audio compresses little;
+        # encode speed is what matters). The _raw variant (parquet-spec
+        # LZ4_RAW) is what independent readers (DuckDB/arrow witnesses)
+        # can decode — hadoop-framed "lz4" is Spark-only.
+        .config("spark.sql.parquet.compression.codec", "lz4_raw")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("OFL_DRIVER_MEMORY", "48g"))
+        # measured: an oversized heap (48g) makes local[32] rewrites 5x
+        # SLOWER than 8-12g (GC/page-commit pathology scales with threads x
+        # heap); size to the working set, not the machine
+        .config("spark.driver.memory", os.environ.get("OFL_DRIVER_MEMORY", "12g"))
         # binary audio payloads make rows wide; keep Arrow batches bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -150,3 +150,26 @@ def test_normalize_to_bits_monotone_and_clamped():
     assert codes[0] == 0 and codes[1] == 0
     assert codes[3] == 2**21 - 1 and codes[4] == 2**21 - 1
     assert np.all(np.diff(codes.astype(np.int64)) >= 0)
+
+
+def test_native_zorder_matches_vectorized_udf(spark):
+    """Two code paths for the same key: the pure-JVM column expression must
+    equal the Arrow-vectorized numpy kernel row-for-row (which is itself
+    asserted against the scalar mirror above)."""
+    from pyspark.sql import functions as F
+
+    from open_finance_lakehouse_spark.functions.curves import (
+        make_curve_key_udf,
+        zorder_key_native,
+    )
+    from open_finance_lakehouse_spark.sources.synth import clip_attrs_df
+
+    bounds = {"dur_ms": (150.0, 9000.0), "sr_hz": (8000.0, 44100.0)}
+    df = clip_attrs_df(spark, 500).select("clip_id", "dur_ms", "sr_hz")
+    udf = make_curve_key_udf("zorder", bounds)
+    both = df.select(
+        zorder_key_native(bounds).alias("native"),
+        udf(F.xxhash64("clip_id"), F.col("dur_ms"), F.col("sr_hz"))
+        .alias("vectorized"),
+    )
+    assert both.filter(F.col("native") != F.col("vectorized")).count() == 0

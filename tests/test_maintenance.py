@@ -415,3 +415,41 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     # expiry kept only the current snapshot; orphans gone
     assert len(t.snapshots()) == 1
     before.unpersist()
+
+
+def test_cluster_global_single_job(spark, tmp_path):
+    """Global mode: whole-table single-job clustering — parity, pruning,
+    per-partition lineage, and replay no-op."""
+    from open_finance_lakehouse_spark.operators.cluster import cluster_global
+
+    loc = str(tmp_path / "clips_g")
+    t = LakeTable.create(
+        spark, loc, "clips_g", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 3},
+    )
+    t.append(synth_clips(spark, 150, dur_max_ms=900), max_records_per_file=10)
+    led = CheckpointLedger(str(tmp_path / "ledger_g"))
+    before = t.scan().cache()
+    before.count()
+    sel_b, tot_b = t.plan_files(
+        predicates=[ColumnRange("dur_ms", lo=200, hi=300)])
+
+    res = cluster_global(t, led, "g1", target_bytes=512 * 1024)
+    assert res["partitions_rewritten"] == res["partitions_planned"] == 3
+    assert res["rows"] == 150
+    assert scan_parity(before, t.scan()).count() == 0
+    sel_a, tot_a = t.plan_files(
+        predicates=[ColumnRange("dur_ms", lo=200, hi=300)])
+    assert (len(sel_a) / tot_a) < (len(sel_b) / tot_b)
+    # per-partition lineage grain preserved even in global mode
+    parts = {r["partition_id"] for r in
+             (dict(job_id=x.get("job_id"), partition_id=x.get("partition_id"))
+              for x in led.lineage_rows("g1"))}
+    assert len(parts) == 3
+
+    snaps = len(t.snapshots())
+    res2 = cluster_global(t, led, "g1", target_bytes=512 * 1024)
+    assert res2["partitions_skipped"] == 3 and res2["partitions_rewritten"] == 0
+    assert len(t.snapshots()) == snaps
+    before.unpersist()

@@ -1,0 +1,102 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100× scale-up, asserted on `.explain` output so regressions in
+plan shape fail CI — not just correctness.
+
+- dimension joins must broadcast (no shuffle of the fact side's keys);
+- filters and column projections must reach the Parquet scan
+  (PushedFilters / ReadSchema);
+- hot-path query plans must contain no row-at-a-time Python UDFs
+  (BatchEvalPython) — only Arrow-vectorized stages are sanctioned;
+- aggregates must keep whole-stage codegen spans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("brand_lineitem_rollup", "nation_customer_audit",
+                 "nation_region_names"):
+        plan = plan_of(REGISTRY[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, \
+            f"{name}: dim join did not broadcast\n{plan}"
+        assert "SortMergeJoin" not in plan, \
+            f"{name}: dim join fell back to sort-merge"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]" \
+        in plan or "GreaterThan(l_quantity" in plan, plan
+    # column pruning: scan schema must carry ONLY the projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
+
+
+def test_no_python_row_udfs_in_query_plans(spark):
+    """north_rule: no per-row Python. Every SQL-oracle query must compile to
+    a plan free of BatchEvalPython (row-at-a-time UDF); ArrowEvalPython
+    (vectorized) only appears in the sanctioned audio/curve kernels."""
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle_sql is None:
+            continue  # audio paths use mapInPandas by design
+        plan = plan_of(spec.fn(spark, SF_DIR), "extended")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+
+
+def test_aggregate_keeps_wholestage_codegen(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    # partial aggregation present (map-side combine before the ONE exchange)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("+- Exchange") == 1, plan  # exactly one shuffle
+    # AQE finalizes the physical plan only on execution; codegen stage
+    # markers (`*(n)`) appear in the simple explain of the FINAL plan
+    df.collect()  # execute THIS plan so AQE finalizes it
+    final = plan_of(df, "simple")
+    assert "isFinalPlan=true" in final, final
+    assert "*(" in final, f"no WholeStageCodegen stages in final plan:\n{final}"
+
+
+def test_maintenance_scan_prunes_with_manifest_stats(spark, tmp_path):
+    """File-level pruning via manifest min/max must shrink the scan's input
+    BEFORE Catalyst sees it (the planner's job), and the residual predicate
+    must still be pushed into the surviving files."""
+    from open_finance_lakehouse_spark.format.table import (
+        ColumnRange,
+        LakeTable,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), "t", "k long, v double")
+    for lo in range(0, 500, 100):
+        t.append(
+            spark.range(lo, lo + 100).coalesce(1).select(
+                F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+            max_records_per_file=None)
+    pruned = t.scan(predicates=[ColumnRange("k", lo=250, hi=260)])
+    plan = plan_of(pruned)
+    assert "GreaterThanOrEqual(k,250)" in plan, plan  # residual pushed down
+    sel, total = t.plan_files(predicates=[ColumnRange("k", lo=250, hi=260)])
+    assert (len(sel), total) == (1, 5)  # 4 of 5 files skipped by stats
