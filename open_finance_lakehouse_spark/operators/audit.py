@@ -44,7 +44,10 @@ def scan_parity(
     row sets. Reasons: missing_after / extra_after / <col>_mismatch."""
 
     def digest(df: DataFrame, side: str) -> DataFrame:
-        cols = [F.col(key)]
+        # explicit side-presence marker: key existence must never be inferred
+        # from payload-column nullness (a dropped row whose payload was NULL
+        # would escape the check — r1 VERDICT 'What's wrong #3')
+        cols = [F.col(key), F.lit(True).alias(f"{side}_present")]
         for c in compare_cols:
             cols.append(F.col(c).alias(f"{side}_{c}"))
         for c in binary_cols:
@@ -56,30 +59,21 @@ def scan_parity(
     j = b.join(a, key, "full_outer")
 
     reasons = [
-        F.when(F.col(f"a_{compare_cols[0]}").isNull()
-               & F.col(f"a_{binary_cols[0]}_h").isNull()
-               & F.col(f"b_{binary_cols[0]}_h").isNotNull(),
+        F.when(F.col("a_present").isNull() & F.col("b_present").isNotNull(),
                F.lit("missing_after")),
-        F.when(F.col(f"b_{binary_cols[0]}_h").isNull()
-               & F.col(f"a_{binary_cols[0]}_h").isNotNull(),
+        F.when(F.col("b_present").isNull() & F.col("a_present").isNotNull(),
                F.lit("extra_after")),
     ]
+    both = F.col("b_present").isNotNull() & F.col("a_present").isNotNull()
     for c in compare_cols:
+        # null-safe: NULL→value and value→NULL are mismatches too
         reasons.append(
-            F.when(
-                F.col(f"b_{c}").isNotNull() & F.col(f"a_{c}").isNotNull()
-                & (F.col(f"b_{c}") != F.col(f"a_{c}")),
-                F.lit(f"{c}_mismatch"),
-            )
-        )
+            F.when(both & ~F.col(f"b_{c}").eqNullSafe(F.col(f"a_{c}")),
+                   F.lit(f"{c}_mismatch")))
     for c in binary_cols:
         reasons.append(
-            F.when(
-                F.col(f"b_{c}_h").isNotNull() & F.col(f"a_{c}_h").isNotNull()
-                & (F.col(f"b_{c}_h") != F.col(f"a_{c}_h")),
-                F.lit(f"{c}_mismatch"),
-            )
-        )
+            F.when(both & ~F.col(f"b_{c}_h").eqNullSafe(F.col(f"a_{c}_h")),
+                   F.lit(f"{c}_mismatch")))
     reason = F.coalesce(*reasons)
     return j.withColumn("reason", reason).filter(F.col("reason").isNotNull()) \
             .select(key, "reason")

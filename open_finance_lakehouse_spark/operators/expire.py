@@ -27,6 +27,13 @@ from open_finance_lakehouse_spark.plans.ledger import (
     CheckpointRecord,
 )
 
+# staged-but-uncommitted data files land in data/ BEFORE their snapshot
+# commit; a zero-grace GC racing a concurrent writer would delete its
+# in-flight files and corrupt the commit (r1 ADVICE). Default to a
+# conservative window (Iceberg's orphan cleanup defaults to days); tests
+# and single-writer benches pass 0 explicitly.
+DEFAULT_GC_GRACE_MS = 60 * 60 * 1000
+
 
 def expire(
     table: LakeTable,
@@ -34,7 +41,7 @@ def expire(
     job_id: str,
     retain_last: int = 2,
     older_than_ms: int | None = None,
-    gc_grace_ms: int = 0,
+    gc_grace_ms: int = DEFAULT_GC_GRACE_MS,
     dry_run_gc: bool = False,
 ) -> dict:
     t0 = time.monotonic()

@@ -24,10 +24,13 @@ file-granularity resume):
    under shuffle (reference's min_by/max_by discipline,
    /root/reference/ofl/streaming/silver.py:110-114).
 
-2. **File-level pruning.** Only target files whose ``clip_id`` min/max range
-   (manifest footer stats) overlaps a source key are rewritten; the check is
-   a broadcast range-join of the file-bounds inventory against source keys —
-   never a full-table scan.
+2. **File-level pruning, planned Spark-side.** Only target files whose
+   ``clip_id`` min/max range overlaps a source key are rewritten. The check
+   is one Spark job over the ``files_df`` metadata table (manifest parquet
+   read distributedly — never a driver materialization of the file
+   inventory): source keys left-join the broadcast file-bounds relation,
+   then ONE driver collect returns (partition → touched files, bytes,
+   records) — the whole merge plan in a single O(partitions) round-trip.
 
 3. **Copy-on-write join.** Touched files full-outer-joined with the deduped
    source on clip_id (unique on both sides after dedup, so no join-key
@@ -35,14 +38,20 @@ file-granularity resume):
    matched+U → source row, matched+D → dropped, target-only → kept,
    source-only+U → insert, source-only+D → no-op.
 
-4. **Commit** removes exactly the touched files, adds staged files, records
-   checkpoint + lineage.
+4. **Commit** removes exactly the touched files, adds staged files sized to
+   ``target_bytes`` (same bin discipline as compaction), records
+   checkpoint + lineage. Partitions execute CONCURRENTLY on a driver thread
+   pool (parallel staging, serialized CAS commits) — the same pattern as
+   ``operators.compact``/``cluster`` that keeps every executor busy when
+   individual partitions are small.
 """
 
 from __future__ import annotations
 
+import math
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,17 +68,28 @@ from open_finance_lakehouse_spark.plans.ledger import (
 
 MERGE_EXTRA_COLS = ("op", "seq")
 
+DEFAULT_PARTITION_CONCURRENCY = 8
+
 
 def choose_salt_count(source: DataFrame, key: str = "clip_id",
-                      rows_per_reducer: int = 1_000_000) -> int:
+                      rows_per_reducer: int = 1_000_000,
+                      sample_fraction: float | None = None) -> int:
     """Planner-chosen salt count from the observed hottest key (SURVEY.md
-    §7.3: salt count from observed histograms, not a hardcoded constant)."""
+    §7.3: salt count from observed histograms, not a hardcoded constant).
+
+    ``sample_fraction`` bounds the probe's cost at corpus scale: the hottest
+    key's sampled count scales by 1/fraction (a uniform row sample preserves
+    per-key proportions in expectation). Exact when None."""
+    probe, scale = source, 1.0
+    if sample_fraction and sample_fraction < 1.0:
+        probe = source.sample(fraction=sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
     hottest = (
-        source.groupBy(key).count().agg(F.max("count").alias("m")).first()["m"]
+        probe.groupBy(key).count().agg(F.max("count").alias("m")).first()["m"]
     )
     if not hottest:
         return 1
-    return max(1, min(64, -(-int(hottest) // rows_per_reducer)))
+    return max(1, min(64, -(-int(int(hottest) * scale) // rows_per_reducer)))
 
 
 def dedup_latest_salted(source: DataFrame, key: str = "clip_id",
@@ -77,7 +97,7 @@ def dedup_latest_salted(source: DataFrame, key: str = "clip_id",
     """Two-phase salted latest-per-key reduction of the merge source."""
     data_cols = [c for c in source.columns]
     if n_salts is None:
-        n_salts = choose_salt_count(source, key)
+        n_salts = choose_salt_count(source, key, sample_fraction=0.1)
     payload = F.struct(*[F.col(c) for c in data_cols]).alias("payload")
     rank = F.struct(F.col("seq"), F.col("op")).alias("rank")
     salted = source.select(
@@ -99,37 +119,47 @@ def dedup_latest_salted(source: DataFrame, key: str = "clip_id",
     return final
 
 
-def _touched_files_by_partition(
-    table: LakeTable, source_keys: DataFrame
-) -> dict[str, list[str]]:
-    """Partition → target file paths whose clip_id range may contain a
-    source key. Broadcast range-join of file bounds against keys."""
-    bounds = []
-    for f in table.live_files():
-        b = f.bounds("clip_id")
-        lo, hi = (b if b is not None else (None, None))
-        bounds.append((f.file_path, f.partition, lo, hi))
-    if not bounds:
-        return {}
-    files_df = table.spark.createDataFrame(
-        bounds, "file_path string, partition string, lo string, hi string"
+def plan_merge_partitions(table: LakeTable, src: DataFrame) -> list[dict]:
+    """The merge plan in ONE Spark job + ONE driver collect: for every
+    source partition, the touched target files (clip_id-range overlap with
+    any source key) plus their total bytes/records for output sizing.
+
+    The file-bounds side comes from ``files_df`` — the manifest parquet read
+    as a Spark relation — so planning never driver-materializes the file
+    inventory (the 100 TB scale path; VERDICT r1 'route planners through
+    files_df'). It broadcasts because file METADATA (path + bounds) is tiny
+    relative to data even at millions of files; if it ever isn't, the same
+    join runs as a shuffle join unchanged."""
+    bounds = table.files_df().select(
+        "file_path", "partition", "record_count", "file_size_bytes",
+        F.element_at("min_string", F.lit("clip_id")).alias("lo"),
+        F.element_at("max_string", F.lit("clip_id")).alias("hi"),
     )
-    hit = (
-        source_keys.select("clip_id").distinct()
-        .join(
-            F.broadcast(files_df),
-            (files_df.lo.isNull())
-            | ((F.col("clip_id") >= files_df.lo)
-               & (F.col("clip_id") <= files_df.hi)),
-        )
-        .select("file_path", "partition")
+    keys = src.select("clip_id", "__part")
+    # a key can only match rows in ITS OWN bucket partition's files, so the
+    # partition equality is part of the join — it also guarantees two
+    # concurrent partition workers never claim the same file (disjoint
+    # rewrite sets — commit_rewrite conflicts otherwise)
+    hit = keys.join(
+        F.broadcast(bounds),
+        (F.col("__part") == bounds.partition)
+        & (bounds.lo.isNull()
+           | ((F.col("clip_id") >= bounds.lo)
+              & (F.col("clip_id") <= bounds.hi))),
+        "left",
+    )
+    rows = (
+        hit.select("__part", "file_path", "file_size_bytes", "record_count")
         .distinct()
+        .groupBy("__part")
+        .agg(
+            F.sort_array(F.collect_set("file_path")).alias("files"),
+            F.coalesce(F.sum("file_size_bytes"), F.lit(0)).alias("bytes_in"),
+            F.coalesce(F.sum("record_count"), F.lit(0)).alias("records_in"),
+        )
         .collect()
     )
-    out: dict[str, list[str]] = {}
-    for r in hit:
-        out.setdefault(r["partition"], []).append(r["file_path"])
-    return out
+    return sorted((r.asDict() for r in rows), key=lambda r: r["__part"])
 
 
 def merge_into(
@@ -137,13 +167,21 @@ def merge_into(
     source: DataFrame,
     ledger: CheckpointLedger,
     job_id: str,
+    source_token: str,
     n_salts: int | None = None,
     target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
-    source_token: str = "",
+    concurrency: int = DEFAULT_PARTITION_CONCURRENCY,
 ) -> dict:
     """Execute the salted MERGE. ``source_token`` fingerprints the source
-    batch (e.g. its input-file hash) so replays of the same batch are
-    skipped per partition."""
+    batch (e.g. its input-file hash) and is REQUIRED: the per-partition
+    replay-skip key is (job_id, partition, source_token), so an empty token
+    would make two different batches under one job_id silently skip the
+    second (the r1 ADVICE footgun — data loss)."""
+    if not source_token:
+        raise ValueError(
+            "merge_into requires a non-empty source_token identifying the "
+            "source batch (it keys idempotent replay; an empty token would "
+            "no-op every later batch under the same job_id)")
     data_cols = [c for c in table._empty_df().columns]
     src = dedup_latest_salted(source, n_salts=n_salts)
 
@@ -152,18 +190,18 @@ def merge_into(
     src = src.withColumn("__part", table.partition_value_col())
     src.persist()
     try:
-        src_parts = [r["__part"] for r in src.select("__part").distinct().collect()]
-        touched = _touched_files_by_partition(table, src)
+        plan = plan_merge_partitions(table, src)
 
         totals = {
             "job_id": job_id, "operation": "merge",
-            "partitions_planned": len(src_parts), "partitions_rewritten": 0,
+            "partitions_planned": len(plan), "partitions_rewritten": 0,
             "partitions_skipped": 0, "files_in": 0, "files_out": 0,
             "bytes_in": 0, "bytes_out": 0, "rows": 0, "engine_ms": 0,
-            "upserts": 0, "deletes": 0,
         }
-        for part in sorted(src_parts):
-            files = sorted(touched.get(part, []))
+
+        def work(p: dict):
+            part = p["__part"]
+            files = [f for f in p["files"] if f is not None]
             # idempotence key is (job_id, partition, source batch) — NOT the
             # current file list: a replayed batch must be a no-op even though
             # the first run already rewrote the files (Delta's
@@ -172,14 +210,13 @@ def merge_into(
             fingerprint = file_set_hash([f"merge:{source_token}"])
             part_id = f"part={part}"
             if ledger.is_committed(job_id, part_id, fingerprint):
-                totals["partitions_skipped"] += 1
-                continue
+                return None
 
             t0 = time.monotonic()
             ledger.upsert(CheckpointRecord(
                 job_id=job_id, table=table.meta.name, partition_id=part_id,
                 file_set_hash=fingerprint, status=STATUS_REWRITING,
-                files_in=len(files),
+                files_in=len(files), bytes_in=p["bytes_in"],
             ))
 
             src_p = src.filter(F.col("__part") == part)
@@ -190,7 +227,7 @@ def merge_into(
                   for c in data_cols if c != "clip_id"],
             )
             if files:
-                paths = [os.path.join(table.location, p) for p in files]
+                paths = [os.path.join(table.location, f) for f in files]
                 tgt = table.spark.read.schema(
                     table._empty_df().schema).parquet(*paths)
             else:
@@ -207,8 +244,16 @@ def merge_into(
                     for c in data_cols if c != "clip_id"
                 ],
             )
+            # size the rewrite like compact does: ~target_bytes files, row
+            # cap from the touched files' observed bytes/row (upserts keep
+            # row width; inserts are a small correction). repartition — not
+            # coalesce — so the cap doesn't throttle the join above it.
+            n_out = max(1, math.ceil(p["bytes_in"] / target_bytes))
+            rpf = (binpack.records_per_file(p["bytes_in"], p["records_in"],
+                                            target_bytes)
+                   if p["records_in"] else None)
             added = table.stage_dataframe(
-                merged, max_records_per_file=None,
+                merged.repartition(n_out), max_records_per_file=rpf,
                 repartition_by_partition=False,
             )
             if files:
@@ -227,15 +272,39 @@ def merge_into(
                 job_id=job_id, table=table.meta.name, partition_id=part_id,
                 file_set_hash=fingerprint, status=STATUS_COMMITTED,
                 rows=sum(a.record_count for a in added),
+                bytes_in=p["bytes_in"],
                 bytes_out=sum(a.file_size_bytes for a in added),
                 files_in=len(files), files_out=len(added),
                 engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
             ))
+            return {
+                "files_in": len(files), "files_out": len(added),
+                "bytes_in": p["bytes_in"],
+                "bytes_out": sum(a.file_size_bytes for a in added),
+                "rows": sum(a.record_count for a in added),
+                "engine_ms": engine_ms,
+            }
+
+        # concurrent partition rewrites: parallel staging, serialized CAS
+        # commits (operators.compact pattern — VERDICT r1 'the only operator
+        # that doesn't keep the cluster busy')
+        t0 = time.monotonic()
+        if plan:
+            with ThreadPoolExecutor(
+                    max_workers=min(concurrency, len(plan))) as ex:
+                results = list(ex.map(work, plan))
+        else:
+            results = []
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for res in results:
+            if res is None:
+                totals["partitions_skipped"] += 1
+                continue
             totals["partitions_rewritten"] += 1
-            totals["files_in"] += len(files)
-            totals["files_out"] += len(added)
-            totals["rows"] += sum(a.record_count for a in added)
-            totals["engine_ms"] += engine_ms
+            for k, v in res.items():
+                if k != "engine_ms":
+                    totals[k] += v
+        totals["engine_ms"] = wall_ms
         return totals
     finally:
         src.unpersist()

@@ -1,0 +1,74 @@
+"""Check-then-overwrite gold publish: full-rebuild sink with
+withhold-on-breach.
+
+The reference's gold runner materializes each mart, runs its checks, and
+PUBLISHES ONLY IF every check returns zero rows — a breach withholds the
+overwrite and the previous published state stays current
+(/root/reference/ofl/transform/gold/runner.py:82-107,165-203). Re-expressed
+on the frost format: the candidate DataFrame is staged once, every check
+(a callable returning VIOLATING rows — empty means pass) runs against the
+staged files, and only a fully-green candidate gets the ``replace`` commit.
+
+Running checks against the *staged parquet* rather than the logical plan
+means (a) the candidate is computed exactly once however many checks read
+it, and (b) what was checked is byte-for-byte what gets published. A
+withheld publish leaves only unreferenced staged files, which orphan GC
+sweeps after the grace window.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+
+Check = Callable[[DataFrame], DataFrame]
+
+
+def publish_overwrite(
+    table: LakeTable,
+    candidate: DataFrame,
+    checks: dict[str, Check] | None = None,
+    max_records_per_file: int | None = None,
+    max_violations_shown: int = 20,
+    summary: dict | None = None,
+) -> dict:
+    """Stage → check → replace-or-withhold. Returns a report:
+
+    ``{"published": bool, "snapshot_id": int | None,
+       "violations": {check_name: [row dicts]}, "rows": int, "engine_ms": int}``
+    """
+    t0 = time.monotonic()
+    added = table.stage_dataframe(candidate,
+                                  max_records_per_file=max_records_per_file)
+    staged_paths = [os.path.join(table.location, a.file_path) for a in added]
+    staged = (
+        table.spark.read.schema(table._empty_df().schema).parquet(*staged_paths)
+        if staged_paths else table._empty_df()
+    )
+
+    violations: dict[str, list[dict]] = {}
+    for name, check in (checks or {}).items():
+        bad = [r.asDict() for r in
+               check(staged).limit(max_violations_shown).collect()]
+        if bad:
+            violations[name] = bad
+
+    if violations:
+        # withhold: staged files stay unreferenced; orphan GC collects them
+        return {
+            "published": False, "snapshot_id": None,
+            "violations": violations,
+            "rows": sum(a.record_count for a in added),
+            "engine_ms": int((time.monotonic() - t0) * 1000),
+        }
+    snap = table.commit_replace(added, summary=summary)
+    return {
+        "published": True, "snapshot_id": snap.snapshot_id, "violations": {},
+        "rows": sum(a.record_count for a in added),
+        "engine_ms": int((time.monotonic() - t0) * 1000),
+    }

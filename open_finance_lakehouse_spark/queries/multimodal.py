@@ -23,14 +23,10 @@ import uuid
 from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.format.table import LakeTable
-from open_finance_lakehouse_spark.operators.audit import (
-    scan_parity,
-    snr_violations,
-)
 from open_finance_lakehouse_spark.operators.pipeline import run_maintenance
 from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
 from open_finance_lakehouse_spark.queries import register
-from open_finance_lakehouse_spark.queries.base import load
+from open_finance_lakehouse_spark.queries.base import H32_SQL, h32, load
 from open_finance_lakehouse_spark.sources import synth
 from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL
 
@@ -38,7 +34,12 @@ from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL
 def clips_from_documents(spark, sf_dir, limit: int | None = None):
     """Deterministic clip table keyed by doc_id: every attribute is a pure
     function of clip_id (FIXTURES.md determinism rule), payload synthesized
-    by the vectorized mapInPandas kernel."""
+    by the vectorized mapInPandas kernel.
+
+    Scalar attributes derive via the CROSS-ENGINE h32 hash (md5-based) so a
+    DuckDB oracle can re-derive (codec, sr_hz, dur_ms) — and therefore the
+    exact expected payload size — independently; only the waveform seed
+    stays xxhash64 (the oracle never decodes audio)."""
     d = load(spark, sf_dir, "documents")
     if limit:
         d = d.filter(F.col("doc_id") < limit)
@@ -49,14 +50,15 @@ def clips_from_documents(spark, sf_dir, limit: int | None = None):
     hid = F.xxhash64("clip_id")
     sr = F.element_at(
         F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
-        (F.pmod(F.xxhash64("clip_id", F.lit("sr")), F.lit(4)) + 1).cast("int"),
+        (F.pmod(h32(F.concat(F.col("clip_id"), F.lit(":sr"))), F.lit(4)) + 1
+         ).cast("int"),
     )
-    dur = (200 + F.pmod(F.xxhash64("clip_id", F.lit("dur")), F.lit(1800))
-           ).cast("int")
+    dur = (200 + F.pmod(h32(F.concat(F.col("clip_id"), F.lit(":dur"))),
+                        F.lit(1800))).cast("int")
     codec = F.element_at(
         F.array(F.lit("pcm16"), F.lit("ulaw"), F.lit("alaw")),
-        (F.pmod(F.xxhash64("clip_id", F.lit("codec")), F.lit(3)) + 1)
-        .cast("int"),
+        (F.pmod(h32(F.concat(F.col("clip_id"), F.lit(":codec"))), F.lit(3)) + 1
+         ).cast("int"),
     )
     attrs = (
         attrs.withColumn("sr_hz", sr)
@@ -90,11 +92,36 @@ def audio_codec_roundtrip_stats(spark, sf_dir):
     )
 
 
-@register("audio_payload_profile", None)
+@register(
+    "audio_payload_profile",
+    f"""
+    WITH derived AS (
+      SELECT ['pcm16','ulaw','alaw'][
+               CAST({H32_SQL.format(x="clip_id || ':codec'")} % 3 AS INT) + 1]
+               AS codec,
+             [8000,16000,22050,44100][
+               CAST({H32_SQL.format(x="clip_id || ':sr'")} % 4 AS INT) + 1]
+               AS sr_hz,
+             200 + {H32_SQL.format(x="clip_id || ':dur'")} % 1800 AS dur_ms
+      FROM (SELECT printf('clip-%012d', doc_id) AS clip_id FROM documents))
+    SELECT codec,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(0 AS BIGINT) AS size_violations,
+           CAST(sum((CASE WHEN codec = 'pcm16' THEN 2 ELSE 1 END)
+                    * ((dur_ms * sr_hz) // 1000)) AS BIGINT) AS total_bytes
+    FROM derived GROUP BY codec ORDER BY codec
+    """,
+)
 def audio_payload_profile(spark, sf_dir):
     """Binary-column profiling without decode: payload sizes must equal the
     codec's bytes-per-sample × sample count — a pure metadata invariant
-    checkable at full scale (no DSP in the plan)."""
+    checkable at full scale (no DSP in the plan).
+
+    The DuckDB oracle re-derives (codec, sr_hz, dur_ms) from the shared
+    h32 rules and sums the EXPECTED sizes; Spark sums the ACTUAL stored
+    payload lengths — a real three-way check that the synthesized binary
+    payloads have exactly the contracted size (violations must hash-match
+    the oracle's literal zeros)."""
     clips = clips_from_documents(spark, sf_dir)
     expected = (
         F.when(F.col("codec") == "pcm16", 2).otherwise(1)
@@ -132,16 +159,17 @@ def audio_maintenance_pipeline(spark, sf_dir):
     )
     clips = clips_from_documents(spark, sf_dir, limit=200)
     t.append(clips, max_records_per_file=10)
-    before = t.scan().cache()
-    n_before = before.count()
+    n_before = t.scan().count()
 
     ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
+    # gates run INSIDE the pipeline: parity before expire (files of both
+    # snapshots still on disk — never a cache-resurrected read of deleted
+    # paths, r1 ADVICE), SNR overlapped with the rewrite
     metrics = run_maintenance(t, ledger, job_id="mm-pipe",
-                              target_bytes=4 * 1024 * 1024, with_audit=True)
-
-    parity_bad = scan_parity(before, t.scan()).count()
-    snr_bad = snr_violations(t.scan()).count()
-    before.unpersist()
+                              target_bytes=4 * 1024 * 1024, with_audit=True,
+                              snr_gate="overlap", parity_gate=True)
+    parity_bad = metrics["gates"]["parity_violations"]
+    snr_bad = metrics["gates"].get("snr_violations", -1)
     rows = [
         ("rows_before", int(n_before), 0),
         ("rows_after", int(metrics["table_audit"]["rows"]), 0),

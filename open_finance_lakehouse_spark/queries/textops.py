@@ -314,6 +314,10 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
         .filter(F.size("sh32") > 0)
         .select("doc_id", F.expr(_minhash_expr_spark()).alias("sig"))
     )
+    # persist: the signature subplan feeds THREE consumers (bands, sa, sb);
+    # without the InMemoryRelation barrier Catalyst re-runs the shingle +
+    # 8-fold min-hash per consumer (measured 3x the bench cost — VERDICT r1)
+    sig = sig.persist()
 
     bands = sig.select(
         "doc_id", "sig",
@@ -417,7 +421,9 @@ def doc_simhash_near_pairs(spark, sf_dir):
     heuristically — the standard multi-block recall/precision trade), then
     verify with bit_count(xor). Candidates come from an equi-join on the
     half key — no n² comparison."""
-    sh = doc_simhash(spark, sf_dir)
+    # persist: sh feeds keyed + both verify sides (same 3x-recompute barrier
+    # as doc_minhash_lsh_pairs)
+    sh = doc_simhash(spark, sf_dir).persist()
     keyed = sh.select(
         "doc_id", "simhash",
         F.posexplode(F.array(

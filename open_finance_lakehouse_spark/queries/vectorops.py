@@ -132,6 +132,9 @@ def embedding_ivf_ann(spark, sf_dir):
         .withColumn("rn", F.row_number().over(aw))
         .filter("rn = 1")
         .select("vec_id", "emb", "cid")
+        # persist: both self-join sides consume the assignment; the barrier
+        # stops the broadcast-argmax subplan running twice (VERDICT r1)
+        .persist()
     )
     a = assigned.select(F.col("vec_id"), F.col("cid"),
                         F.col("emb").alias("a_emb"))

@@ -144,16 +144,27 @@ class StreamingIngest:
     # -- foreachBatch sink -------------------------------------------------
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """One parse, two sinks; replayed (query_id, batch_id) is a no-op
-        (the Delta txnAppId/txnVersion idempotence contract,
-        /root/reference/ofl/streaming/bronze.py:185-194)."""
+        """One parse, two sinks; replayed (query_id, batch_id) is a no-op.
+
+        The idempotence marker is the ``(txn_app_id, txn_id)`` pair INSIDE
+        each sink's snapshot summary — atomic with the data commit, checked
+        per sink. A crash anywhere in this function leaves each sink either
+        committed-with-marker or untouched, so the replay appends exactly
+        the missing sinks (the Delta txnAppId/txnVersion contract the
+        reference records atomically with the write,
+        /root/reference/ofl/streaming/bronze.py:185-194; r1 ADVICE fixed the
+        three-separate-commits crash window). The ledger record is derived
+        run-metrics only — never the skip authority."""
         from open_finance_lakehouse_spark.plans.ledger import (
             STATUS_COMMITTED,
             CheckpointRecord,
         )
 
         part_id = f"batch={batch_id}"
-        if self.ledger.is_committed(self.query_id, part_id, str(batch_id)):
+        txn = {"txn_app_id": self.query_id, "txn_id": int(batch_id)}
+        bronze_done = self.bronze.committed_txn(self.query_id, int(batch_id))
+        dead_done = self.dead.committed_txn(self.query_id, int(batch_id))
+        if bronze_done and dead_done:
             return  # replay: measured no-op
         prepared = prepare_events(batch_df)
         prepared.persist()  # one parse feeds two sinks + counts
@@ -162,12 +173,18 @@ class StreamingIngest:
                 "event_key", "symbol", "trade_id", "price", "qty",
                 "trade_time", "is_maker", "raw")
             bad = prepared.filter("NOT _valid").select("raw", "_reason")
-            n_good = good.count()
-            n_bad = bad.count()
+            n_good = 0 if bronze_done else good.count()
+            n_bad = 0 if dead_done else bad.count()
             if n_good:
-                self.bronze.append(good, summary={"batch_id": batch_id})
+                self.bronze.append(good, summary=dict(txn))
+            elif not bronze_done:
+                # nothing to write: mark the txn with an empty commit so a
+                # replay of this batch stays a metadata no-op
+                self.bronze.commit_append([], summary=dict(txn))
             if n_bad:
-                self.dead.append(bad, summary={"batch_id": batch_id})
+                self.dead.append(bad, summary=dict(txn))
+            elif not dead_done:
+                self.dead.commit_append([], summary=dict(txn))
             self.ledger.upsert(CheckpointRecord(
                 job_id=self.query_id, table="bronze_events",
                 partition_id=part_id, file_set_hash=str(batch_id),

@@ -1,0 +1,217 @@
+"""Table-as-incremental-source: the silver hop consumes only snapshots
+committed since the last one it processed (SURVEY.md S8).
+
+The reference's silver STREAMS FROM THE BRONZE TABLE, inheriting
+exactly-once from the table's transaction log
+(/root/reference/ofl/streaming/silver.py:186-233: readStream on the bronze
+delta table, checkpoint-tracked). The frost-format equivalent: the snapshot
+log IS the change log — an append snapshot's manifest diff against its
+parent names exactly the files its commit added, so "rows since snapshot
+S" is a plain parquet scan of the added files of every later append
+snapshot. The consumer records the last processed snapshot id in the
+checkpoint ledger; a replayed drain re-reads nothing (measured no-op), and
+an interrupted drain resumes from the last COMMITTED position because the
+position record lands only after the derived table's publish commits.
+
+Incremental reads require an append-only interval (Iceberg's incremental
+read makes the same demand); a rewrite/replace snapshot in the interval
+raises — the caller falls back to a full recompute.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format import manifests as mf
+from open_finance_lakehouse_spark.format.metadata import Snapshot
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.plans.ledger import (
+    STATUS_COMMITTED,
+    CheckpointLedger,
+    CheckpointRecord,
+)
+
+
+class NonAppendInterval(Exception):
+    """A non-append snapshot sits between the cursor and the head — the
+    interval has no pure row-delta; consumers must recompute fully."""
+
+
+def snapshots_since(table: LakeTable, since_snapshot_id: int | None
+                    ) -> list[Snapshot]:
+    """Snapshots strictly after the cursor, oldest first (current metadata)."""
+    snaps = sorted(table.meta.snapshots, key=lambda s: s.sequence_number)
+    if since_snapshot_id is None:
+        return snaps
+    seqs = [s.sequence_number for s in snaps
+            if s.snapshot_id == since_snapshot_id]
+    if not seqs:
+        raise ValueError(
+            f"cursor snapshot {since_snapshot_id} expired from the log — "
+            "the retention window must exceed the consumer lag")
+    return [s for s in snaps if s.sequence_number > seqs[0]]
+
+
+def added_files(table: LakeTable, snap: Snapshot) -> list[mf.DataFile]:
+    """Files a snapshot added = entries of manifests not in its parent.
+    Manifests are immutable and reused by path across commits, so the
+    path-set diff is exact."""
+    parent = next((s for s in table.meta.snapshots
+                   if s.snapshot_id == snap.parent_id), None)
+    parent_manifests = set(parent.manifests) if parent else set()
+    out: list[mf.DataFile] = []
+    for m in snap.manifests:
+        if m not in parent_manifests:
+            out.extend(mf.read_manifest(table.location, m))
+    return out
+
+
+def incremental_scan(
+    table: LakeTable, since_snapshot_id: int | None
+) -> tuple[DataFrame, int | None, dict]:
+    """(rows appended since the cursor, new cursor, info). Refreshes the
+    table first so the scan sees the latest committed snapshot."""
+    table.refresh()
+    head = table.current_snapshot_id()
+    if head == since_snapshot_id:
+        return table._empty_df(), since_snapshot_id, {"files": 0, "snapshots": 0}
+    delta = snapshots_since(table, since_snapshot_id)
+    bad = [s for s in delta if s.operation != "append"]
+    if bad:
+        raise NonAppendInterval(
+            f"snapshots {[s.snapshot_id for s in bad]} are "
+            f"{sorted({s.operation for s in bad})}, not append")
+    files = [f for s in delta for f in added_files(table, s)]
+    if not files:
+        return table._empty_df(), head, {"files": 0, "snapshots": len(delta)}
+    paths = [os.path.join(table.location, f.file_path) for f in files]
+    df = table.spark.read.schema(table._empty_df().schema).parquet(*paths)
+    return df, head, {"files": len(files), "snapshots": len(delta),
+                      "records": sum(f.record_count for f in files)}
+
+
+class IncrementalSilver:
+    """Ledger-checkpointed incremental maintenance of the minute rollup.
+
+    Each ``drain()``:
+      1. reads ONLY the bronze delta since the last committed cursor;
+      2. finds the (window, symbol) groups the delta touches;
+      3. recomputes exactly those groups from a stats-pruned bronze scan
+         (parquet min/max on ``trade_time`` skip unaffected files);
+      4. publishes old-rows-minus-affected ∪ recomputed via an atomic
+         ``replace`` commit carrying the cursor as a txn marker;
+      5. records the cursor in the ledger.
+
+    A drain with no delta is a measured no-op. A crash between 4 and 5
+    replays safely: the publish's txn marker (cursor id) is checked before
+    re-publishing, so the ledger record is bookkeeping, not the authority —
+    the same atomic-marker discipline as the bronze ingest."""
+
+    def __init__(self, spark, bronze: LakeTable, location: str,
+                 ledger: CheckpointLedger, query_id: str = "silver-rollup",
+                 window: str = "1 minute"):
+        from open_finance_lakehouse_spark.streaming.ingest import ROLLUP_DDL
+
+        self.spark = spark
+        self.bronze = bronze
+        self.ledger = ledger
+        self.query_id = query_id
+        self.window = window
+        if os.path.isdir(os.path.join(location, "metadata")):
+            self.silver = LakeTable.load(spark, location)
+        else:
+            self.silver = LakeTable.create(spark, location,
+                                           "silver_rollup", ROLLUP_DDL)
+
+    def _cursor(self) -> int | None:
+        rec = self.ledger.get(self.query_id, "__source__")
+        if rec is not None and rec.status == STATUS_COMMITTED:
+            return rec.committed_snapshot_id
+        return None
+
+    def drain(self) -> dict:
+        from open_finance_lakehouse_spark.streaming.ingest import (
+            build_minute_rollup,
+        )
+
+        t0 = time.monotonic()
+        cursor = self._cursor()
+        delta, head, info = incremental_scan(self.bronze, cursor)
+        if head == cursor or info["files"] == 0:
+            return {"query_id": self.query_id, "processed_rows": 0,
+                    "delta_files": 0, "windows_recomputed": 0,
+                    "cursor": cursor, "engine_ms": 0}
+        if self.silver.committed_txn(self.query_id, head):
+            # crash replay: publish landed, ledger record didn't — re-record
+            self._record(head, 0, 0)
+            return {"query_id": self.query_id, "processed_rows": 0,
+                    "delta_files": info["files"], "windows_recomputed": 0,
+                    "cursor": head, "engine_ms": 0, "replayed": True}
+
+        delta = delta.persist()
+        try:
+            n_delta = delta.count()
+            # the groups the delta touches; window() is the same algebra the
+            # rollup uses, so group keys line up exactly
+            affected = (
+                delta.select(
+                    F.window("trade_time", self.window).alias("w"), "symbol")
+                .select(F.col("w.start").alias("window_start"), "symbol")
+                .distinct()
+            )
+            # epoch-micros bounds computed engine-side (no tz-dependent
+            # driver datetime math); manifest timestamp stats are µs longs
+            lo_hi = affected.agg(
+                F.min(F.unix_micros("window_start")).alias("lo"),
+                F.max(F.unix_micros("window_start")).alias("hi")).first()
+            from open_finance_lakehouse_spark.format.table import ColumnRange
+
+            lo_us = int(lo_hi["lo"])
+            hi_us = int(lo_hi["hi"]) + self._window_us()
+            files, total = self.bronze.plan_files(predicates=[
+                ColumnRange("trade_time", lo=lo_us, hi=hi_us)])
+            paths = [os.path.join(self.bronze.location, f.file_path)
+                     for f in files]
+            scoped = (
+                self.bronze.spark.read.schema(self.bronze._empty_df().schema)
+                .parquet(*paths) if paths else self.bronze._empty_df()
+            )
+            recomputed = build_minute_rollup(scoped, window=self.window) \
+                .join(F.broadcast(affected), ["window_start", "symbol"],
+                      "left_semi")
+            kept = self.silver.scan().join(
+                F.broadcast(affected), ["window_start", "symbol"],
+                "left_anti")
+            out = kept.unionByName(recomputed)
+            n_windows = affected.count()
+            self.silver.replace(out, summary={
+                "txn_app_id": self.query_id, "txn_id": head,
+                "source_snapshot": head})
+            self._record(head, n_delta, n_windows)
+            return {
+                "query_id": self.query_id, "processed_rows": n_delta,
+                "delta_files": info["files"],
+                "source_files_pruned": total - len(files),
+                "windows_recomputed": n_windows, "cursor": head,
+                "engine_ms": int((time.monotonic() - t0) * 1000),
+            }
+        finally:
+            delta.unpersist()
+
+    def _window_us(self) -> int:
+        qty, unit = self.window.split()
+        per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+               "hour": 3600, "hours": 3600}[unit]
+        return int(qty) * per * 1_000_000
+
+    def _record(self, head: int, rows: int, windows: int) -> None:
+        self.ledger.upsert(CheckpointRecord(
+            job_id=self.query_id, table=self.silver.meta.name,
+            partition_id="__source__", file_set_hash=str(head),
+            status=STATUS_COMMITTED, rows=rows, files_out=windows,
+            committed_snapshot_id=head,
+        ))

@@ -1,0 +1,194 @@
+"""S8 table-as-incremental-source + T5 run-report surface.
+
+Reference: silver streams FROM the bronze table inheriting exactly-once
+(/root/reference/ofl/streaming/silver.py:186-233) and derives a late-data
+run report from progress + checkpointed watermark (silver.py:265-314)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+from open_finance_lakehouse_spark.streaming import windows as mw
+from open_finance_lakehouse_spark.streaming.ingest import (
+    BRONZE_DDL,
+    build_minute_rollup,
+    prepare_events,
+)
+from open_finance_lakehouse_spark.streaming.report import (
+    open_windows,
+    run_report,
+)
+from open_finance_lakehouse_spark.streaming.table_source import (
+    IncrementalSilver,
+    NonAppendInterval,
+    incremental_scan,
+)
+
+US = mw.MICROS_PER_SEC
+BASE_MS = 1_700_000_040_000  # exactly on a minute boundary
+
+
+def _event(sym, tid, ts_ms, p="10", q="1"):
+    return {"e": "trade", "E": ts_ms, "s": sym, "t": tid, "p": p, "q": q,
+            "T": ts_ms, "m": False}
+
+
+def _bronze_rows(spark, events):
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events],
+                                "value string")
+    return prepare_events(raw).filter("_valid").select(
+        "event_key", "symbol", "trade_id", "price", "qty", "trade_time",
+        "is_maker", "raw")
+
+
+@pytest.fixture()
+def bronze(spark, tmp_path):
+    return LakeTable.create(spark, str(tmp_path / "bronze"),
+                            "bronze_events", BRONZE_DDL)
+
+
+def test_incremental_scan_reads_only_the_delta(spark, bronze):
+    b1 = [_event("BTC", i, BASE_MS + i * 1000) for i in range(10)]
+    b2 = [_event("BTC", 100 + i, BASE_MS + 120_000 + i * 1000)
+          for i in range(5)]
+    bronze.append(_bronze_rows(spark, b1))
+    df, cur1, info1 = incremental_scan(bronze, None)
+    assert df.count() == 10 and info1["records"] == 10
+
+    bronze.append(_bronze_rows(spark, b2))
+    delta, cur2, info2 = incremental_scan(bronze, cur1)
+    # ONLY the second append's rows — snapshot-keyed consume
+    assert delta.count() == 5
+    assert {r["trade_id"] for r in delta.collect()} == {100 + i
+                                                        for i in range(5)}
+    assert cur2 == bronze.current_snapshot_id()
+
+    # caught-up cursor → empty delta, no files read
+    empty, cur3, info3 = incremental_scan(bronze, cur2)
+    assert cur3 == cur2 and info3["files"] == 0 and empty.count() == 0
+
+
+def test_incremental_scan_refuses_non_append_interval(spark, bronze):
+    bronze.append(_bronze_rows(
+        spark, [_event("BTC", 1, BASE_MS)]))
+    _, cur, _ = incremental_scan(bronze, None)
+    bronze.replace(bronze.scan())  # full rebuild in the interval
+    with pytest.raises(NonAppendInterval):
+        incremental_scan(bronze, cur)
+
+
+def test_incremental_silver_two_drains_process_only_deltas(
+        spark, bronze, tmp_path):
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="inc-silver")
+
+    # drain 1: two windows for BTC
+    b1 = [_event("BTC", i, BASE_MS + i * 20_000, p=str(10 + i))
+          for i in range(5)]  # 0..80s → windows [0,60) and [60,120)
+    bronze.append(_bronze_rows(spark, b1))
+    m1 = silver.drain()
+    assert m1["processed_rows"] == 5 and m1["windows_recomputed"] == 2
+    bars1 = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+             for r in silver.silver.scan().collect()}
+    assert sum(bars1.values()) == 5
+
+    # drain 2: late rows into window 1 + a NEW symbol in a new window —
+    # processes ONLY the 3 delta rows, recomputes ONLY the 2 touched groups
+    b2 = [_event("BTC", 50, BASE_MS + 5_000),
+          _event("BTC", 51, BASE_MS + 6_000),
+          _event("ETH", 52, BASE_MS + 200_000)]
+    bronze.append(_bronze_rows(spark, b2))
+    m2 = silver.drain()
+    assert m2["processed_rows"] == 3
+    assert m2["windows_recomputed"] == 2  # (w0, BTC) and (w200s, ETH)
+
+    # incremental result == full batch recompute (the reuse contract)
+    expect = {
+        ((r["window_start"].isoformat()), r["symbol"]): r["n_trades"]
+        for r in build_minute_rollup(bronze.scan()).collect()}
+    got = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+           for r in silver.silver.scan().collect()}
+    assert got == expect
+
+    # drain 3: no new data → measured no-op
+    m3 = silver.drain()
+    assert m3["processed_rows"] == 0 and m3["delta_files"] == 0
+
+    # the cursor is checkpoint state: a NEW consumer instance resumes
+    silver2 = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                                ledger, query_id="inc-silver")
+    assert silver2.drain()["processed_rows"] == 0
+
+
+# -------------------------------------------------------------- T5 report
+
+
+def test_run_report_matches_mirror(spark, tmp_path):
+    """numRowsDroppedByWatermark + open windows from the engine's progress
+    == the JVM-free mirror's accounting over the same micro-batches."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # batch 1 sets the watermark; batch 2 carries one late row (dropped)
+    # and one open-window row
+    b1 = [_event("BTC", i, BASE_MS + i * 10_000) for i in range(30)]
+    b2 = [_event("BTC", 98, BASE_MS - 240_000),   # far before watermark
+          _event("BTC", 99, BASE_MS + 290_000 + 5_000)]
+    from open_finance_lakehouse_spark.streaming.ingest import (
+        write_jsonl_batch,
+    )
+    write_jsonl_batch(os.path.join(landing, "b1.jsonl"), b1)
+
+    raw = (spark.readStream.format("text")
+           .option("maxFilesPerTrigger", "1").load(landing))
+    events = prepare_events(raw).filter("_valid")
+    bars = build_minute_rollup(events)
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (bars.writeStream.outputMode("append").format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return q
+
+    drain()  # batch 1 establishes the watermark in the checkpoint
+    write_jsonl_batch(os.path.join(landing, "b2.jsonl"), b2)
+    q = drain()  # batch 2 filtered with batch 1's watermark
+    rep = run_report(q)
+    assert rep["dropped_by_watermark"] == 1
+    assert rep["watermark"] is not None
+
+    # mirror over identical batches (counts only, per-event µs timestamps)
+    size, delay = 60 * US, 120 * US
+    mb1 = [((BASE_MS + i * 10_000) * 1000, "BTC") for i in range(30)]
+    mb2 = [((BASE_MS - 240_000) * 1000, "BTC"),
+           ((BASE_MS + 295_000) * 1000, "BTC")]
+    _emitted, dropped = mw.tumbling_aggregate(None, size, delay, [mb1, mb2])
+    assert rep["dropped_by_watermark"] == dropped
+
+    # open windows derived from drained input + watermark == mirror's rule
+    all_events = _bronze_rows(spark, b1 + b2)
+    ow = open_windows(all_events, rep["watermark_us"]).collect()
+    tracker = mw.WatermarkTracker(delay)
+    for ts, _k in mb1 + mb2:
+        if not tracker.is_late(ts):
+            tracker.observe(ts)
+        tracker.advance()
+    mirror_open = set()
+    for ts, k in mb1 + mb2:
+        if (BASE_MS - 240_000) * 1000 == ts:
+            continue  # dropped late row holds no state
+        start, end = mw.window_of(ts, size)
+        if not tracker.window_closed(end):
+            mirror_open.add((start, k))
+    got_open = {(int(r["window_start"].timestamp() * US), r["symbol"])
+                for r in ow}
+    assert got_open == mirror_open

@@ -417,6 +417,141 @@ def test_full_pipeline_end_to_end(spark, tmp_path):
     before.unpersist()
 
 
+def test_merge_requires_source_token(spark, clip_table, ledger):
+    """Empty token is the r1 data-loss footgun: two different batches under
+    one job_id would fingerprint identically and the second would no-op."""
+    src = synth_clips(spark, 2, id_offset=88_000).withColumn(
+        "op", F.lit("U")).withColumn("seq", F.lit(1).cast("long"))
+    with pytest.raises(ValueError, match="source_token"):
+        merge_into(clip_table, src, ledger, "job-tokenless", source_token="")
+
+
+def test_merge_distinct_batches_same_job_both_apply(spark, tmp_path):
+    """Two DIFFERENT batches under the same job_id must both land (the
+    replay-skip key includes the source token, not just the job)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "clips_tok"), "clips_tok", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 20, dur_max_ms=500), max_records_per_file=5)
+    led = CheckpointLedger(str(tmp_path / "ledger_tok"))
+
+    def batch(offset):
+        return (synth_clips(spark, 3, id_offset=offset, dur_max_ms=400)
+                .withColumn("op", F.lit("U"))
+                .withColumn("seq", F.lit(1).cast("long")))
+
+    merge_into(t, batch(90_000), led, "daily-merge", source_token="2026-01-01")
+    merge_into(t, batch(91_000), led, "daily-merge", source_token="2026-01-02")
+    assert t.scan().count() == 26  # both batches inserted
+
+
+def test_merge_partitions_stage_concurrently(spark, tmp_path, monkeypatch):
+    """≥2 partition rewrites must be in flight at once (staging overlaps;
+    commits serialize under the CAS lock) — the compact/cluster concurrency
+    contract extended to MERGE (r1 VERDICT #3)."""
+    import threading
+    import time as _time
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "clips_cc"), "clips_cc", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 4},
+    )
+    t.append(synth_clips(spark, 60, dur_max_ms=500), max_records_per_file=8)
+    led = CheckpointLedger(str(tmp_path / "ledger_cc"))
+
+    intervals = []
+    lock = threading.Lock()
+    real_stage = LakeTable.stage_dataframe
+
+    def tracked_stage(self, *a, **kw):
+        t0 = _time.monotonic()
+        out = real_stage(self, *a, **kw)
+        with lock:
+            intervals.append((t0, _time.monotonic()))
+        return out
+
+    monkeypatch.setattr(LakeTable, "stage_dataframe", tracked_stage)
+    src = (t.scan().withColumn("transcript",
+                               F.concat(F.lit("V2 "), "transcript"))
+           .withColumn("op", F.lit("U"))
+           .withColumn("seq", F.lit(5).cast("long")))
+    res = merge_into(t, src, led, "job-cc", source_token="cc-1")
+    assert res["partitions_rewritten"] >= 2
+    overlapping = any(
+        a0 < b1 and b0 < a1
+        for i, (a0, a1) in enumerate(intervals)
+        for (b0, b1) in intervals[i + 1:]
+    )
+    assert overlapping, f"no staging overlap in {intervals}"
+    assert t.scan().filter(~F.col("transcript").startswith("V2 ")).count() == 0
+
+
+def test_parity_catches_dropped_null_payload_row(spark):
+    """r1 VERDICT 'What's wrong #3': a before-row with NULL bytes that
+    vanishes must be flagged — presence is tested with side markers, never
+    payload-hash nullness."""
+    ddl = CLIP_SCHEMA_DDL
+    before = spark.createDataFrame(
+        [("c-1", None, 8000, 100, "pcm16", "t1"),
+         ("c-2", bytearray(b"\x01\x02"), 8000, 100, "pcm16", "t2")], ddl)
+    after = before.filter(F.col("clip_id") != "c-1")  # NULL-payload row gone
+    v = scan_parity(before, after).collect()
+    assert [(r["clip_id"], r["reason"]) for r in v] == [("c-1", "missing_after")]
+    # and a payload flipping value→NULL on a surviving key is a mismatch
+    nulled = before.withColumn(
+        "bytes", F.when(F.col("clip_id") == "c-2", F.lit(None)
+                        .cast("binary")).otherwise(F.col("bytes")))
+    v2 = scan_parity(before, nulled).collect()
+    assert [(r["clip_id"], r["reason"]) for r in v2] == \
+        [("c-2", "bytes_mismatch")]
+
+
+def test_plan_compaction_uses_files_df_not_live_files(spark, tmp_path,
+                                                      monkeypatch):
+    """The planner must run off the distributed file inventory: live_files
+    (driver materialization) is forbidden in the planning path (r1 #4)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "clips_fdf"), "clips_fdf", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 40, dur_max_ms=500), max_records_per_file=4)
+
+    def boom(self, snapshot_id=None):
+        raise AssertionError("plan_compaction must not call live_files()")
+
+    monkeypatch.setattr(LakeTable, "live_files", boom)
+    plan = plan_compaction(t, target_bytes=4 * 1024 * 1024)
+    assert plan and all(len(b.paths) >= 2 for bins in plan.values()
+                        for b in bins)
+
+
+def test_distributed_orphan_gc(spark, tmp_path):
+    """GC through the Spark-side path: distributed listing + anti-join
+    collects a planted orphan, spares live files and graced fresh files."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "clips_gc"), "clips_gc", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 30, dur_max_ms=400), max_records_per_file=8)
+    orphan = os.path.join(t.location, "data", "part=0", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    # grace window protects the fresh plant through the distributed path
+    assert t.delete_orphans(grace_ms=60_000, distributed=True) == []
+    assert os.path.exists(orphan)
+    victims = t.delete_orphans(grace_ms=0, distributed=True)
+    assert victims == [os.path.join("data", "part=0", "orphan.parquet")]
+    assert not os.path.exists(orphan)
+    for f_ in t.live_files():
+        assert os.path.exists(os.path.join(t.location, f_.file_path))
+    assert t.scan().count() == 30
+
+
 def test_cluster_global_single_job(spark, tmp_path):
     """Global mode: whole-table single-job clustering — parity, pruning,
     per-partition lineage, and replay no-op."""
