@@ -3,7 +3,8 @@ every maintenance job (north_rule M5: "maintenance implemented and
 callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
-Subcommands: synth | compact | cluster | expire | merge | pipeline | bench.
+Subcommands: synth | compact | cluster | expire | merge | pipeline |
+publish | silver-drain | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -64,6 +65,33 @@ def main(argv=None):
     mp.add_argument("--source-token", required=True,
                     help="batch fingerprint for replay idempotence")
 
+    pp = sub.add_parser("publish",
+                        help="check-then-overwrite publish of a parquet "
+                             "candidate (withholds on any NULL in "
+                             "--require-cols)")
+    pp.add_argument("--table", required=True)
+    pp.add_argument("--source", required=True, help="candidate parquet path")
+    pp.add_argument("--require-cols", default="",
+                    help="comma-separated columns that must be non-null")
+    pp.add_argument("--master", default=None)
+
+    sd = sub.add_parser("silver-drain",
+                        help="incremental silver rollup drain from a bronze "
+                             "table (snapshot-keyed delta consume)")
+    sd.add_argument("--bronze", required=True)
+    sd.add_argument("--silver", required=True)
+    sd.add_argument("--ledger", required=True)
+    sd.add_argument("--window", default="1 minute")
+    sd.add_argument("--master", default=None)
+
+    sq = sub.add_parser("sql", help="run SQL over registered tables")
+    sq.add_argument("--register", action="append", default=[],
+                    metavar="NAME=LOCATION",
+                    help="repeatable view registrations")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--master", default=None)
+
     args = ap.parse_args(argv)
     spark = build_session(f"ofl-{args.cmd}", master=args.master)
 
@@ -77,6 +105,40 @@ def main(argv=None):
                         max_records_per_file=args.records_per_file)
         out = {"operation": "synth", "rows": args.rows,
                "snapshot": snap.snapshot_id}
+    elif args.cmd == "publish":
+        from pyspark.sql import functions as F
+
+        from open_finance_lakehouse_spark.operators.publish import (
+            publish_overwrite,
+        )
+
+        t = LakeTable.load(spark, args.table)
+        cand = spark.read.parquet(args.source)
+        cols = [c for c in args.require_cols.split(",") if c]
+        checks = {
+            f"non_null_{c}": (lambda c: lambda df: df.filter(
+                F.col(c).isNull()))(c)
+            for c in cols
+        }
+        out = publish_overwrite(t, cand, checks=checks)
+    elif args.cmd == "silver-drain":
+        from open_finance_lakehouse_spark.streaming.table_source import (
+            IncrementalSilver,
+        )
+
+        bronze = LakeTable.load(spark, args.bronze)
+        silver = IncrementalSilver(spark, bronze, args.silver,
+                                   CheckpointLedger(args.ledger),
+                                   window=args.window)
+        out = silver.drain()
+    elif args.cmd == "sql":
+        from open_finance_lakehouse_spark.sql import register_tables, run_sql
+
+        views = dict(kv.split("=", 1) for kv in args.register)
+        reg = register_tables(spark, views)
+        rows = [r.asDict() for r in
+                run_sql(spark, args.query).limit(args.limit).collect()]
+        out = {"registration": reg, "rows": rows}
     else:
         t = LakeTable.load(spark, args.table)
         ledger = CheckpointLedger(args.ledger)

@@ -191,29 +191,45 @@ class LakeTable:
         df: DataFrame,
         max_records_per_file: int | None = None,
         repartition_by_partition: bool = True,
+        fixed_partition: str | None = None,
     ) -> list[mf.DataFile]:
         """Write ``df`` as immutable data files + collect footer stats.
 
         No snapshot commit happens here — callers stage, then commit, so a
         maintenance job can stage many rewrite batches and publish one
         atomic snapshot (or resume from staged files after a crash).
+
+        ``fixed_partition``: when the caller KNOWS every row belongs to one
+        partition (per-partition rewrite tasks), the write skips dynamic
+        partitioning entirely. Besides being cheaper, this preserves the
+        frame's row order exactly: a ``partitionBy`` write makes Spark
+        insert its own (unstable) sort on the partition column, which
+        would scramble a clustering sort that isn't led by that column.
         """
         staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
         spec = self.meta.partition_spec
-        writer_df = df.withColumn("__part", self.partition_value_col())
-        if spec and repartition_by_partition:
-            writer_df = writer_df.repartition("__part")
-        writer = writer_df.write.mode("overwrite")
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-        writer.partitionBy("__part").parquet(staging)
+        if fixed_partition is not None:
+            writer = df.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile",
+                                       str(max_records_per_file))
+            writer.parquet(staging)
+        else:
+            writer_df = df.withColumn("__part", self.partition_value_col())
+            if spec and repartition_by_partition:
+                writer_df = writer_df.repartition("__part")
+            writer = writer_df.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile",
+                                       str(max_records_per_file))
+            writer.partitionBy("__part").parquet(staging)
 
         entries: list[mf.DataFile] = []
         for root, _dirs, names in os.walk(staging):
             for n in sorted(names):
                 if not n.endswith(".parquet"):
                     continue
-                part = "0"
+                part = fixed_partition if fixed_partition is not None else "0"
                 base = os.path.basename(root)
                 if base.startswith("__part="):
                     part = base.split("=", 1)[1]
@@ -224,6 +240,48 @@ class LakeTable:
                 abs_dst = os.path.join(self.location, rel)
                 os.replace(os.path.join(root, n), abs_dst)
                 entries.append(mf.collect_file_stats(abs_dst, rel, part))
+        shutil.rmtree(staging, ignore_errors=True)
+        return entries
+
+    def stage_indexed(
+        self,
+        df: DataFrame,
+        partition_of_task: list[str],
+        max_records_per_file: int | None = None,
+    ) -> list[mf.DataFile]:
+        """Stage a frame whose TASK INDEX determines the partition: task
+        ``i``'s output files belong to ``partition_of_task[i]``.
+
+        Used by exchange-free clustering: the frame is a union of
+        per-partition single-task branches, written PLAIN (no
+        ``partitionBy``), so (a) the writer inserts no sort — the branch's
+        clustering order survives byte-for-byte — and (b) there is exactly
+        ONE Spark job for the whole table. Output file names carry the
+        task index (``part-00007-…``), which maps back to the table
+        partition."""
+        import re
+
+        staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   str(max_records_per_file))
+        writer.parquet(staging)
+        entries: list[mf.DataFile] = []
+        for n in sorted(os.listdir(staging)):
+            if not n.endswith(".parquet"):
+                continue
+            m = re.match(r"part-(\d+)-", n)
+            if m is None:
+                raise RuntimeError(f"unexpected staged file name {n}")
+            part = partition_of_task[int(m.group(1))]
+            part_dir = os.path.join(self.location, "data", f"part={part}")
+            os.makedirs(part_dir, exist_ok=True)
+            rel = os.path.join("data", f"part={part}",
+                               f"{uuid.uuid4().hex}.parquet")
+            abs_dst = os.path.join(self.location, rel)
+            os.replace(os.path.join(staging, n), abs_dst)
+            entries.append(mf.collect_file_stats(abs_dst, rel, part))
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -465,22 +523,27 @@ class LakeTable:
         return reach
 
     def delete_orphans(self, grace_ms: int = 0, dry_run: bool = False,
-                       distributed: bool = True) -> list[str]:
+                       distributed: "bool | str" = "auto") -> list[str]:
         """Delete data/manifest files unreachable from any live snapshot.
 
         ``grace_ms`` protects in-flight staged files (a writer may have
         staged data not yet committed) — the standard orphan-GC safety
         window.
 
-        Default path is DISTRIBUTED: per-partition-directory listing runs
-        as Spark tasks, reachability comes from reading the manifest
-        parquet as a relation, and the found-minus-reachable anti-join runs
-        on the cluster — the driver sees only the victims (at millions of
-        files a driver-side walk is the first thing to fall over; VERDICT
-        r1). ``distributed=False`` keeps the dependency-free walk for tiny
-        tables and unit surfaces."""
+        The DISTRIBUTED path lists per-partition directories as Spark
+        tasks, reads reachability from the manifest parquet as a relation,
+        and anti-joins on the cluster — the driver sees only the victims
+        (at millions of files a driver-side walk is the first thing to
+        fall over; VERDICT r1). ``"auto"`` (default) picks it when the
+        snapshot log suggests ≥10k files; tiny tables keep the
+        dependency-free walk (a Spark job costs more than walking a few
+        hundred entries)."""
         self.refresh()
         now = time.time()
+        if distributed == "auto":
+            est = sum(int(s.summary.get("added_files", 0) or 0)
+                      for s in self.meta.snapshots)
+            distributed = est >= 10_000
         if distributed:
             victims = self._find_orphans_distributed(grace_ms, now)
         else:

@@ -63,12 +63,39 @@ def observed_bounds(files, columns=("dur_ms", "sr_hz")) -> dict:
     return out
 
 
+def observed_bounds_df(table: LakeTable, columns=("dur_ms", "sr_hz")) -> dict:
+    """Same bounds, computed as ONE aggregate over the ``files_df`` manifest
+    relation — the planning path never materializes the file inventory on
+    the driver (curve axes here are long-typed; extend the element_at maps
+    for double/string axes as needed)."""
+    aggs = []
+    for c in columns:
+        aggs.append(F.min(F.element_at("min_long", F.lit(c))).alias(f"lo_{c}"))
+        aggs.append(F.max(F.element_at("max_long", F.lit(c))).alias(f"hi_{c}"))
+    row = table.files_df().agg(*aggs).first()
+    out = {}
+    for c in columns:
+        lo, hi = row[f"lo_{c}"], row[f"hi_{c}"]
+        if lo is not None:
+            lo, hi = float(lo), float(hi)
+            out[c] = (lo, hi if hi > lo else lo + 1.0)
+    return out
+
+
+LOCAL_SORT_MAX_PARTITION_BYTES = 512 * 1024 * 1024
+# local mode pays ~0.1-0.3 s of driver plan-construction per partition
+# (32 file relations + a union); it only wins when each partition's data
+# dwarfs that fixed cost — below this, the one-job range exchange is faster
+LOCAL_MIN_BYTES_PER_PARTITION = 32 * 1024 * 1024
+
+
 def cluster_global(
     table: LakeTable,
     ledger: CheckpointLedger,
     job_id: str,
     curve: str = "zorder",
     target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+    exchange: str = "auto",
 ) -> dict:
     """Whole-table clustering as ONE Spark job: scan all live files → curve
     key → one range exchange on (partition, zval) → sorted write → one
@@ -81,47 +108,153 @@ def cluster_global(
     (coarser than ``cluster``'s per-partition checkpoints); per-partition
     stats still land in the ledger for metrics parity. Equivalent to the
     reference's single ``OPTIMIZE ... ZORDER BY`` table-wide call
-    (/root/reference/ofl/transform/spark/silver.py:368-371)."""
-    files = table.live_files()
+    (/root/reference/ofl/transform/spark/silver.py:368-371).
+
+    Planning runs off ``files_df`` (the manifest relation): sizing/record
+    aggregates and the curve-axis bounds are Spark-side aggregations; the
+    driver collects only the path list — which the explicit-file parquet
+    read and the rewrite commit's removal set need anyway (scan-task
+    planning is driver work in every table format; the *arithmetic* is
+    what must never driver-materialize the inventory).
+
+    ``exchange`` picks how rows reach their sorted output file:
+
+    - ``"range"`` — one ``repartitionByRange(__part, __zval)`` exchange;
+      any partition's sort parallelizes across the cluster. Required when
+      single partitions are big (their sort must not be one task).
+    - ``"local"`` — NO exchange: each table partition's files are read by
+      ONE task which sorts locally and writes its ~target-size chunks.
+      Bytes never transit a shuffle (a clustering shuffle moves every byte
+      twice through shuffle storage), the range-sampling pass disappears,
+      and per-file stats are exactly as tight (the range mode's leading
+      key is ``__part`` anyway, so output files never span partitions in
+      either mode). Partition staging jobs run CONCURRENTLY from a driver
+      thread pool (FAIR scheduler) and publish in ONE atomic rewrite
+      commit — separate jobs rather than a union of coalesced branches
+      because Catalyst collapses Union(Coalesce(1)…) into a single-task
+      plan (measured: the union form runs the whole table on one core).
+      Parallelism = partition count — the right regime for many modest
+      partitions, which is precisely what a bucket-partitioned clip table
+      gives; per-partition output sizing is exact (each partition gets its
+      own records-per-file from its observed bytes/row).
+    - ``"auto"`` (default) — ``local`` when every partition fits a
+      single-task sort (≤ ``LOCAL_SORT_MAX_PARTITION_BYTES`` and >1
+      partition), else ``range``."""
+    inv = table.files_df().select(
+        "file_path", "partition", "file_size_bytes", "record_count")
+    agg = (
+        inv.groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("pf"),
+             F.sum("file_size_bytes").alias("pb"),
+             F.sum("record_count").alias("pr"))
+        .agg(F.coalesce(F.sum("pf"), F.lit(0)).alias("files"),
+             F.count(F.lit(1)).alias("parts"),
+             F.coalesce(F.sum("pb"), F.lit(0)).alias("bytes"),
+             F.coalesce(F.sum("pr"), F.lit(0)).alias("records"),
+             F.coalesce(F.max("pb"), F.lit(0)).alias("max_part_bytes"))
+        .first()
+    )
     totals = {
         "job_id": job_id, "operation": f"cluster_global[{curve}]",
-        "partitions_planned": len({f.partition for f in files}),
+        "partitions_planned": int(agg["parts"]),
         "partitions_rewritten": 0, "partitions_skipped": 0,
-        "files_in": len(files), "files_out": 0,
-        "bytes_in": sum(f.file_size_bytes for f in files),
+        "files_in": int(agg["files"]), "files_out": 0,
+        "bytes_in": int(agg["bytes"]),
         "bytes_out": 0, "rows": 0, "engine_ms": 0,
     }
-    if not files:
+    if not agg["files"]:
         return totals
-    paths_rel = [f.file_path for f in files]
+    if exchange == "auto":
+        per_part = int(agg["bytes"]) / max(1, int(agg["parts"]))
+        exchange = ("local"
+                    if (int(agg["parts"]) > 1
+                        and int(agg["max_part_bytes"])
+                        <= LOCAL_SORT_MAX_PARTITION_BYTES
+                        and per_part >= LOCAL_MIN_BYTES_PER_PARTITION)
+                    else "range")
+    totals["operation"] = f"cluster_global[{curve},{exchange}]"
+    path_rows = inv.collect()
+    paths_rel = sorted(r["file_path"] for r in path_rows)
     fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
     if ledger.is_committed(job_id, "__table__", fingerprint):
         totals["partitions_skipped"] = totals["partitions_planned"]
         return totals
 
     t0 = time.monotonic()
-    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds(files)}
+    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds_df(table)}
     bytes_in = totals["bytes_in"]
-    records_in = sum(f.record_count for f in files)
+    records_in = int(agg["records"])
     ledger.upsert(CheckpointRecord(
         job_id=job_id, table=table.meta.name, partition_id="__table__",
         file_set_hash=fingerprint, status=STATUS_REWRITING,
-        files_in=len(files), bytes_in=bytes_in,
+        files_in=totals["files_in"], bytes_in=bytes_in,
     ))
-    paths = [os.path.join(table.location, p) for p in paths_rel]
-    df = table.spark.read.schema(table._empty_df().schema).parquet(*paths)
     n_out = max(1, math.ceil(bytes_in / target_bytes))
     rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
-    clustered = (
-        df.withColumn("__part", table.partition_value_col())
-        .withColumn("__zval", curve_key_col(curve, bounds))
-        .repartitionByRange(n_out, "__part", "__zval")
-        .sortWithinPartitions("__part", "__zval", "clip_id")
-        .drop("__zval")
-        .drop("__part")
-    )
-    added = table.stage_dataframe(
-        clustered, max_records_per_file=rpf, repartition_by_partition=False)
+    schema = table._empty_df().schema
+    if exchange == "local":
+        # no exchange: one task per table partition reads that partition's
+        # files, sorts locally on the curve key, writes sequential
+        # ~target-size chunks — bytes touch shuffle storage ZERO times,
+        # there is no range-sampling pass, and the whole table is ONE
+        # Spark job (a union of single-task branches). Spark 4 would
+        # normally merge equal-partition-count union children into one
+        # task (spark.sql.unionOutputPartitioning) — disabled around this
+        # job so the branches stay parallel.
+        by_part: dict[str, list] = {}
+        for r in path_rows:
+            by_part.setdefault(r["partition"], []).append(r)
+        spark = table.spark
+        parts_sorted = sorted(by_part)
+
+        def build_branch(part: str):
+            rows = by_part[part]
+            ppaths = [os.path.join(table.location, r["file_path"])
+                      for r in sorted(rows, key=lambda r: r["file_path"])]
+            return (
+                spark.read.schema(schema).parquet(*ppaths)
+                .coalesce(1)
+                .withColumn("__zval", curve_key_col(curve, bounds))
+                .sortWithinPartitions("__zval", "clip_id")
+                .drop("__zval")
+            )
+
+        # branch construction is driver/analysis work — parallel threads
+        # (py4j releases the GIL; Catalyst analyzes JVM-side), and the
+        # union folds as a TREE: a linear fold re-analyzes a linearly
+        # growing plan per step (O(n²) analysis — measured 10 s at 32
+        # branches), the tree is O(n log n)
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            branches = list(ex.map(build_branch, parts_sorted))
+        while len(branches) > 1:
+            branches = [
+                branches[i].unionByName(branches[i + 1])
+                if i + 1 < len(branches) else branches[i]
+                for i in range(0, len(branches), 2)
+            ]
+        union_df = branches[0]
+        conf_key = "spark.sql.unionOutputPartitioning"
+        prev = spark.conf.get(conf_key, "true")
+        spark.conf.set(conf_key, "false")
+        try:
+            added = table.stage_indexed(union_df, parts_sorted,
+                                        max_records_per_file=rpf)
+        finally:
+            spark.conf.set(conf_key, prev)
+    else:
+        paths = [os.path.join(table.location, p) for p in paths_rel]
+        df = table.spark.read.schema(schema).parquet(*paths)
+        clustered = (
+            df.withColumn("__part", table.partition_value_col())
+            .withColumn("__zval", curve_key_col(curve, bounds))
+            .repartitionByRange(n_out, "__part", "__zval")
+            .sortWithinPartitions("__part", "__zval", "clip_id")
+            .drop("__zval")
+            .drop("__part")
+        )
+        added = table.stage_dataframe(
+            clustered, max_records_per_file=rpf,
+            repartition_by_partition=False)
     snap = table.commit_rewrite(
         set(paths_rel), added, operation="cluster",
         summary={"job_id": job_id, "curve": curve, "mode": "global"})
@@ -139,7 +272,7 @@ def cluster_global(
         file_set_hash=fingerprint, status=STATUS_COMMITTED,
         rows=sum(a.record_count for a in added),
         bytes_in=bytes_in, bytes_out=sum(a.file_size_bytes for a in added),
-        files_in=len(files), files_out=len(added),
+        files_in=totals["files_in"], files_out=len(added),
         engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
         output_file_set_hash=file_set_hash(
             [f"{curve}:{a.file_path}" for a in added]),

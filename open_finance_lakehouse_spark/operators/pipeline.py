@@ -59,6 +59,7 @@ def run_maintenance(
     gc_grace_ms: int | None = None,
     snr_gate: str = "off",
     parity_gate: bool = False,
+    cluster_exchange: str = "auto",
 ) -> dict:
     """compact → cluster → (SNR/parity gates) → expire; returns run metrics
     + (optionally) an independently-read table audit.
@@ -117,7 +118,7 @@ def run_maintenance(
             # resume (pick it for very large tables / flaky clusters)
             stages["cluster"] = cluster_global(
                 table, ledger, f"{job_id}/cluster", curve=curve,
-                target_bytes=target_bytes)
+                target_bytes=target_bytes, exchange=cluster_exchange)
         else:
             stages["cluster"] = cluster(
                 table, ledger, f"{job_id}/cluster", curve=curve,

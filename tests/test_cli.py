@@ -1,0 +1,53 @@
+"""CLI front-door tests: every new surface callable end-to-end via argv
+(north_rule M5 'maintenance implemented and callable')."""
+
+from __future__ import annotations
+
+import json
+
+from open_finance_lakehouse_spark import cli
+from open_finance_lakehouse_spark.format.table import LakeTable
+
+
+def _run(capsys, argv) -> dict:
+    assert cli.main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_synth_pipeline_sql(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips")
+    out = _run(capsys, ["synth", "--table", loc, "--rows", "40",
+                        "--buckets", "2", "--records-per-file", "8"])
+    assert out["rows"] == 40
+
+    out = _run(capsys, ["pipeline", "--table", loc,
+                        "--ledger", str(tmp_path / "led"),
+                        "--target-mb", "2"])
+    assert out["clips"] == 40 and out["table_audit"]["rows"] == 40
+
+    out = _run(capsys, ["sql", "--register", f"clips_v={loc}",
+                        "--query",
+                        "SELECT count(*) AS n, count(DISTINCT clip_id) AS k "
+                        "FROM clips_v"])
+    assert out["rows"] == [{"n": 40, "k": 40}]
+
+
+def test_cli_publish_withholds_then_publishes(spark, tmp_path, capsys):
+    gold = LakeTable.create(spark, str(tmp_path / "gold"), "gold",
+                            "k STRING, v DOUBLE")
+    bad = spark.createDataFrame([(None, 1.0), ("a", 2.0)],
+                                "k STRING, v DOUBLE")
+    bad.write.parquet(str(tmp_path / "cand_bad"))
+    out = _run(capsys, ["publish", "--table", str(tmp_path / "gold"),
+                        "--source", str(tmp_path / "cand_bad"),
+                        "--require-cols", "k"])
+    assert out["published"] is False and "non_null_k" in out["violations"]
+
+    good = spark.createDataFrame([("a", 1.0), ("b", 2.0)],
+                                 "k STRING, v DOUBLE")
+    good.write.parquet(str(tmp_path / "cand_good"))
+    out = _run(capsys, ["publish", "--table", str(tmp_path / "gold"),
+                        "--source", str(tmp_path / "cand_good"),
+                        "--require-cols", "k"])
+    assert out["published"] is True
+    assert gold.refresh().scan().count() == 2

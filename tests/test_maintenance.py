@@ -570,7 +570,8 @@ def test_cluster_global_single_job(spark, tmp_path):
     sel_b, tot_b = t.plan_files(
         predicates=[ColumnRange("dur_ms", lo=200, hi=300)])
 
-    res = cluster_global(t, led, "g1", target_bytes=512 * 1024)
+    res = cluster_global(t, led, "g1", target_bytes=512 * 1024,
+                         exchange="range")
     assert res["partitions_rewritten"] == res["partitions_planned"] == 3
     assert res["rows"] == 150
     assert scan_parity(before, t.scan()).count() == 0
@@ -584,7 +585,47 @@ def test_cluster_global_single_job(spark, tmp_path):
     assert len(parts) == 3
 
     snaps = len(t.snapshots())
-    res2 = cluster_global(t, led, "g1", target_bytes=512 * 1024)
+    res2 = cluster_global(t, led, "g1", target_bytes=512 * 1024,
+                          exchange="range")
     assert res2["partitions_skipped"] == 3 and res2["partitions_rewritten"] == 0
     assert len(t.snapshots()) == snaps
+    before.unpersist()
+
+
+def test_cluster_global_local_exchange_free(spark, tmp_path):
+    """Shuffle-free clustering: one task per partition sorts locally —
+    byte-identical rows, partition-pure target-size files, tighter stats,
+    and replay no-op; auto mode picks it for small bucketed partitions."""
+    from open_finance_lakehouse_spark.operators.cluster import cluster_global
+
+    loc = str(tmp_path / "clips_l")
+    t = LakeTable.create(
+        spark, loc, "clips_l", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 3},
+    )
+    t.append(synth_clips(spark, 300, dur_max_ms=900), max_records_per_file=10)
+    led = CheckpointLedger(str(tmp_path / "ledger_l"))
+    before = t.scan().cache()
+    before.count()
+    q_before = clustering_quality(t, "dur_ms")
+
+    res = cluster_global(t, led, "l1", target_bytes=256 * 1024,
+                         exchange="local")
+    assert res["operation"].endswith(",local]")
+    assert res["partitions_rewritten"] == res["partitions_planned"] == 3
+    assert res["rows"] == 300
+    assert scan_parity(before, t.scan()).count() == 0
+    assert clustering_quality(t, "dur_ms") < q_before
+    # every output file belongs to exactly one partition and there are
+    # multiple target-size chunks per partition (the local sort tiled them)
+    by_part: dict[str, int] = {}
+    for f_ in t.live_files():
+        by_part[f_.partition] = by_part.get(f_.partition, 0) + 1
+    assert set(by_part) == {"0", "1", "2"} and all(
+        n >= 2 for n in by_part.values())
+
+    res2 = cluster_global(t, led, "l1", target_bytes=256 * 1024,
+                          exchange="local")
+    assert res2["partitions_skipped"] == 3 and res2["partitions_rewritten"] == 0
     before.unpersist()
