@@ -154,13 +154,14 @@ def synth_wave(seed: int, n_samples: int, sr_hz: int) -> np.ndarray:
 # Spark-side vectorized verification (mapInPandas batches)
 # ---------------------------------------------------------------------------
 
-SNR_SCHEMA = "clip_id string, snr_db double, n_samples int"
+SNR_SCHEMA = "clip_id string, snr_db double, n_samples int, codec string"
 
 
 def snr_batches(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: re-synthesize each clip's reference waveform from
     xxhash64(clip_id) (precomputed into column ``seed``) and score the stored
-    payload's decode against it.
+    payload's decode against it. ``codec`` passes through so per-codec
+    audits never need a second pass over the (expensive) clip source.
 
     Expects columns: clip_id, bytes, sr_hz, dur_ms, codec, seed.
     """
@@ -179,5 +180,6 @@ def snr_batches(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 snr_db(ref, dec) if len(dec) == n else float("-inf"))
             out_n.append(len(dec))
         yield pd.DataFrame(
-            {"clip_id": out_ids, "snr_db": out_snr, "n_samples": out_n}
+            {"clip_id": out_ids, "snr_db": out_snr, "n_samples": out_n,
+             "codec": list(pdf["codec"])}
         )

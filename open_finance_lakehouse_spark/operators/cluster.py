@@ -295,12 +295,17 @@ def cluster(
     target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
     concurrency: int = 8,
 ) -> dict:
-    """Rewrite every partition sorted by the space-filling-curve key."""
+    """Rewrite every partition sorted by the space-filling-curve key.
+
+    Planning runs off ``files_df`` (bounds as a Spark aggregate, the bin
+    inventory as one collect of path/size/count rows) — same discipline as
+    ``cluster_global``/``plan_compaction``."""
     by_part: dict[str, list] = {}
-    all_files = table.live_files()
-    for f in all_files:
-        by_part.setdefault(f.partition, []).append(f)
-    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds(all_files)}
+    for r in table.files_df().select(
+            "file_path", "partition", "file_size_bytes",
+            "record_count").collect():
+        by_part.setdefault(r["partition"], []).append(r)
+    bounds = {**CLIP_DIM_BOUNDS, **observed_bounds_df(table)}
 
     totals = {
         "job_id": job_id,

@@ -151,16 +151,32 @@ class CheckpointLedger:
 
     def checkpoints_df(self, spark: SparkSession, job_id: str | None = None
                        ) -> DataFrame:
-        rows = [
-            (
-                r.job_id, r.table, r.partition_id, r.file_set_hash, r.status,
-                r.rows, r.bytes_in, r.bytes_out, r.files_in, r.files_out,
-                r.engine_ms, r.committed_snapshot_id,
-                _ms_to_ts(r.updated_at_ms),
-            )
-            for r in self.records(job_id)
-        ]
-        return spark.createDataFrame(rows, CHECKPOINT_DDL)
+        """Checkpoint records as a Spark relation, read DISTRIBUTEDLY from
+        the JSON documents (at O(partitions) records per job the metrics
+        queries must not funnel through the driver — `records()` stays the
+        driver-side planner surface for single lookups)."""
+        from pyspark.sql import functions as F
+
+        base = os.path.join(self.root, "checkpoints")
+        if job_id is not None:
+            base = os.path.join(base, _safe(job_id))
+        if not os.path.isdir(base):
+            return spark.createDataFrame([], CHECKPOINT_DDL)
+        raw_ddl = (
+            "job_id string, table string, partition_id string, "
+            "file_set_hash string, status string, rows long, bytes_in long, "
+            "bytes_out long, files_in long, files_out long, engine_ms long, "
+            "committed_snapshot_id long, output_file_set_hash string, "
+            "updated_at_ms long"
+        )
+        pattern = (os.path.join(base, "*.json") if job_id is not None
+                   else os.path.join(base, "*", "*.json"))
+        return (
+            spark.read.schema(raw_ddl).json(pattern)
+            .withColumn("updated_at",
+                        F.timestamp_millis(F.col("updated_at_ms")))
+            .select(*[c.split()[0] for c in CHECKPOINT_DDL.split(", ")])
+        )
 
     # ------------------------------------------------------------ lineage
 
@@ -215,18 +231,33 @@ class CheckpointLedger:
 
     def lineage_df(self, spark: SparkSession, job_id: str | None = None
                    ) -> DataFrame:
-        rows = [
-            (
-                r["job_id"], r["partition_id"], r["files_in"], r["file_out"],
-                r["op"], r["load_id"], _ms_to_ts(r["ingested_at_ms"]),
+        """Lineage rows as a Spark relation (distributed JSON read +
+        explode — one row per output file, FIXTURES.md §3 grain)."""
+        from pyspark.sql import functions as F
+
+        base = os.path.join(self.root, "lineage")
+        if job_id is not None:
+            base = os.path.join(base, _safe(job_id))
+        if not os.path.isdir(base):
+            return spark.createDataFrame([], LINEAGE_DDL)
+        raw_ddl = (
+            "load_id string, rows array<struct<job_id:string,"
+            "partition_id:string,files_in:array<string>,file_out:string,"
+            "op:string,load_id:string,ingested_at_ms:long>>"
+        )
+        pattern = (os.path.join(base, "*.json") if job_id is not None
+                   else os.path.join(base, "*", "*.json"))
+        return (
+            spark.read.schema(raw_ddl).json(pattern)
+            .select(F.explode("rows").alias("r"))
+            .select(
+                F.col("r.job_id").alias("job_id"),
+                F.col("r.partition_id").alias("partition_id"),
+                F.col("r.files_in").alias("files_in"),
+                F.col("r.file_out").alias("file_out"),
+                F.col("r.op").alias("op"),
+                F.col("r.load_id").alias("load_id"),
+                F.timestamp_millis(F.col("r.ingested_at_ms"))
+                .alias("ingested_at"),
             )
-            for r in self.lineage_rows(job_id)
-        ]
-        return spark.createDataFrame(rows, LINEAGE_DDL)
-
-
-def _ms_to_ts(ms: int):
-    import datetime
-
-    return datetime.datetime.fromtimestamp(ms / 1000.0, tz=datetime.timezone.utc
-                                           ).replace(tzinfo=None)
+        )

@@ -6,12 +6,14 @@ queries run on the driver's parquet without external data while exercising
 the real binary-payload plumbing: schema with BinaryType, Arrow-batched
 mapInPandas encode/decode, SNR verification, and the maintenance pipeline.
 
-No SQL oracles — binary payloads and numpy DSP are outside DuckDB's reach;
-the driver records rows-only checks (the contract allows this for
-non-SQL-expressible operators). Correctness is enforced by the violation
-shape: these queries RETURN VIOLATING ROWS (reference gold-check discipline,
-/root/reference/ofl/transform/gold/runner.py:82-107), so a correct engine
-yields deterministic summary rows with zero violation counts.
+``audio_payload_profile`` carries a real DuckDB oracle (clip attributes
+derive via the cross-engine md5 h32, so the oracle recomputes expected
+payload sizes independently); the decode/SNR and pipeline queries remain
+rows-only — numpy DSP is outside DuckDB's reach — and enforce correctness
+through the violation shape instead: they RETURN VIOLATING ROWS (reference
+gold-check discipline, /root/reference/ofl/transform/gold/runner.py:82-107),
+so a correct engine yields deterministic summary rows with zero violation
+counts.
 """
 
 from __future__ import annotations
@@ -78,10 +80,12 @@ def audio_codec_roundtrip_stats(spark, sf_dir):
     dB against its reference waveform (BASELINE.json per-row invariant).
     Violations counted per codec — expected 0 everywhere."""
     clips = clips_from_documents(spark, sf_dir)
+    # codec passes through the SNR kernel, so ONE synthesis+decode pass
+    # feeds the whole audit (a join back to clips would re-run the
+    # mapInPandas synthesis for the second consumer)
     scored = synth.verify_snr_df(clips)
-    joined = clips.select("clip_id", "codec").join(scored, "clip_id")
     return (
-        joined.groupBy("codec")
+        scored.groupBy("codec")
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
             F.sum(F.when(F.col("snr_db") < 30.0, 1).otherwise(0))

@@ -248,6 +248,63 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "doc_ngram_jaccard_pairs_pm1",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+             {_SHINGLES_SQL} AS shingles
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, lang, len_bucket, shingles,
+             unnest([len_bucket, len_bucket + 1]) AS block
+      FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM keyed a JOIN keyed b
+      ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
+     AND a.block = greatest(a.len_bucket, b.len_bucket)
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+    """,
+)
+def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
+    """Jaccard near-dup with ±1-bucket blocking: the plain length-bucket
+    block misses near-dup pairs straddling a bucket boundary (r1 VERDICT's
+    documented recall trade); registering every doc under {bucket,
+    bucket+1} and joining on the block key recovers all |Δbucket| ≤ 1
+    pairs while staying a pure EQUI-join (shuffle-partitionable at corpus
+    scale). Each qualifying pair matches exactly once — at block =
+    max(bucket_a, bucket_b) — so no post-join distinct is needed."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        F.expr(_SHINGLES).alias("shingles"),
+    )
+    keyed = sh.select(
+        "*", F.explode(F.array(F.col("len_bucket"),
+                               F.col("len_bucket") + 1)).alias("block"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.block") == F.greatest(F.col("a.len_bucket"),
+                                                 F.col("b.len_bucket"))))
+        .filter(jac >= 0.05)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                r6(jac).alias("jaccard"))
+    )
+
+
 def _minhash_expr_spark() -> str:
     """array<long> signature: for each (a,b) param, min over shingles of
     (a * h32(s) + b) % prime. Hashes each shingle ONCE (column ``sh32``,
