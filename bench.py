@@ -51,6 +51,15 @@ def run_bench(sf_dir: str, cpus: str, out=None):
     spark = build_session("bench", master=f"local[{cpus}]")
     timings: dict[str, float] = {}
 
+    # UNTIMED warm-up: compile the codegen/shuffle/parquet paths once so
+    # query timings measure steady-state engine time, per the BASELINE.md
+    # discipline (JVM/JIT startup excluded — the reference divides by
+    # trigger execution time, ofl/streaming/metrics.py:53-62). Without
+    # this the first headline query absorbs ~3 s of one-time JIT.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey") \
+        .count().collect()
+
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.monotonic()

@@ -70,6 +70,11 @@ def clips_from_documents(spark, sf_dir, limit: int | None = None):
         .withColumn("transcript", F.col("text"))
         .drop("text")
     )
+    # the documents parquet is a single input split at sandbox SFs — fan
+    # the DSP kernel out across the cluster or the whole synthesis runs in
+    # ONE task (measured: 10 s single-task vs ~1 s spread at local[32])
+    attrs = attrs.repartition(
+        spark.sparkContext.defaultParallelism)
     return attrs.mapInPandas(synth._payload_batches,
                              schema=synth._PAYLOAD_SCHEMA)
 

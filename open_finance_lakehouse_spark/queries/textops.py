@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.queries import register
-from open_finance_lakehouse_spark.queries.base import H32_SQL, h32, load, r6
+from open_finance_lakehouse_spark.queries.base import (
+    H32_SQL,
+    h32,
+    load,
+    load_fanout,
+    r6,
+)
 
 # deterministic MinHash parameters: k=8 affine hash functions mod a prime
 MH_PRIME = 2_147_483_647
@@ -194,7 +200,7 @@ def doc_fingerprint(spark, sf_dir):
     token hashes — pure array algebra in Spark, recomputed by the oracle via
     unnest + bit_xor aggregation (two code paths, reference discipline
     /root/reference/ofl/streaming/schema.py:57-73)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_fanout(spark, sf_dir, "documents")
     fp = F.expr(
         "aggregate(zip_with(split(text,' '), sequence(1, size(split(text,' '))), "
         "(t, i) -> cast(conv(substring(md5(t),1,8),16,10) as bigint) * i), "
@@ -226,7 +232,7 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     (lang, length bucket) — an equi-join — before any set comparison. The
     blocked join is the scale story: pairwise work is confined to buckets,
     never n² over the corpus."""
-    d = load(spark, sf_dir, "documents")
+    d = load_fanout(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
@@ -278,7 +284,7 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
     pairs while staying a pure EQUI-join (shuffle-partitionable at corpus
     scale). Each qualifying pair matches exactly once — at block =
     max(bucket_a, bucket_b) — so no post-join distinct is needed."""
-    d = load(spark, sf_dir, "documents")
+    d = load_fanout(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
@@ -359,7 +365,7 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     2 rows → candidates = docs sharing a band key (EQUI-join on the band
     key: the LSH trick that makes near-dup shuffle-partitionable at 100 TB)
     → estimated similarity = fraction of matching signature slots."""
-    d = load(spark, sf_dir, "documents")
+    d = load_fanout(spark, sf_dir, "documents")
     sig = (
         d.select(
             "doc_id",
@@ -434,7 +440,7 @@ def doc_simhash(spark, sf_dir):
     """SimHash: per bit j, majority vote of distinct-token hash bits.
     Formulated as explode → 32 conditional sums → bit reassembly, so the
     whole computation is one shuffle on doc_id (combinable map-side)."""
-    d = load(spark, sf_dir, "documents")
+    d = load_fanout(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),

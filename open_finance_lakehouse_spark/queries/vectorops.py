@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.queries import register
-from open_finance_lakehouse_spark.queries.base import load, r6
+from open_finance_lakehouse_spark.queries.base import load_fanout, r6
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
@@ -67,7 +67,7 @@ def embedding_topk_bruteforce(spark, sf_dir):
     window (deterministic tie-break on neighbor_id). The corpus side
     broadcasts when small; at scale this is the per-batch exact rescoring
     stage after an ANN candidate pass."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     # persist: the InMemoryRelation stops Catalyst collapsing the
     # normalization projection into the join (which would re-evaluate the
@@ -120,7 +120,7 @@ def embedding_ivf_ann(spark, sf_dir):
     first 8 vectors), assignment = broadcast argmax-cosine, then nearest
     neighbor WITHIN the assigned cluster only. Candidate generation is an
     equi-join on cluster_id — the scale path replacing the n² search."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()  # projection-collapse barrier (see topk)
     cent = e.filter(F.col("vec_id") < 8).select(
@@ -202,7 +202,7 @@ def embedding_ivf_kmeans(spark, sf_dir):
     trivially broadcastable back), so training cost is iterations × (one
     pass + one tiny shuffle) at any corpus size. Addresses r1's 'first 8
     vectors is a shape demo, not a real coarse quantizer'."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()  # consumed once per assignment round
 
@@ -257,7 +257,7 @@ def embedding_ivf_kmeans(spark, sf_dir):
 def embedding_label_cohesion(spark, sf_dir):
     """Within-label cohesion: average pairwise cosine per label — the
     label-blocked join keeps pair counts bounded per group."""
-    e = load(spark, sf_dir, "embeddings").select(
+    e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()  # projection-collapse barrier (see topk)
     a = e.select("label", F.col("vec_id").alias("a_id"),
