@@ -30,8 +30,10 @@ HEADLINE = [
     "merge_semantics",
     "doc_minhash_lsh_pairs",
     "doc_simhash_near_pairs",
+    "doc_ngram_jaccard_pairs_pm1",
     "embedding_topk_bruteforce",
     "embedding_ivf_ann",
+    "embedding_ivf_kmeans",
 ]
 
 

@@ -154,6 +154,43 @@ def synth_wave(seed: int, n_samples: int, sr_hz: int) -> np.ndarray:
 # Spark-side vectorized verification (mapInPandas batches)
 # ---------------------------------------------------------------------------
 
+FEATURE_SCHEMA = (
+    "clip_id string, codec string, sr_hz int, n_frames int, "
+    "rms_mean double, rms_max double, zcr double"
+)
+
+
+def frame_feature_batches(batch_iter: Iterator[pd.DataFrame]
+                          ) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: decode → 25 ms frames → per-frame RMS energy +
+    zero-crossing rate — the feature-extraction stage of an audio training
+    pipeline (VAD / quality filtering run on exactly these features). Pure
+    numpy over Arrow batches; frame math is vectorized via a reshape (the
+    tail partial frame is dropped, standard framing semantics).
+
+    Expects columns: clip_id, bytes, sr_hz, codec.
+    """
+    for pdf in batch_iter:
+        rows = []
+        for clip_id, payload, sr, codec in zip(
+                pdf["clip_id"], pdf["bytes"], pdf["sr_hz"], pdf["codec"]):
+            x = decode(bytes(payload), str(codec)).astype(np.float64)
+            frame = max(1, int(int(sr) * 0.025))
+            n_frames = len(x) // frame
+            if n_frames == 0:
+                rows.append((clip_id, codec, int(sr), 0, 0.0, 0.0, 0.0))
+                continue
+            f = x[: n_frames * frame].reshape(n_frames, frame)
+            rms = np.sqrt(np.mean(f * f, axis=1))
+            signs = np.signbit(x)
+            zcr = float(np.mean(signs[1:] != signs[:-1])) if len(x) > 1 else 0.0
+            rows.append((clip_id, codec, int(sr), int(n_frames),
+                         float(np.mean(rms)), float(np.max(rms)), zcr))
+        yield pd.DataFrame(rows, columns=[
+            "clip_id", "codec", "sr_hz", "n_frames", "rms_mean", "rms_max",
+            "zcr"])
+
+
 SNR_SCHEMA = "clip_id string, snr_db double, n_samples int, codec string"
 
 

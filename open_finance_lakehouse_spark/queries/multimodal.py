@@ -153,6 +153,34 @@ def audio_payload_profile(spark, sf_dir):
     )
 
 
+@register("audio_frame_features", None)
+def audio_frame_features(spark, sf_dir):
+    """Feature extraction over the binary audio column: decode → 25 ms
+    frame RMS + zero-crossing rate (vectorized mapInPandas), profiled per
+    (codec, sr_hz) stratum. Deterministic end to end (payloads and
+    features are pure functions of clip_id), so the summary rows are a
+    stable fixture; the invariant columns check the physics: framing must
+    yield exactly dur/25ms frames and a two-tone waveform's ZCR tracks its
+    fundamental (0 < zcr < 0.5 strictly — violations counted)."""
+    from open_finance_lakehouse_spark.functions import audio
+
+    clips = clips_from_documents(spark, sf_dir)
+    feats = clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        audio.frame_feature_batches, schema=audio.FEATURE_SCHEMA)
+    return (
+        feats.groupBy("codec", "sr_hz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_frames").alias("total_frames"),
+            F.round(F.avg("rms_mean"), 6).alias("avg_rms"),
+            F.round(F.avg("zcr"), 6).alias("avg_zcr"),
+            F.sum(F.when((F.col("zcr") <= 0.0) | (F.col("zcr") >= 0.5), 1)
+                  .otherwise(0)).alias("zcr_violations"),
+        )
+        .orderBy("codec", "sr_hz")
+    )
+
+
 @register("audio_maintenance_pipeline", None)
 def audio_maintenance_pipeline(spark, sf_dir):
     """End-to-end maintenance over a real table of derived clips:

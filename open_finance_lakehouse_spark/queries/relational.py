@@ -917,6 +917,52 @@ def event_key_dedup(spark, sf_dir):
 
 
 @register(
+    "user_event_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    sess AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM lagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def user_event_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity closes a session), the
+    batch code path of the custom stateful streaming operator
+    (``streaming/stateful.py`` maintains the identical algebra
+    incrementally via applyInPandasWithState): lag → break flag →
+    running-sum session id → per-session aggregate. One shuffle on
+    user_id; both window frames reuse it (named-window discipline, W8)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_millis(F.col("ts").cast("timestamp"))
+           - F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w)))
+    brk = F.when(gap > 1_800_000, 1).otherwise(0)
+    sess = (
+        ev.withColumn("brk", brk)
+        .withColumn("session_id",
+                    F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding,
+                                                    Window.currentRow)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        r2(F.sum("value")).alias("total_value"),
+    )
+
+
+@register(
     "watermark_cutoff_accounting",
     """
     SELECT event_type, status, count(*) AS n FROM (

@@ -153,6 +153,67 @@ def embedding_ivf_ann(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_cosine_near_dup",
+    f"""
+    WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
+               FROM embeddings),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_DOT_SQL.format(a='e.emb', b='c.cemb')} DESC, c.cid ASC)
+                 AS rn
+        FROM n e CROSS JOIN cent c) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id,
+             {_DOT_SQL.format(a='a.emb', b='b.emb')} AS cos
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT keeper_id, dup_id, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.35
+    """,
+)
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection — the semantic-dedup stage
+    of a training-data pipeline: candidates blocked by coarse-centroid
+    assignment (equi-join on cluster_id, never all-pairs), pairs kept at
+    cosine ≥ τ (τ=0.35, calibrated so the synthetic fixture — which has no
+    planted duplicates — still exercises the emit path; the pipeline is
+    τ-independent), keeper = lower vec_id (deterministic A2 discipline).
+    Recall trade (two near-dups may straddle a centroid boundary) is the
+    standard ANN-dedup trade; the kmeans-trained centroids
+    (``embedding_ivf_kmeans``) tighten it."""
+    e = load_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
+    e = e.persist()
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("ccos", F.expr(_cos("emb", "cemb")))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter("rn = 1")
+        .select("vec_id", "emb", "cid")
+        .persist()  # both self-join sides
+    )
+    a = assigned.select(F.col("vec_id").alias("keeper_id"), "cid",
+                        F.col("emb").alias("a_emb"))
+    b = assigned.select(F.col("vec_id").alias("dup_id"),
+                        F.col("cid").alias("b_cid"),
+                        F.col("emb").alias("b_emb"))
+    cos = F.expr(_cos("a_emb", "b_emb"))
+    return (
+        a.join(b, (F.col("cid") == F.col("b_cid"))
+               & (F.col("keeper_id") < F.col("dup_id")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("keeper_id", "dup_id", r6(F.col("cos")).alias("cosine"))
+    )
+
+
 _KMEANS_SQL = f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
