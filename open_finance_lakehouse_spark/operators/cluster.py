@@ -350,10 +350,14 @@ def cluster(
             .sortWithinPartitions("__zval", "clip_id")
             .drop("__zval")
         )
+        # fixed_partition: plain write (no dynamic partitioning) — besides
+        # being cheaper, it guarantees the writer inserts NO sort of its
+        # own, so the __zval ordering lands in the files byte-for-byte
         added = table.stage_dataframe(
             clustered,
             max_records_per_file=rpf,
             repartition_by_partition=False,
+            fixed_partition=part,
         )
         snap = table.commit_rewrite(
             set(paths_rel), added, operation="cluster",

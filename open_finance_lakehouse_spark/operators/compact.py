@@ -131,7 +131,8 @@ def _compact_partition(table, ledger, job_id, part, bins, target_bytes):
     added = table.stage_dataframe(
         df.coalesce(n_out),
         max_records_per_file=rpf,
-        repartition_by_partition=False,  # rows already in this partition
+        repartition_by_partition=False,
+        fixed_partition=part,  # rows already in this partition: plain write
     )
     snap = table.commit_rewrite(
         set(all_paths), added, operation="compact",

@@ -255,6 +255,7 @@ def merge_into(
             added = table.stage_dataframe(
                 merged.repartition(n_out), max_records_per_file=rpf,
                 repartition_by_partition=False,
+                fixed_partition=part,  # the whole rewrite targets one bucket
             )
             if files:
                 snap = table.commit_rewrite(

@@ -592,6 +592,30 @@ def test_cluster_global_single_job(spark, tmp_path):
     before.unpersist()
 
 
+def test_cluster_hilbert_end_to_end(spark, tmp_path):
+    """Hilbert-curve clustering through the full operator (not just the
+    kernel mirror): byte-identical rows and tightened stats."""
+    from open_finance_lakehouse_spark.operators.cluster import cluster_global
+
+    loc = str(tmp_path / "clips_h")
+    t = LakeTable.create(
+        spark, loc, "clips_h", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 200, dur_max_ms=900), max_records_per_file=8)
+    led = CheckpointLedger(str(tmp_path / "ledger_h"))
+    before = t.scan().cache()
+    before.count()
+    q_before = clustering_quality(t, "dur_ms")
+    res = cluster_global(t, led, "h1", curve="hilbert",
+                         target_bytes=256 * 1024, exchange="local")
+    assert res["rows"] == 200
+    assert scan_parity(before, t.scan()).count() == 0
+    assert clustering_quality(t, "dur_ms") < q_before
+    before.unpersist()
+
+
 def test_cluster_global_local_exchange_free(spark, tmp_path):
     """Shuffle-free clustering: one task per partition sorts locally —
     byte-identical rows, partition-pure target-size files, tighter stats,
