@@ -119,7 +119,25 @@ def dedup_latest_salted(source: DataFrame, key: str = "clip_id",
     return final
 
 
-def plan_merge_partitions(table: LakeTable, src: DataFrame) -> list[dict]:
+def _stats_map_for(table: LakeTable, key: str) -> str:
+    """Which manifest stats map carries the merge key's min/max, from the
+    table schema's dtype (string/long/double families)."""
+    dtype = dict(
+        (f.name, f.dataType.simpleString())
+        for f in table._empty_df().schema.fields
+    ).get(key)
+    if dtype in ("string",):
+        return "string"
+    if dtype in ("bigint", "int", "smallint", "tinyint", "date",
+                 "timestamp", "timestamp_ntz"):
+        return "long"
+    if dtype in ("double", "float"):
+        return "double"
+    raise ValueError(f"merge key {key} has unsupported dtype {dtype}")
+
+
+def plan_merge_partitions(table: LakeTable, src: DataFrame,
+                          key: str = "clip_id") -> list[dict]:
     """The merge plan in ONE Spark job + ONE driver collect: for every
     source partition, the touched target files (clip_id-range overlap with
     any source key) plus their total bytes/records for output sizing.
@@ -130,12 +148,13 @@ def plan_merge_partitions(table: LakeTable, src: DataFrame) -> list[dict]:
     files_df'). It broadcasts because file METADATA (path + bounds) is tiny
     relative to data even at millions of files; if it ever isn't, the same
     join runs as a shuffle join unchanged."""
+    kind = _stats_map_for(table, key)
     bounds = table.files_df().select(
         "file_path", "partition", "record_count", "file_size_bytes",
-        F.element_at("min_string", F.lit("clip_id")).alias("lo"),
-        F.element_at("max_string", F.lit("clip_id")).alias("hi"),
+        F.element_at(f"min_{kind}", F.lit(key)).alias("lo"),
+        F.element_at(f"max_{kind}", F.lit(key)).alias("hi"),
     )
-    keys = src.select("clip_id", "__part")
+    keys = src.select(key, "__part")
     # a key can only match rows in ITS OWN bucket partition's files, so the
     # partition equality is part of the join — it also guarantees two
     # concurrent partition workers never claim the same file (disjoint
@@ -144,8 +163,8 @@ def plan_merge_partitions(table: LakeTable, src: DataFrame) -> list[dict]:
         F.broadcast(bounds),
         (F.col("__part") == bounds.partition)
         & (bounds.lo.isNull()
-           | ((F.col("clip_id") >= bounds.lo)
-              & (F.col("clip_id") <= bounds.hi))),
+           | ((F.col(key) >= bounds.lo)
+              & (F.col(key) <= bounds.hi))),
         "left",
     )
     rows = (
@@ -171,8 +190,12 @@ def merge_into(
     n_salts: int | None = None,
     target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
     concurrency: int = DEFAULT_PARTITION_CONCURRENCY,
+    key: str | None = None,
 ) -> dict:
-    """Execute the salted MERGE. ``source_token`` fingerprints the source
+    """Execute the salted MERGE on natural key ``key`` (defaults to the
+    table's bucket-partition column — the reference merges every fact on
+    its own natural key, so the operator is key-generic).
+    ``source_token`` fingerprints the source
     batch (e.g. its input-file hash) and is REQUIRED: the per-partition
     replay-skip key is (job_id, partition, source_token), so an empty token
     would make two different batches under one job_id silently skip the
@@ -182,15 +205,18 @@ def merge_into(
             "merge_into requires a non-empty source_token identifying the "
             "source batch (it keys idempotent replay; an empty token would "
             "no-op every later batch under the same job_id)")
+    if key is None:
+        spec = table.meta.partition_spec or {}
+        key = spec.get("column", "clip_id")
     data_cols = [c for c in table._empty_df().columns]
-    src = dedup_latest_salted(source, n_salts=n_salts)
+    src = dedup_latest_salted(source, key=key, n_salts=n_salts)
 
     # route each source row to its target partition (same function the
     # writer uses, so inserts land in the right bucket)
     src = src.withColumn("__part", table.partition_value_col())
     src.persist()
     try:
-        plan = plan_merge_partitions(table, src)
+        plan = plan_merge_partitions(table, src, key=key)
 
         totals = {
             "job_id": job_id, "operation": "merge",
@@ -221,10 +247,10 @@ def merge_into(
 
             src_p = src.filter(F.col("__part") == part)
             s = src_p.select(
-                F.col("clip_id"),
+                F.col(key),
                 F.col("op").alias("__s_op"),
                 *[F.col(c).alias(f"__s_{c}")
-                  for c in data_cols if c != "clip_id"],
+                  for c in data_cols if c != key],
             )
             if files:
                 paths = [os.path.join(table.location, f) for f in files]
@@ -233,15 +259,15 @@ def merge_into(
             else:
                 tgt = table._empty_df()
 
-            j = tgt.join(s, "clip_id", "full_outer")
+            j = tgt.join(s, key, "full_outer")
             survives = j.filter(
                 F.col("__s_op").isNull() | (F.col("__s_op") == "U"))
             merged = survives.select(
-                "clip_id",
+                key,
                 *[
                     F.when(F.col("__s_op") == "U", F.col(f"__s_{c}"))
                     .otherwise(F.col(c)).alias(c)
-                    for c in data_cols if c != "clip_id"
+                    for c in data_cols if c != key
                 ],
             )
             # size the rewrite like compact does: ~target_bytes files, row

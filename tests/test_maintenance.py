@@ -489,6 +489,79 @@ def test_merge_partitions_stage_concurrently(spark, tmp_path, monkeypatch):
     assert t.scan().filter(~F.col("transcript").startswith("V2 ")).count() == 0
 
 
+def test_merge_generic_long_key(spark, tmp_path):
+    """MERGE is key-generic: a table bucketed on a BIGINT natural key
+    (stats pruning through the long min/max maps, inserts + updates +
+    deletes on event_id)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ev"), "ev",
+        "event_id BIGINT, kind STRING, amount DOUBLE",
+        partition_spec={"kind": "bucket", "column": "event_id",
+                        "num_buckets": 2},
+    )
+    t.append(spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("kind"),
+        (F.col("id") * 1.5).alias("amount")), max_records_per_file=10)
+    led = CheckpointLedger(str(tmp_path / "led_ev"))
+    src = spark.createDataFrame(
+        [(5, "k9", 99.0, "U", 1), (6, None, None, "D", 1),
+         (200, "new", 1.0, "U", 1)],
+        "event_id BIGINT, kind STRING, amount DOUBLE, op STRING, seq LONG")
+    res = merge_into(t, src, led, "ev-merge", source_token="b1")
+    assert res["partitions_planned"] >= 1
+    after = {r["event_id"]: r for r in t.scan().collect()}
+    assert len(after) == 100  # 100 - 1 delete + 1 insert
+    assert 6 not in after and after[200]["kind"] == "new"
+    assert after[5]["kind"] == "k9" and after[5]["amount"] == 99.0
+    assert after[7]["amount"] == 10.5  # untouched rows intact
+
+
+def test_merge_resumes_after_crash_mid_job(spark, tmp_path, monkeypatch):
+    """Crash after one partition committed: the re-run applies ONLY the
+    remaining partitions (file-granularity resume, no double-apply)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "clips_cr"), "clips_cr", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 3},
+    )
+    t.append(synth_clips(spark, 45, dur_max_ms=500), max_records_per_file=6)
+    led = CheckpointLedger(str(tmp_path / "led_cr"))
+    src = (t.scan().withColumn("transcript",
+                               F.concat(F.lit("V2 "), "transcript"))
+           .withColumn("op", F.lit("U"))
+           .withColumn("seq", F.lit(5).cast("long")))
+
+    calls = {"n": 0}
+    real = LakeTable.commit_rewrite
+
+    def crash_after_first(self, *a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", crash_after_first)
+    try:
+        merge_into(t, src, led, "job-crash", source_token="cr-1",
+                   concurrency=1)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(LakeTable, "commit_rewrite", real)
+
+    done_before = sum(1 for r in led.records("job-crash")
+                      if r.status == STATUS_COMMITTED)
+    assert done_before == 1  # exactly one partition survived the crash
+
+    res = merge_into(t, src, led, "job-crash", source_token="cr-1")
+    assert res["partitions_skipped"] == done_before
+    assert res["partitions_rewritten"] == res["partitions_planned"] - done_before
+    # every row updated exactly once — no double-apply, no missed partition
+    assert t.scan().filter(~F.col("transcript").startswith("V2 ")).count() == 0
+    assert t.scan().filter(F.col("transcript").startswith("V2 V2")).count() == 0
+    assert t.scan().count() == 45
+
+
 def test_parity_catches_dropped_null_payload_row(spark):
     """r1 VERDICT 'What's wrong #3': a before-row with NULL bytes that
     vanishes must be flagged — presence is tested with side markers, never
