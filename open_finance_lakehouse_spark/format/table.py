@@ -83,7 +83,13 @@ class LakeTable:
         schema_ddl: str,
         partition_spec: dict | None = None,
         properties: dict | None = None,
+        contract=None,
     ) -> "LakeTable":
+        """``contract`` (a ``quality.contracts.Contract``) is serialized
+        into the table properties so every writer enforces it at append."""
+        if contract is not None:
+            properties = {**(properties or {}),
+                          "contract": contract.to_property()}
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         meta = md.new_table_metadata(name, location, schema_ddl, partition_spec,
                                      properties)

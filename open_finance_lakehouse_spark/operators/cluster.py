@@ -48,26 +48,15 @@ from open_finance_lakehouse_spark.plans.ledger import (
 )
 
 
-def observed_bounds(files, columns=("dur_ms", "sr_hz")) -> dict:
-    """Normalization bounds for the curve axes from manifest min/max stats —
-    no data scan. Normalizing to the OBSERVED range gives every dimension
-    full bit-resolution in the interleave (a fixed global range would leave
-    narrow-domain dimensions with constant high bits and no sort influence)."""
-    out = {}
-    for c in columns:
-        los = [f.bounds(c)[0] for f in files if f.bounds(c) is not None]
-        his = [f.bounds(c)[1] for f in files if f.bounds(c) is not None]
-        if los:
-            lo, hi = float(min(los)), float(max(his))
-            out[c] = (lo, hi if hi > lo else lo + 1.0)
-    return out
-
-
 def observed_bounds_df(table: LakeTable, columns=("dur_ms", "sr_hz")) -> dict:
-    """Same bounds, computed as ONE aggregate over the ``files_df`` manifest
-    relation — the planning path never materializes the file inventory on
-    the driver (curve axes here are long-typed; extend the element_at maps
-    for double/string axes as needed)."""
+    """Normalization bounds for the curve axes from manifest min/max stats
+    — no data scan, computed as ONE aggregate over the ``files_df``
+    manifest relation (the planning path never materializes the file
+    inventory on the driver). Normalizing to the OBSERVED range gives
+    every dimension full bit-resolution in the interleave — a fixed global
+    range would leave narrow-domain dimensions with constant high bits and
+    no sort influence. Curve axes here are long-typed; extend the
+    element_at maps for double/string axes as needed."""
     aggs = []
     for c in columns:
         aggs.append(F.min(F.element_at("min_long", F.lit(c))).alias(f"lo_{c}"))

@@ -27,9 +27,8 @@ CONTRACT = Contract(not_null=["k"], unique=["k"],
 
 @pytest.fixture()
 def contracted(spark, tmp_path):
-    return LakeTable.create(
-        spark, str(tmp_path / "t"), "t", DDL,
-        properties={"contract": CONTRACT.to_property()})
+    return LakeTable.create(spark, str(tmp_path / "t"), "t", DDL,
+                            contract=CONTRACT)
 
 
 def _df(spark, rows):
