@@ -483,15 +483,25 @@ class LakeTable:
         """Drop snapshots from the log (current snapshot always survives).
 
         A snapshot is expired if it is NOT among the ``retain_last`` most
-        recent AND (when given) is older than ``older_than_ms``. Returns the
-        expired snapshot ids. File deletion is ``delete_orphans``'s job —
-        split so readers of retained snapshots never lose files (snapshot
-        isolation), mirroring Iceberg's expire/remove-orphans split.
+        recent ANCESTORS of the current snapshot AND (when given) is older
+        than ``older_than_ms``. Retention follows the parent chain — not
+        raw commit order — so a branch abandoned by ``rollback`` is
+        expirable immediately even though its head is the newest commit
+        (Iceberg's reachability rule). Returns the expired snapshot ids.
+        File deletion is ``delete_orphans``'s job — split so readers of
+        retained snapshots never lose files (snapshot isolation),
+        mirroring Iceberg's expire/remove-orphans split.
         """
 
         def build(meta: md.TableMetadata):
             ordered = sorted(meta.snapshots, key=lambda s: s.sequence_number)
-            keep_ids = {s.snapshot_id for s in ordered[-max(retain_last, 1):]}
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            chain: list[int] = []
+            cur = meta.current_snapshot_id
+            while cur is not None and cur in by_id:
+                chain.append(cur)
+                cur = by_id[cur].parent_id
+            keep_ids = set(chain[: max(retain_last, 1)])
             if meta.current_snapshot_id is not None:
                 keep_ids.add(meta.current_snapshot_id)
             kept, dropped = [], []
@@ -630,7 +640,48 @@ class LakeTable:
             victims_df = victims_df.filter(F.col("mtime") < cutoff)
         return [r["path"] for r in victims_df.select("path").collect()]
 
+    def rollback(self, snapshot_id: int) -> md.Snapshot:
+        """Point the table back at an earlier snapshot (Iceberg
+        rollback-to-snapshot): the recovery path after a bad rewrite —
+        MERGE applied the wrong batch, clustering with a broken kernel —
+        without copying any data. The rollback is itself a NEW metadata
+        version (CAS-committed), so it is concurrency-safe and itself
+        revertable; the abandoned snapshots stay readable until expire
+        drops them and GC collects their files."""
+
+        def build(meta: md.TableMetadata):
+            target = meta.snapshot(snapshot_id)  # raises if unknown
+            rolled = md.TableMetadata(
+                table_uuid=meta.table_uuid, name=meta.name,
+                location=meta.location, schema_ddl=meta.schema_ddl,
+                partition_spec=meta.partition_spec,
+                properties=dict(meta.properties),
+                current_snapshot_id=target.snapshot_id,
+                snapshots=list(meta.snapshots), version=meta.version,
+            )
+            return target, rolled
+
+        return self._try_commit(build)
+
     # ------------------------------------------------------------- metadata
+
+    def history(self) -> DataFrame:
+        """The snapshot log as a DataFrame (Delta DESCRIBE HISTORY / Iceberg
+        ``.snapshots`` analogue) — the audit surface for 'what changed
+        when', queryable through the SQL front door."""
+        rows = [
+            (s.snapshot_id, s.parent_id, s.sequence_number,
+             s.timestamp_ms, s.operation,
+             s.snapshot_id == self.meta.current_snapshot_id,
+             {k: str(v) for k, v in s.summary.items()})
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "timestamp_ms long, operation string, is_current boolean, "
+            "summary map<string,string>",
+        )
 
     def snapshots(self) -> list[md.Snapshot]:
         return sorted(self.meta.snapshots, key=lambda s: s.sequence_number)

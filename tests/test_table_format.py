@@ -187,3 +187,50 @@ def test_manifest_reuse_across_commits(spark, warehouse):
     t.commit_rewrite(second_files, staged)
     m3 = set(t.meta.snapshot().manifests)
     assert m1 < m3 and not (m2 - m1) & m3
+
+
+def test_rollback_recovers_from_bad_rewrite(spark, warehouse):
+    """rollback(snapshot_id): the recovery path after a bad maintenance
+    rewrite — no data copy, concurrency-safe, abandoned snapshots stay
+    readable until expire + GC collect them."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from open_finance_lakehouse_spark.sources.synth import (
+        CLIP_SCHEMA_DDL,
+        synth_clips,
+    )
+
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "rb"), "rb", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+    )
+    t.append(synth_clips(spark, 40, dur_max_ms=500), max_records_per_file=8)
+    good_snap = t.current_snapshot_id()
+    good_rows = {r["clip_id"]: r["transcript"] for r in t.scan().collect()}
+
+    # a "bad rewrite": replace the table with corrupted transcripts
+    t.replace(t.scan().withColumn("transcript", F.lit("CORRUPTED")))
+    assert t.scan().filter(F.col("transcript") == "CORRUPTED").count() == 40
+
+    t.rollback(good_snap)
+    assert t.current_snapshot_id() == good_snap
+    assert {r["clip_id"]: r["transcript"]
+            for r in t.scan().collect()} == good_rows
+    # history records every step, current flag on the rolled-back snapshot
+    hist = {r["snapshot_id"]: r for r in t.history().collect()}
+    assert hist[good_snap]["is_current"]
+    assert any(r["operation"] == "replace" for r in hist.values())
+
+    # the abandoned branch expires + GCs; the good snapshot's files survive
+    t.expire_snapshots(retain_last=1)
+    victims = t.delete_orphans(grace_ms=0)
+    assert victims  # the corrupted rewrite's files were collected
+    assert {r["clip_id"]: r["transcript"]
+            for r in t.scan().collect()} == good_rows
+
+    # a new commit after rollback continues the lineage cleanly
+    t.append(synth_clips(spark, 5, id_offset=900, dur_max_ms=400))
+    assert t.scan().count() == 45
