@@ -4,7 +4,7 @@ callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | pipeline |
-publish | silver-drain | sql.
+publish | silver-drain | rollback | history | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -84,6 +84,16 @@ def main(argv=None):
     sd.add_argument("--window", default="1 minute")
     sd.add_argument("--master", default=None)
 
+    rb = sub.add_parser("rollback",
+                        help="point the table back at an earlier snapshot")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--snapshot-id", type=int, required=True)
+    rb.add_argument("--master", default=None)
+
+    hi = sub.add_parser("history", help="print the snapshot log")
+    hi.add_argument("--table", required=True)
+    hi.add_argument("--master", default=None)
+
     sq = sub.add_parser("sql", help="run SQL over registered tables")
     sq.add_argument("--register", action="append", default=[],
                     metavar="NAME=LOCATION",
@@ -131,6 +141,15 @@ def main(argv=None):
                                    CheckpointLedger(args.ledger),
                                    window=args.window)
         out = silver.drain()
+    elif args.cmd == "rollback":
+        t = LakeTable.load(spark, args.table)
+        snap = t.rollback(args.snapshot_id)
+        out = {"operation": "rollback", "current": snap.snapshot_id,
+               "rows": t.scan().count()}
+    elif args.cmd == "history":
+        t = LakeTable.load(spark, args.table)
+        out = {"operation": "history",
+               "snapshots": [r.asDict() for r in t.history().collect()]}
     elif args.cmd == "sql":
         from open_finance_lakehouse_spark.sql import register_tables, run_sql
 

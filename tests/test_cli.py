@@ -32,6 +32,20 @@ def test_cli_synth_pipeline_sql(spark, tmp_path, capsys):
     assert out["rows"] == [{"n": 40, "k": 40}]
 
 
+def test_cli_history_and_rollback(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips_rb")
+    _run(capsys, ["synth", "--table", loc, "--rows", "20", "--buckets", "2"])
+    t = LakeTable.load(spark, loc)
+    good = t.current_snapshot_id()
+    t.replace(t.scan().limit(5))  # a "bad" rebuild drops rows
+    out = _run(capsys, ["rollback", "--table", loc,
+                        "--snapshot-id", str(good)])
+    assert out["current"] == good and out["rows"] == 20
+    out = _run(capsys, ["history", "--table", loc])
+    ops = [s["operation"] for s in out["snapshots"]]
+    assert "append" in ops and "replace" in ops
+
+
 def test_cli_publish_withholds_then_publishes(spark, tmp_path, capsys):
     gold = LakeTable.create(spark, str(tmp_path / "gold"), "gold",
                             "k STRING, v DOUBLE")
