@@ -13,8 +13,10 @@ table format:
 - **foreachBatch dual-sink**: one parse feeds two sinks advancing one
   checkpoint; the micro-batch is persisted so it is read once
   (/root/reference/ofl/streaming/bronze.py:237-264).
-- **Idempotent replay**: appends keyed (query_id, batch_id) in the ledger —
-  a replayed micro-batch is a no-op (Delta txnAppId/txnVersion equivalent,
+- **Idempotent replay**: a (txn_app_id, txn_id) marker commits INSIDE each
+  sink's snapshot summary — atomic with the data, checked per sink, so a
+  replayed micro-batch is a no-op across any crash window (Delta
+  txnAppId/txnVersion equivalent,
   /root/reference/ofl/streaming/bronze.py:185-194).
 - **Watermark + tumbling window + bounded-state dedup** on the silver hop
   (/root/reference/ofl/streaming/silver.py:103-121), aggregation algebra
