@@ -70,6 +70,13 @@ _INT_TYPES = {"int32", "int64", "int16", "int8", "uint32", "uint16", "uint8"}
 _FLOAT_TYPES = {"float", "double", "float32", "float64", "halffloat"}
 
 
+def _as_utc(dt):
+    """Treat a tz-naive stat datetime as UTC (parquet stats are instants)."""
+    from datetime import timezone
+
+    return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+
+
 def collect_file_stats(abs_path: str, rel_path: str, partition: str) -> DataFile:
     """Build a DataFile entry from one Parquet file's footer.
 
@@ -123,9 +130,13 @@ def collect_file_stats(abs_path: str, rel_path: str, partition: str) -> DataFile
             try:
                 lo_i, hi_i = int(lo), int(hi)
             except (TypeError, ValueError):
-                # timestamps come back as datetime; store epoch-micros
-                lo_i = int(lo.timestamp() * 1_000_000)
-                hi_i = int(hi.timestamp() * 1_000_000)
+                # timestamps come back as datetime; store epoch-micros.
+                # Parquet timestamp stats are UTC instants, but pyarrow
+                # returns tz-NAIVE datetimes for timestamp_ntz — naive
+                # .timestamp() would shift by the driver's UTC offset and
+                # mis-prune files on any non-UTC host, so pin naive → UTC.
+                lo_i = int(_as_utc(lo).timestamp() * 1_000_000)
+                hi_i = int(_as_utc(hi).timestamp() * 1_000_000)
             entry.min_long[name] = lo_i
             entry.max_long[name] = hi_i
         elif kind == "double":

@@ -25,7 +25,7 @@ import os
 import re
 import time
 import uuid
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 _VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
@@ -52,6 +52,13 @@ class TableMetadata:
     current_snapshot_id: int | None
     snapshots: list[Snapshot]
     version: int = 0
+    # Highest snapshot id EVER issued for this table — monotone for the
+    # table's lifetime, never reset by expire. Without it, expiring an
+    # abandoned rollback branch would let ``next_snapshot`` (which used to
+    # derive the id from the surviving log) re-issue an expired snapshot's
+    # id, silently re-binding every held reference (scan(snapshot_id=...),
+    # incremental cursors, ledger committed_snapshot_id) to different data.
+    last_snapshot_id: int = 0
 
     # -- snapshot helpers ---------------------------------------------------
 
@@ -67,11 +74,14 @@ class TableMetadata:
     def next_snapshot(
         self, operation: str, manifests: list[str], summary: dict
     ) -> Snapshot:
-        seq = max((s.sequence_number for s in self.snapshots), default=0) + 1
+        # id source is last_snapshot_id (lifetime-monotone), guarded by the
+        # in-log maximum for metadata written before the counter existed
+        sid = max(self.last_snapshot_id,
+                  max((s.snapshot_id for s in self.snapshots), default=0)) + 1
         return Snapshot(
-            snapshot_id=seq,
+            snapshot_id=sid,
             parent_id=self.current_snapshot_id,
-            sequence_number=seq,
+            sequence_number=sid,
             timestamp_ms=int(time.time() * 1000),
             operation=operation,
             manifests=manifests,
@@ -79,16 +89,12 @@ class TableMetadata:
         )
 
     def with_snapshot(self, snap: Snapshot) -> "TableMetadata":
-        return TableMetadata(
-            table_uuid=self.table_uuid,
-            name=self.name,
-            location=self.location,
-            schema_ddl=self.schema_ddl,
-            partition_spec=self.partition_spec,
+        return replace(
+            self,
             properties=dict(self.properties),
             current_snapshot_id=snap.snapshot_id,
             snapshots=[*self.snapshots, snap],
-            version=self.version,
+            last_snapshot_id=max(self.last_snapshot_id, snap.snapshot_id),
         )
 
     # -- (de)serialization ----------------------------------------------------
@@ -104,6 +110,9 @@ class TableMetadata:
         doc = json.loads(text)
         doc.pop("format_version", None)
         snaps = [Snapshot(**s) for s in doc.pop("snapshots")]
+        # pre-counter metadata: seed from the surviving log (best available)
+        doc.setdefault("last_snapshot_id",
+                       max((s.snapshot_id for s in snaps), default=0))
         return TableMetadata(snapshots=snaps, version=version, **doc)
 
 

@@ -23,7 +23,7 @@ import shutil
 import threading
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -397,6 +397,12 @@ class LakeTable:
         ofl/ingestion/landing.py:60-70)."""
         from open_finance_lakehouse_spark.quality import contracts as qc
 
+        if on_violation not in ("reject", "dead_letter"):
+            # a typo'd mode must not silently drop violators (quiet data
+            # loss); fail loudly before anything is staged
+            raise ValueError(
+                f"on_violation={on_violation!r} — expected 'reject' or "
+                "'dead_letter'")
         contract = qc.Contract.from_properties(self.meta.properties)
         if contract is None:
             return self.commit_append(
@@ -512,14 +518,10 @@ class LakeTable:
                     kept.append(s)
                 else:
                     dropped.append(s.snapshot_id)
-            snap_meta = md.TableMetadata(
-                table_uuid=meta.table_uuid, name=meta.name,
-                location=meta.location, schema_ddl=meta.schema_ddl,
-                partition_spec=meta.partition_spec,
-                properties=dict(meta.properties),
-                current_snapshot_id=meta.current_snapshot_id,
-                snapshots=kept, version=meta.version,
-            )
+            # last_snapshot_id survives the expire untouched — expired ids
+            # are never re-issued (snapshot ids are lifetime-unique)
+            snap_meta = dc_replace(meta, properties=dict(meta.properties),
+                                   snapshots=kept)
             marker = meta.next_snapshot("expire", [], {})  # unused, api shape
             marker.manifests = []
             self._expired = dropped
@@ -616,6 +618,10 @@ class LakeTable:
                                         e.stat().st_mtime))
             except FileNotFoundError:
                 pass
+            except NotADirectoryError:
+                # a stray regular file under data/ — it IS a GC candidate
+                # (the walk path treats it as one); emit it as an entry
+                out.append((rel_dir, os.path.getmtime(base)))
             return out
 
         found = self.spark.createDataFrame(
@@ -651,14 +657,9 @@ class LakeTable:
 
         def build(meta: md.TableMetadata):
             target = meta.snapshot(snapshot_id)  # raises if unknown
-            rolled = md.TableMetadata(
-                table_uuid=meta.table_uuid, name=meta.name,
-                location=meta.location, schema_ddl=meta.schema_ddl,
-                partition_spec=meta.partition_spec,
-                properties=dict(meta.properties),
-                current_snapshot_id=target.snapshot_id,
-                snapshots=list(meta.snapshots), version=meta.version,
-            )
+            rolled = dc_replace(meta, properties=dict(meta.properties),
+                                current_snapshot_id=target.snapshot_id,
+                                snapshots=list(meta.snapshots))
             return target, rolled
 
         return self._try_commit(build)

@@ -70,6 +70,12 @@ MERGE_EXTRA_COLS = ("op", "seq")
 
 DEFAULT_PARTITION_CONCURRENCY = 8
 
+# Above this live-file-count estimate the merge planner stops hinting the
+# file-bounds relation broadcastable and lets it run as a shuffle join: at
+# tens of millions of files the bounds rows are GBs and a forced broadcast
+# build would OOM the driver before any fallback could kick in.
+BROADCAST_FILE_LIMIT = 100_000
+
 
 def choose_salt_count(source: DataFrame, key: str = "clip_id",
                       rows_per_reducer: int = 1_000_000,
@@ -136,38 +142,44 @@ def _stats_map_for(table: LakeTable, key: str) -> str:
     raise ValueError(f"merge key {key} has unsupported dtype {dtype}")
 
 
-def plan_merge_partitions(table: LakeTable, src: DataFrame,
-                          key: str = "clip_id") -> list[dict]:
-    """The merge plan in ONE Spark job + ONE driver collect: for every
-    source partition, the touched target files (clip_id-range overlap with
-    any source key) plus their total bytes/records for output sizing.
+def merge_plan_df(table: LakeTable, src: DataFrame,
+                  key: str = "clip_id") -> DataFrame:
+    """The merge plan as an uncollected DataFrame: for every source
+    partition, the touched target files (key-range overlap with any source
+    key) plus their total bytes/records for output sizing.
 
     The file-bounds side comes from ``files_df`` — the manifest parquet read
     as a Spark relation — so planning never driver-materializes the file
     inventory (the 100 TB scale path; VERDICT r1 'route planners through
-    files_df'). It broadcasts because file METADATA (path + bounds) is tiny
-    relative to data even at millions of files; if it ever isn't, the same
-    join runs as a shuffle join unchanged."""
+    files_df'). The broadcast hint is GATED on a snapshot-summary file-count
+    estimate (same probe as ``delete_orphans``'s distributed switch): below
+    ``BROADCAST_FILE_LIMIT`` the bounds relation is hinted broadcastable;
+    above it the join runs as a shuffle join so a huge inventory can never
+    OOM the driver's broadcast build."""
     kind = _stats_map_for(table, key)
     bounds = table.files_df().select(
         "file_path", "partition", "record_count", "file_size_bytes",
         F.element_at(f"min_{kind}", F.lit(key)).alias("lo"),
         F.element_at(f"max_{kind}", F.lit(key)).alias("hi"),
     )
+    est_files = sum(int(s.summary.get("added_files", 0) or 0)
+                    for s in table.meta.snapshots)
+    bounds_rel = (F.broadcast(bounds) if est_files < BROADCAST_FILE_LIMIT
+                  else bounds)
     keys = src.select(key, "__part")
     # a key can only match rows in ITS OWN bucket partition's files, so the
     # partition equality is part of the join — it also guarantees two
     # concurrent partition workers never claim the same file (disjoint
     # rewrite sets — commit_rewrite conflicts otherwise)
     hit = keys.join(
-        F.broadcast(bounds),
+        bounds_rel,
         (F.col("__part") == bounds.partition)
         & (bounds.lo.isNull()
            | ((F.col(key) >= bounds.lo)
               & (F.col(key) <= bounds.hi))),
         "left",
     )
-    rows = (
+    return (
         hit.select("__part", "file_path", "file_size_bytes", "record_count")
         .distinct()
         .groupBy("__part")
@@ -176,8 +188,14 @@ def plan_merge_partitions(table: LakeTable, src: DataFrame,
             F.coalesce(F.sum("file_size_bytes"), F.lit(0)).alias("bytes_in"),
             F.coalesce(F.sum("record_count"), F.lit(0)).alias("records_in"),
         )
-        .collect()
     )
+
+
+def plan_merge_partitions(table: LakeTable, src: DataFrame,
+                          key: str = "clip_id") -> list[dict]:
+    """``merge_plan_df`` collected: ONE Spark job + ONE driver collect
+    returns the whole merge plan in an O(partitions) round-trip."""
+    rows = merge_plan_df(table, src, key).collect()
     return sorted((r.asDict() for r in rows), key=lambda r: r["__part"])
 
 
@@ -208,6 +226,17 @@ def merge_into(
     if key is None:
         spec = table.meta.partition_spec or {}
         key = spec.get("column", "clip_id")
+    part_col = (table.meta.partition_spec or {}).get("column")
+    if part_col is not None and key != part_col:
+        # the plan joins on file.partition == source __part AND routes each
+        # rewrite to one bucket — both assume the merge key IS the
+        # bucket-partition column. A different key would leave matching
+        # target rows in other buckets unjoined: the upsert would silently
+        # insert a duplicate instead of updating. Fail loudly instead.
+        raise ValueError(
+            f"merge key {key!r} must equal the table's bucket-partition "
+            f"column {part_col!r}: the partition-pruned merge plan only "
+            "visits the key's own bucket")
     data_cols = [c for c in table._empty_df().columns]
     src = dedup_latest_salted(source, key=key, n_salts=n_salts)
 

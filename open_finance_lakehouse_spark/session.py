@@ -83,6 +83,12 @@ def build_session(
         # LZ4_RAW) is what independent readers (DuckDB/arrow witnesses)
         # can decode — hadoop-framed "lz4" is Spark-only.
         .config("spark.sql.parquet.compression.codec", "lz4_raw")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # which silently disables every manifest-stats prune on TIMESTAMP
+        # columns (trade_time, window_start) — the incremental silver's
+        # file skipping depends on them. INT64 micros is also what
+        # independent readers (DuckDB/arrow) expect.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         # measured: an oversized heap (48g) makes local[32] rewrites 5x
         # SLOWER than 8-12g (GC/page-commit pathology scales with threads x

@@ -135,3 +135,12 @@ def test_sql_front_door_and_missing_table_skip(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         register_tables(spark, {"ghost": str(tmp_path / "nope")},
                         on_missing="raise")
+
+
+def test_append_rejects_unknown_violation_mode(spark, contracted):
+    """A typo'd on_violation (e.g. 'deadletter') must raise, not silently
+    drop violators down the dead-letter branch with no dead-letter table."""
+    ok = _df(spark, [("z1", 5.0, "a")])
+    with pytest.raises(ValueError, match="on_violation"):
+        contracted.append(ok, on_violation="deadletter")
+    assert contracted.refresh().current_snapshot_id() is None

@@ -192,3 +192,40 @@ def test_run_report_matches_mirror(spark, tmp_path):
     got_open = {(int(r["window_start"].timestamp() * US), r["symbol"])
                 for r in ow}
     assert got_open == mirror_open
+
+
+def test_incremental_drain_publish_is_o_delta(spark, bronze, tmp_path):
+    """VERDICT r3 item 1: with N windows of rollup history, a drain whose
+    delta touches ONE window must rewrite ONLY the file(s) containing that
+    window — every other rollup file survives the commit BY PATH (manifest
+    reuse), so publish cost is O(delta windows), not O(silver)."""
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="odelta",
+                               max_records_per_file=2)
+    # 12 one-minute windows of history, one trade each
+    b1 = [_event("BTC", i, BASE_MS + i * 60_000) for i in range(12)]
+    bronze.append(_bronze_rows(spark, b1))
+    m1 = silver.drain()
+    assert m1["windows_recomputed"] == 12
+    files_before = {f.file_path for f in silver.silver.live_files()}
+    assert len(files_before) >= 6  # 12 time-sorted rows at ≤2 rows/file
+
+    # delta: one late trade into window 3 only
+    bronze.append(_bronze_rows(
+        spark, [_event("BTC", 99, BASE_MS + 3 * 60_000 + 5_000)]))
+    m2 = silver.drain()
+    assert m2["windows_recomputed"] == 1
+    assert m2["silver_files_rewritten"] == 1
+    assert m2["silver_files_kept"] == len(files_before) - 1
+
+    files_after = {f.file_path for f in silver.silver.live_files()}
+    # all but the one touched file survive by path
+    assert len(files_before & files_after) == len(files_before) - 1
+
+    # and the incremental state still equals the full batch recompute
+    expect = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+              for r in build_minute_rollup(bronze.scan()).collect()}
+    got = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+           for r in silver.silver.scan().collect()}
+    assert got == expect

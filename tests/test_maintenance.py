@@ -726,3 +726,61 @@ def test_cluster_global_local_exchange_free(spark, tmp_path):
                           exchange="local")
     assert res2["partitions_skipped"] == 3 and res2["partitions_rewritten"] == 0
     before.unpersist()
+
+
+def test_merge_key_must_match_partition_column(spark, tmp_path):
+    """On a bucket-partitioned table the merge key MUST be the partition
+    column — the plan prunes to the key's own bucket, so any other key
+    would silently miss matching rows in other buckets (upsert would
+    duplicate instead of update). The operator refuses instead."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "wrongkey"), "wrongkey",
+        "event_id BIGINT, kind STRING, amount DOUBLE",
+        partition_spec={"kind": "bucket", "column": "event_id",
+                        "num_buckets": 2},
+    )
+    t.append(spark.range(10).select(
+        F.col("id").alias("event_id"), F.lit("k").alias("kind"),
+        F.lit(1.0).alias("amount")))
+    led = CheckpointLedger(str(tmp_path / "led_wk"))
+    src = spark.createDataFrame(
+        [("k", 1, 9.0, "U", 1)],
+        "kind STRING, event_id BIGINT, amount DOUBLE, op STRING, seq LONG")
+    with pytest.raises(ValueError, match="bucket-partition"):
+        merge_into(t, src, led, "wk", source_token="b1", key="kind")
+
+
+def test_merge_broadcast_gated_on_file_count(spark, tmp_path, monkeypatch):
+    """The planner's broadcast hint on the file-bounds relation must
+    disappear above the live-file estimate threshold (a forced broadcast
+    of tens of millions of file entries would OOM the driver)."""
+    import importlib
+
+    # the operators package re-exports the merge_into FUNCTION under the
+    # submodule's name; import_module gets the module itself
+    mi = importlib.import_module(
+        "open_finance_lakehouse_spark.operators.merge_into")
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "bcast"), "bcast",
+        "event_id BIGINT, amount DOUBLE",
+        partition_spec={"kind": "bucket", "column": "event_id",
+                        "num_buckets": 2},
+    )
+    t.append(spark.range(20).select(
+        F.col("id").alias("event_id"), F.lit(1.0).alias("amount")))
+    src = (spark.createDataFrame([(3, 5.0, "U", 1)],
+                                 "event_id BIGINT, amount DOUBLE, "
+                                 "op STRING, seq LONG")
+           .withColumn("__part", t.partition_value_col()))
+
+    def hint_in_plan(df) -> bool:
+        # the HINT lives in the optimized logical plan's join node; the
+        # physical plan can't distinguish a hint from AQE's size-based
+        # auto-broadcast at sandbox scale
+        return "broadcast" in \
+            df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    assert hint_in_plan(mi.merge_plan_df(t, src, key="event_id"))
+    monkeypatch.setattr(mi, "BROADCAST_FILE_LIMIT", 1)
+    assert not hint_in_plan(mi.merge_plan_df(t, src, key="event_id"))

@@ -234,3 +234,38 @@ def test_rollback_recovers_from_bad_rewrite(spark, warehouse):
     # a new commit after rollback continues the lineage cleanly
     t.append(synth_clips(spark, 5, id_offset=900, dur_max_ms=400))
     assert t.scan().count() == 45
+
+
+def test_snapshot_ids_unique_for_table_lifetime(spark, warehouse):
+    """Rollback + expire must never let a later commit re-issue an expired
+    snapshot's id (held references — time travel, incremental cursors,
+    ledger rows — would silently re-bind to different data)."""
+    t = make_table(spark, warehouse, name="ids")
+    s1 = t.append(kdf(spark, 0, 10))
+    s2 = t.append(kdf(spark, 10, 20))  # the branch we will abandon
+    t.rollback(s1.snapshot_id)
+    assert t.expire_snapshots(retain_last=1) == [s2.snapshot_id]
+    s3 = t.append(kdf(spark, 20, 30))
+    assert s3.snapshot_id > s2.snapshot_id  # NOT a reused id
+    # a stale cursor at s2 now (correctly) reports expiration rather than
+    # silently matching a new snapshot that reused its id
+    all_ids = [s.snapshot_id for s in t.snapshots()]
+    assert s2.snapshot_id not in all_ids
+    # the counter survives reload from disk
+    t2 = LakeTable.load(spark, t.location)
+    s4 = t2.append(kdf(spark, 30, 40))
+    assert s4.snapshot_id > s3.snapshot_id
+
+
+def test_distributed_gc_tolerates_stray_file_under_data(spark, warehouse):
+    """A stray regular file directly under data/ (not in a part= dir) must
+    not crash the distributed lister — and, being unreachable, is GC'd."""
+    t = make_table(spark, warehouse, name="stray")
+    t.append(kdf(spark, 0, 10))
+    stray = os.path.join(t.location, "data", "stray.bin")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    victims = t.delete_orphans(distributed=True)
+    assert os.path.join("data", "stray.bin") in victims
+    assert not os.path.exists(stray)
+    assert t.scan().count() == 10
