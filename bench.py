@@ -62,30 +62,49 @@ def run_bench(sf_dir: str, cpus: str, out=None):
     spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy("n_regionkey") \
         .count().collect()
 
+    # MIN-OF-N, INTERLEAVED: this host's shared-tenancy noise is ±3×
+    # (BENCH/BASELINE.md), so single-shot timings make round-over-round
+    # comparisons unreadable. Repeats are interleaved (full query list per
+    # round, not N back-to-back runs of one query) so a noisy minute hits
+    # every query equally — the tools/scaling_bench.py protocol; the min
+    # is the host's best sustained engine time.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _rep in range(repeats):
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.monotonic()
+            n = fn(spark, sf_dir).count()
+            samples[name].append(time.monotonic() - t0)
+            assert n >= 0
     for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.monotonic()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        assert n >= 0
+        timings[name] = round(min(samples[name]), 3)
 
     # maintenance pipeline on a clip table derived from this SF's documents
-    workdir = os.path.join(tempfile.gettempdir(),
-                           f"ofl_bench_{uuid.uuid4().hex[:8]}")
-    t = LakeTable.create(
-        spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
-        partition_spec={"kind": "bucket", "column": "clip_id",
-                        "num_buckets": int(cpus)},
-    )
-    t0 = time.monotonic()
-    t.append(clips_from_documents(spark, sf_dir), max_records_per_file=64)
-    timings["clip_synthesis_write"] = round(time.monotonic() - t0, 3)
+    # — min-of-N over FRESH tables (a rerun on the same table would be a
+    # measured no-op, not a repeat)
+    synth_s, maint_s, metric_s = [], [], []
+    for _rep in range(repeats):
+        workdir = os.path.join(tempfile.gettempdir(),
+                               f"ofl_bench_{uuid.uuid4().hex[:8]}")
+        t = LakeTable.create(
+            spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
+            partition_spec={"kind": "bucket", "column": "clip_id",
+                            "num_buckets": int(cpus)},
+        )
+        t0 = time.monotonic()
+        t.append(clips_from_documents(spark, sf_dir), max_records_per_file=64)
+        synth_s.append(time.monotonic() - t0)
 
-    ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
-    t0 = time.monotonic()
-    metrics = run_maintenance(t, ledger, job_id="bench",
-                              target_bytes=32 * 1024 * 1024, with_audit=False)
-    timings["maintenance_pipeline"] = round(time.monotonic() - t0, 3)
+        ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
+        t0 = time.monotonic()
+        m = run_maintenance(t, ledger, job_id="bench",
+                            target_bytes=32 * 1024 * 1024, with_audit=False)
+        maint_s.append(time.monotonic() - t0)
+        metric_s.append(m)
+    timings["clip_synthesis_write"] = round(min(synth_s), 3)
+    timings["maintenance_pipeline"] = round(min(maint_s), 3)
+    metrics = max(metric_s, key=lambda m: m["clips_per_sec"])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -95,6 +114,8 @@ def run_bench(sf_dir: str, cpus: str, out=None):
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
+        "repeats": repeats,
+        "protocol": "min-of-N interleaved",
         "maintenance_clips": metrics["clips"],
         "maintenance_engine_ms": metrics["engine_ms"],
         "maintenance_clips_per_sec": round(metrics["clips_per_sec"], 2),

@@ -31,7 +31,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--ledger", required=True, help="checkpoint ledger root")
     p.add_argument("--job-id", default=None)
     p.add_argument("--master", default=None)
-    p.add_argument("--target-mb", type=int, default=128)
+    # None -> the table's declared maintenance.target_bytes (or the format
+    # default); an explicit flag always overrides the declared config
+    p.add_argument("--target-mb", type=int, default=None)
 
 
 def main(argv=None):
@@ -49,14 +51,14 @@ def main(argv=None):
         p = sub.add_parser(name)
         _common(p)
         if name == "cluster":
-            p.add_argument("--curve", default="zorder",
+            p.add_argument("--curve", default=None,
                            choices=["zorder", "hilbert"])
-            p.add_argument("--mode", default="global",
+            p.add_argument("--mode", default=None,
                            choices=["global", "per-partition"])
         if name in ("expire", "pipeline"):
-            p.add_argument("--retain-last", type=int, default=1)
+            p.add_argument("--retain-last", type=int, default=None)
         if name == "pipeline":
-            p.add_argument("--cluster-mode", default="global",
+            p.add_argument("--cluster-mode", default=None,
                            choices=["global", "per-partition"])
 
     mp = sub.add_parser("merge", help="MERGE a parquet source (op/seq cols)")
@@ -105,6 +107,29 @@ def main(argv=None):
     args = ap.parse_args(argv)
     spark = build_session(f"ofl-{args.cmd}", master=args.master)
 
+    # run-level lineage: every lane with a durable root (ledger, else the
+    # table itself) emits START → COMPLETE/FAIL events around its run
+    # (reference ofl/cli.py:216-219 + ofl/platform/lineage.py:19-56); the
+    # sql lane has no table-side state and stays unlogged
+    root = getattr(args, "ledger", None) or getattr(args, "table", None)
+    if root is not None:
+        from open_finance_lakehouse_spark.plans.lineage import RunLog
+
+        with RunLog(root).run(
+                args.cmd,
+                facets={"table": getattr(args, "table", None)}) as summary:
+            out = _execute(spark, args)
+            for k in ("rows", "clips", "snapshot", "operation", "published",
+                      "cursor", "job_id", "clips_per_sec"):
+                if isinstance(out, dict) and k in out:
+                    summary[k] = out[k]
+    else:
+        out = _execute(spark, args)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def _execute(spark, args) -> dict:
     if args.cmd == "synth":
         t = LakeTable.create(
             spark, args.table, "clips", CLIP_SCHEMA_DDL,
@@ -159,27 +184,39 @@ def main(argv=None):
                 run_sql(spark, args.query).limit(args.limit).collect()]
         out = {"registration": reg, "rows": rows}
     else:
+        from open_finance_lakehouse_spark.operators.config import (
+            maintenance_config,
+        )
+
         t = LakeTable.load(spark, args.table)
         ledger = CheckpointLedger(args.ledger)
         job_id = args.job_id or f"{args.cmd}-cli"
-        target = args.target_mb * 1024 * 1024
+        # flags beat the table's declared maintenance.* config, which
+        # beats the built-in defaults (registry discipline, SURVEY §1.4)
+        cfg = maintenance_config(t)
+        target = (args.target_mb * 1024 * 1024 if args.target_mb
+                  else cfg["target_bytes"])
         if args.cmd == "compact":
             from open_finance_lakehouse_spark.operators.compact import compact
 
-            out = compact(t, ledger, job_id, target_bytes=target)
+            out = compact(t, ledger, job_id, target_bytes=target,
+                          concurrency=cfg["concurrency"])
         elif args.cmd == "cluster":
             from open_finance_lakehouse_spark.operators.cluster import (
                 cluster,
                 cluster_global,
             )
 
-            fn = cluster_global if args.mode == "global" else cluster
-            out = fn(t, ledger, job_id, curve=args.curve,
-                     target_bytes=target)
+            mode = args.mode or cfg["cluster_mode"]
+            curve = args.curve or cfg["curve"] or "zorder"
+            fn = cluster_global if mode == "global" else cluster
+            out = fn(t, ledger, job_id, curve=curve, target_bytes=target)
         elif args.cmd == "expire":
             from open_finance_lakehouse_spark.operators.expire import expire
 
-            out = expire(t, ledger, job_id, retain_last=args.retain_last)
+            retain = (args.retain_last if args.retain_last is not None
+                      else cfg["retain_last"])
+            out = expire(t, ledger, job_id, retain_last=retain)
         elif args.cmd == "merge":
             from open_finance_lakehouse_spark.operators.merge_into import (
                 merge_into,
@@ -193,12 +230,15 @@ def main(argv=None):
                 run_maintenance,
             )
 
-            out = run_maintenance(t, ledger, job_id=args.job_id,
-                                  target_bytes=target,
-                                  retain_last=args.retain_last,
-                                  cluster_mode=args.cluster_mode)
-    print(json.dumps(out, default=str))
-    return 0
+            kw = {}
+            if args.target_mb:
+                kw["target_bytes"] = target
+            if args.retain_last is not None:
+                kw["retain_last"] = args.retain_last
+            if args.cluster_mode:
+                kw["cluster_mode"] = args.cluster_mode
+            out = run_maintenance(t, ledger, job_id=args.job_id, **kw)
+    return out
 
 
 if __name__ == "__main__":

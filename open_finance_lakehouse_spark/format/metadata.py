@@ -39,6 +39,11 @@ class Snapshot:
     operation: str  # append | rewrite | overwrite | merge | expire
     manifests: list[str]  # paths relative to the table root
     summary: dict = field(default_factory=dict)
+    # The table schema AT COMMIT TIME (Iceberg's schema-per-snapshot idea):
+    # time travel reads a snapshot with the schema it was committed under,
+    # not the table's current one. None = legacy snapshot predating schema
+    # evolution; readers fall back to the current schema.
+    schema_ddl: str | None = None
 
 
 @dataclass
@@ -86,6 +91,7 @@ class TableMetadata:
             operation=operation,
             manifests=manifests,
             summary=summary,
+            schema_ddl=self.schema_ddl,
         )
 
     def with_snapshot(self, snap: Snapshot) -> "TableMetadata":
@@ -166,10 +172,24 @@ def read_current_metadata(location: str) -> TableMetadata:
 
 
 def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
-    """Atomically create v{version}; raises FileExistsError on a lost race."""
+    """Atomically create v{version}; raises FileExistsError on a lost race.
+
+    Content atomicity matters as much as existence: an O_EXCL create
+    followed by the write would let a concurrent reader observe a
+    partially-written document (caught by the cross-process race test).
+    So the document is fully written + fsync'd to a temp file first, then
+    ``os.link``ed into place — link is the CAS (EEXIST → FileExistsError)
+    and the file is never visible with incomplete content."""
     d = metadata_dir(meta.location)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"v{version}.metadata.json")
-    with open(path, "x", encoding="utf-8") as f:
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write(meta.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.unlink(tmp)
     return path

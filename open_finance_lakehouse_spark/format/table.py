@@ -36,6 +36,25 @@ class CommitConflict(Exception):
     """A concurrent commit invalidated this one (removed files not live)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """A proposed schema change is not add-column / widen-type."""
+
+
+# integer widening lattice for update_schema; parquet's reader upcasts
+# these natively when handed the wider read schema (verified on Spark 4.1)
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _widenable(old: str, new: str) -> bool:
+    if old == new:
+        return True
+    if old in _INT_RANK and new in _INT_RANK:
+        return _INT_RANK[old] < _INT_RANK[new]
+    if old in _INT_RANK and new == "double":
+        return True
+    return old == "float" and new == "double"
+
+
 @dataclass
 class ColumnRange:
     """Conjunctive range predicate used for manifest-level file pruning."""
@@ -84,12 +103,23 @@ class LakeTable:
         partition_spec: dict | None = None,
         properties: dict | None = None,
         contract=None,
+        maintenance: dict | None = None,
     ) -> "LakeTable":
         """``contract`` (a ``quality.contracts.Contract``) is serialized
-        into the table properties so every writer enforces it at append."""
+        into the table properties so every writer enforces it at append;
+        ``maintenance`` (e.g. ``{"target_bytes": ..., "curve": "hilbert"}``)
+        declares the table's maintenance config the same way — see
+        ``operators.config``."""
         if contract is not None:
             properties = {**(properties or {}),
                           "contract": contract.to_property()}
+        if maintenance is not None:
+            from open_finance_lakehouse_spark.operators.config import (
+                maintenance_properties,
+            )
+
+            properties = {**(properties or {}),
+                          **maintenance_properties(maintenance)}
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         meta = md.new_table_metadata(name, location, schema_ddl, partition_spec,
                                      properties)
@@ -166,13 +196,25 @@ class LakeTable:
         with_file_path: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot; manifest stats prune whole files,
-        Catalyst pushes the residual predicate into surviving files."""
+        Catalyst pushes the residual predicate into surviving files.
+
+        The read schema is the SNAPSHOT's schema (schema-per-snapshot time
+        travel): after ``update_schema`` added or widened columns, files
+        written under the old schema project missing columns as NULL and
+        upcast widened ones — both done natively by the parquet reader."""
+        snap = self.meta.snapshot(snapshot_id)
+        # current reads use the CURRENT schema (evolution applies at once);
+        # explicit time travel uses the target snapshot's commit-time schema
+        if snapshot_id is None or snap is None or not snap.schema_ddl:
+            ddl = self.meta.schema_ddl
+        else:
+            ddl = snap.schema_ddl
         files, _ = self.plan_files(snapshot_id, predicates)
         if not files:
-            df = self._empty_df()
+            df = self.spark.createDataFrame([], ddl)
         else:
             paths = [os.path.join(self.location, f.file_path) for f in files]
-            df = self.spark.read.parquet(*paths)
+            df = self.spark.read.schema(ddl).parquet(*paths)
             for p in predicates or []:
                 df = df.filter(p.to_spark_filter())
         if with_file_path:
@@ -299,8 +341,14 @@ class LakeTable:
         Thread-safe for concurrent partition rewrites on one handle (the
         lock), and process-safe across writers (the O_EXCL version-file CAS
         — a loser re-reads and revalidates)."""
+        import random
+
         with self._commit_lock:
-            for _ in range(10):
+            # generous retry budget with jittered backoff: losing a CAS
+            # race is cheap (re-read + rebuild is ms), and under N-writer
+            # contention a fixed 10-try cap starves unlucky writers even
+            # though the system as a whole is making progress
+            for _ in range(50):
                 meta = md.read_current_metadata(self.location)
                 meta.location = self.location  # relocatable (see load)
                 snap, new_meta = build(meta)
@@ -310,8 +358,10 @@ class LakeTable:
                     self.meta = new_meta
                     return snap
                 except FileExistsError:
-                    time.sleep(0.05)  # lost the race; re-read and revalidate
-            raise CommitConflict("gave up after 10 commit attempts")
+                    # lost the race; re-read and revalidate (jitter breaks
+                    # lockstep retry storms across processes)
+                    time.sleep(0.01 + random.random() * 0.04)
+            raise CommitConflict("gave up after 50 commit attempts")
 
     def commit_append(self, added: list[mf.DataFile], summary: dict | None = None
                       ) -> md.Snapshot:
@@ -663,6 +713,54 @@ class LakeTable:
             return target, rolled
 
         return self._try_commit(build)
+
+    def update_schema(self, new_ddl: str) -> None:
+        """Schema evolution as a CAS metadata commit: ADD COLUMN and WIDEN
+        TYPE only (the safe subset — drops/renames/narrowing refuse).
+
+        No data moves: old files stay as written; every scan passes the
+        snapshot's schema to the parquet reader, which projects missing
+        columns as NULL and upcasts widened ints/floats natively. Snapshots
+        record their commit-time schema, so time travel to a pre-evolution
+        snapshot still reads the OLD shape. The reference gets this from
+        Delta's ``overwriteSchema`` full rebuilds
+        (/root/reference/ofl/transform/spark/dimensions.py:39-44,
+        ofl/transform/spark/silver.py:363); frost evolves in place.
+        """
+
+        def build(meta: md.TableMetadata):
+            old = {f.name: f.dataType.simpleString()
+                   for f in self.spark.createDataFrame(
+                       [], meta.schema_ddl).schema.fields}
+            new = {f.name: f.dataType.simpleString()
+                   for f in self.spark.createDataFrame(
+                       [], new_ddl).schema.fields}
+            dropped = [c for c in old if c not in new]
+            if dropped:
+                raise SchemaEvolutionError(
+                    f"columns {dropped} missing from the new schema — "
+                    "drop/rename is not supported (add/widen only)")
+            part_col = (meta.partition_spec or {}).get("column")
+            for name, ot in old.items():
+                nt = new[name]
+                if name == part_col and nt != ot:
+                    # xxhash64 hashes ints and longs differently: widening
+                    # the bucket column would silently re-route every row
+                    # to a different partition than its files live in
+                    raise SchemaEvolutionError(
+                        f"cannot change type of partition column {name!r} "
+                        f"({ot} -> {nt}): bucket routing would diverge "
+                        "from existing file layout")
+                if not _widenable(ot, nt):
+                    raise SchemaEvolutionError(
+                        f"column {name!r}: {ot} -> {nt} is not a widening "
+                        "(allowed: int family upward, int->double, "
+                        "float->double)")
+            evolved = dc_replace(meta, properties=dict(meta.properties),
+                                 schema_ddl=new_ddl)
+            return meta.snapshot(), evolved
+
+        self._try_commit(build)
 
     # ------------------------------------------------------------- metadata
 

@@ -206,7 +206,7 @@ def merge_into(
     job_id: str,
     source_token: str,
     n_salts: int | None = None,
-    target_bytes: int = binpack.DEFAULT_TARGET_FILE_BYTES,
+    target_bytes: int | None = None,
     concurrency: int = DEFAULT_PARTITION_CONCURRENCY,
     key: str | None = None,
 ) -> dict:
@@ -223,6 +223,17 @@ def merge_into(
             "merge_into requires a non-empty source_token identifying the "
             "source batch (it keys idempotent replay; an empty token would "
             "no-op every later batch under the same job_id)")
+    from open_finance_lakehouse_spark.operators.config import (
+        maintenance_config,
+    )
+
+    cfg = maintenance_config(table)
+    if target_bytes is None:
+        target_bytes = cfg["target_bytes"]
+    if n_salts is None:
+        # declared salt policy beats the runtime probe (a table with a
+        # KNOWN hot-key profile skips the sampling job entirely)
+        n_salts = cfg["salt_count"]
     if key is None:
         spec = table.meta.partition_spec or {}
         key = spec.get("column", "clip_id")

@@ -43,26 +43,35 @@ from open_finance_lakehouse_spark.operators.compact import compact
 from open_finance_lakehouse_spark.operators.expire import expire
 from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
 
+# "not passed" sentinel: these knobs default to the TABLE's declared
+# maintenance.* properties (operators/config.py), explicit args override
+_UNSET = object()
+
 
 def run_maintenance(
     table: LakeTable,
     ledger: CheckpointLedger,
     job_id: str | None = None,
-    target_bytes: int = 8 * 1024 * 1024,
-    curve: str | None = "zorder",
-    retain_last: int = 1,
+    target_bytes=_UNSET,
+    curve=_UNSET,
+    retain_last=_UNSET,
     with_audit: bool = True,
     spark_for_audit: SparkSession | None = None,
     subsume_compaction: bool = True,
-    concurrency: int = 8,
-    cluster_mode: str = "global",
-    gc_grace_ms: int | None = None,
-    snr_gate: str = "off",
-    parity_gate: bool = False,
-    cluster_exchange: str = "auto",
+    concurrency=_UNSET,
+    cluster_mode=_UNSET,
+    gc_grace_ms=_UNSET,
+    snr_gate=_UNSET,
+    parity_gate=_UNSET,
+    cluster_exchange=_UNSET,
 ) -> dict:
     """compact → cluster → (SNR/parity gates) → expire; returns run metrics
     + (optionally) an independently-read table audit.
+
+    Tuning knobs left unset resolve from the table's declared
+    ``maintenance.*`` properties (the reference's registry-drives-everything
+    discipline, /root/reference/ofl/registry.py:19-111): a bare
+    ``run_maintenance(table, ledger)`` honors the per-table config.
 
     ``subsume_compaction`` (default): when clustering runs, the separate
     compaction pass is skipped — the clustering rewrite already re-packs
@@ -82,6 +91,21 @@ def run_maintenance(
         scan_parity,
         snr_violations,
     )
+    from open_finance_lakehouse_spark.operators.config import (
+        maintenance_config,
+    )
+
+    cfg = maintenance_config(table)
+    target_bytes = cfg["target_bytes"] if target_bytes is _UNSET else target_bytes
+    curve = cfg["curve"] if curve is _UNSET else curve
+    retain_last = cfg["retain_last"] if retain_last is _UNSET else retain_last
+    concurrency = cfg["concurrency"] if concurrency is _UNSET else concurrency
+    cluster_mode = cfg["cluster_mode"] if cluster_mode is _UNSET else cluster_mode
+    gc_grace_ms = cfg["gc_grace_ms"] if gc_grace_ms is _UNSET else gc_grace_ms
+    snr_gate = cfg["snr_gate"] if snr_gate is _UNSET else snr_gate
+    parity_gate = cfg["parity_gate"] if parity_gate is _UNSET else parity_gate
+    cluster_exchange = (cfg["cluster_exchange"] if cluster_exchange is _UNSET
+                        else cluster_exchange)
 
     job_id = job_id or f"maint-{uuid.uuid4().hex[:12]}"
     clip_count = sum(f.record_count for f in table.live_files())

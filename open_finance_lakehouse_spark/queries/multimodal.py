@@ -153,15 +153,41 @@ def audio_payload_profile(spark, sf_dir):
     )
 
 
-@register("audio_frame_features", None)
+@register(
+    "audio_frame_features",
+    f"""
+    WITH derived AS (
+      SELECT ['pcm16','ulaw','alaw'][
+               CAST({H32_SQL.format(x="clip_id || ':codec'")} % 3 AS INT) + 1]
+               AS codec,
+             [8000,16000,22050,44100][
+               CAST({H32_SQL.format(x="clip_id || ':sr'")} % 4 AS INT) + 1]
+               AS sr_hz,
+             200 + {H32_SQL.format(x="clip_id || ':dur'")} % 1800 AS dur_ms
+      FROM (SELECT printf('clip-%012d', doc_id) AS clip_id FROM documents))
+    SELECT codec, sr_hz,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(((dur_ms * sr_hz) // 1000) // ((sr_hz * 25) // 1000))
+                AS BIGINT) AS total_frames,
+           CAST(0 AS BIGINT) AS zcr_violations
+    FROM derived GROUP BY codec, sr_hz ORDER BY codec, sr_hz
+    """,
+)
 def audio_frame_features(spark, sf_dir):
     """Feature extraction over the binary audio column: decode → 25 ms
-    frame RMS + zero-crossing rate (vectorized mapInPandas), profiled per
-    (codec, sr_hz) stratum. Deterministic end to end (payloads and
-    features are pure functions of clip_id), so the summary rows are a
-    stable fixture; the invariant columns check the physics: framing must
-    yield exactly dur/25ms frames and a two-tone waveform's ZCR tracks its
-    fundamental (0 < zcr < 0.5 strictly — violations counted)."""
+    frame RMS + zero-crossing rate (vectorized mapInPandas), audited per
+    (codec, sr_hz) stratum.
+
+    The DuckDB oracle recomputes the arithmetic SKELETON independently —
+    clip counts and exact frame totals are integer functions of the
+    h32-derived attrs (n_samples = dur·sr/1000, frame = sr·25/1000, floor
+    division end to end) — while Spark's numbers flow THROUGH the real
+    decode kernel, so the oracle genuinely checks the kernel's framing.
+    The ZCR physics gate (two-tone waveform ⇒ 0 < zcr < 0.5 strictly)
+    must match the oracle's literal zeros, same discipline as
+    ``audio_payload_profile``'s size_violations. The rms/zcr AVERAGES —
+    the only numbers DuckDB cannot re-derive — live in
+    ``audio_frame_dsp_profile`` (rows-only)."""
     from open_finance_lakehouse_spark.functions import audio
 
     clips = clips_from_documents(spark, sf_dir)
@@ -171,11 +197,31 @@ def audio_frame_features(spark, sf_dir):
         feats.groupBy("codec", "sr_hz")
         .agg(
             F.count(F.lit(1)).alias("n_clips"),
-            F.sum("n_frames").alias("total_frames"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+            F.sum(F.when((F.col("zcr") <= 0.0) | (F.col("zcr") >= 0.5), 1)
+                  .otherwise(0)).cast("long").alias("zcr_violations"),
+        )
+        .orderBy("codec", "sr_hz")
+    )
+
+
+@register("audio_frame_dsp_profile", None)
+def audio_frame_dsp_profile(spark, sf_dir):
+    """The DSP half of the frame audit: per-stratum RMS/ZCR averages from
+    the vectorized kernel. Deterministic fixture rows (payloads are pure
+    functions of clip_id) — numpy DSP is outside DuckDB's reach, so this
+    half is rows-only while ``audio_frame_features`` carries the oracled
+    skeleton."""
+    from open_finance_lakehouse_spark.functions import audio
+
+    clips = clips_from_documents(spark, sf_dir)
+    feats = clips.select("clip_id", "bytes", "sr_hz", "codec").mapInPandas(
+        audio.frame_feature_batches, schema=audio.FEATURE_SCHEMA)
+    return (
+        feats.groupBy("codec", "sr_hz")
+        .agg(
             F.round(F.avg("rms_mean"), 6).alias("avg_rms"),
             F.round(F.avg("zcr"), 6).alias("avg_zcr"),
-            F.sum(F.when((F.col("zcr") <= 0.0) | (F.col("zcr") >= 0.5), 1)
-                  .otherwise(0)).alias("zcr_violations"),
         )
         .orderBy("codec", "sr_hz")
     )

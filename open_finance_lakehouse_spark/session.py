@@ -100,6 +100,19 @@ def build_session(
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.driver.bindAddress", "127.0.0.1")
     )
+    # The Python DATA SOURCE runner (plans format("frost") reads) is a
+    # driver-side python subprocess of the JVM: it sees PYTHONPATH, not
+    # sc.addPyFile. Export the package's parent dir BEFORE the JVM starts
+    # so that runner can unpickle our DataSource classes; executors are
+    # covered by the --py-files zip below. (No effect if a JVM already
+    # exists — spark-submit sets the equivalent itself via --py-files.)
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else ""))
+
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

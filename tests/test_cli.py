@@ -65,3 +65,38 @@ def test_cli_publish_withholds_then_publishes(spark, tmp_path, capsys):
                         "--require-cols", "k"])
     assert out["published"] is True
     assert gold.refresh().scan().count() == 2
+
+
+def test_cli_lanes_emit_run_lineage_events(spark, tmp_path, capsys):
+    """Every ledger/table-rooted lane wraps in START → COMPLETE run events;
+    a failing lane leaves a paired FAIL event carrying the exception."""
+    import pytest
+
+    from open_finance_lakehouse_spark.plans.lineage import RunLog
+
+    loc = str(tmp_path / "clips_lin")
+    _run(capsys, ["synth", "--table", loc, "--rows", "10", "--buckets", "2"])
+    _run(capsys, ["pipeline", "--table", loc,
+                  "--ledger", str(tmp_path / "led"), "--target-mb", "2"])
+
+    # synth logged into the table root; pipeline into the ledger root
+    synth_ev = RunLog(loc).events()
+    assert [e["event"] for e in synth_ev] == ["START", "COMPLETE"]
+    assert synth_ev[0]["run_id"] == synth_ev[1]["run_id"]
+    assert synth_ev[1]["summary"]["rows"] == 10
+
+    pipe_ev = RunLog(str(tmp_path / "led")).events()
+    assert [e["event"] for e in pipe_ev] == ["START", "COMPLETE"]
+    assert pipe_ev[1]["summary"]["clips"] == 10
+
+    # a failing lane: rollback to a snapshot that does not exist
+    with pytest.raises(ValueError):
+        cli.main(["rollback", "--table", loc, "--snapshot-id", "999"])
+    fail_ev = RunLog(loc).events()
+    assert fail_ev[-1]["event"] == "FAIL"
+    assert "999" in fail_ev[-1]["error"]
+    assert fail_ev[-1]["run_id"] == fail_ev[-2]["run_id"]  # paired with START
+
+    # the run log is queryable as a DataFrame
+    df = RunLog(loc).runs_df(spark)
+    assert df.filter("event = 'FAIL'").count() == 1

@@ -1,0 +1,100 @@
+"""``format("frost")`` Python Data Source: batch parity with scan(), and a
+real push-mode ``readStream`` whose offsets are snapshot ids — restart
+resumes from the checkpoint, compaction between drains emits nothing
+(row-preserving rewrites skipped), merge in the interval refuses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.streaming.frost_source import (
+    register_frost_source,
+)
+from open_finance_lakehouse_spark.streaming.ingest import (
+    BRONZE_DDL,
+    prepare_events,
+)
+
+BASE_MS = 1_700_000_040_000
+
+
+def _event(sym, tid, ts_ms):
+    return {"e": "trade", "E": ts_ms, "s": sym, "t": tid, "p": "10",
+            "q": "1", "T": ts_ms, "m": False}
+
+
+def _rows(spark, events):
+    raw = spark.createDataFrame([(json.dumps(e),) for e in events],
+                                "value string")
+    return prepare_events(raw).filter("_valid").select(
+        "event_key", "symbol", "trade_id", "price", "qty", "trade_time",
+        "is_maker", "raw")
+
+
+@pytest.fixture()
+def bronze(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "bronze"), "bronze_events",
+                         BRONZE_DDL)
+    register_frost_source(spark)
+    return t
+
+
+def _drain(spark, loc, out, ckpt):
+    q = (spark.readStream.format("frost").option("location", loc).load()
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_frost_batch_read_matches_scan(spark, bronze):
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(25)]))
+    df = (spark.read.format("frost")
+          .option("location", bronze.location).load())
+    assert df.count() == 25
+    assert df.exceptAll(bronze.scan()).count() == 0
+    assert bronze.scan().exceptAll(df).count() == 0
+    assert dict(df.dtypes) == dict(bronze.scan().dtypes)
+
+
+def test_frost_stream_resumes_and_skips_rewrites(spark, bronze, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(10)]))
+    _drain(spark, bronze.location, out, ckpt)
+    assert spark.read.parquet(out).count() == 10
+
+    # a compaction between drains: row-preserving rewrite must emit NOTHING
+    live = {f.file_path for f in bronze.live_files()}
+    staged = bronze.stage_dataframe(bronze.scan().coalesce(1))
+    bronze.commit_rewrite(live, staged, operation="rewrite")
+
+    bronze.append(_rows(spark, [_event("ETH", 100 + i, BASE_MS + 60_000 + i)
+                                for i in range(5)]))
+    _drain(spark, bronze.location, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 15  # 10 + 5, NOT 10 + 10 + 5 (no re-delivery)
+    assert got.filter(F.col("symbol") == "ETH").count() == 5
+
+    # nothing new -> a drain delivers nothing
+    _drain(spark, bronze.location, out, ckpt)
+    assert spark.read.parquet(out).count() == 15
+
+
+def test_frost_stream_refuses_row_changing_interval(spark, bronze, tmp_path):
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    bronze.append(_rows(spark, [_event("BTC", 1, BASE_MS)]))
+    _drain(spark, bronze.location, out, ckpt)
+
+    bronze.replace(bronze.scan())  # row-CHANGING operation in the interval
+    bronze.append(_rows(spark, [_event("BTC", 2, BASE_MS + 1000)]))
+    with pytest.raises(Exception) as ei:
+        _drain(spark, bronze.location, out, ckpt)
+    assert "replace" in str(ei.value) or "append-only" in str(ei.value)

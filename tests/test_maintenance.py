@@ -784,3 +784,68 @@ def test_merge_broadcast_gated_on_file_count(spark, tmp_path, monkeypatch):
     assert hint_in_plan(mi.merge_plan_df(t, src, key="event_id"))
     monkeypatch.setattr(mi, "BROADCAST_FILE_LIMIT", 1)
     assert not hint_in_plan(mi.merge_plan_df(t, src, key="event_id"))
+
+
+def test_per_table_maintenance_config_drives_pipeline(spark, tmp_path):
+    """SURVEY §1.4 registry analogue: a table DECLARES its maintenance
+    config in properties at create; a zero-tuning-args run_maintenance
+    honors it (curve, retention, gates). Explicit args still override."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "cfg"), "cfg", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+        maintenance={"target_bytes": 1 << 20, "curve": "hilbert",
+                     "retain_last": 2, "parity_gate": True,
+                     "gc_grace_ms": 0, "snr_gate": "off"},
+    )
+    t.append(synth_clips(spark, 60, dur_max_ms=400), max_records_per_file=8)
+    led = CheckpointLedger(str(tmp_path / "led_cfg"))
+
+    res = run_maintenance(t, led)  # zero tuning args
+    assert "hilbert" in res["stages"]["cluster"]["operation"]
+    assert "parity_violations" in res["gates"]  # declared gate ran
+    assert res["gates"]["parity_violations"] == 0
+    assert len(t.snapshots()) == 2  # declared retain_last honored
+
+    # explicit override beats the declared config
+    t.append(synth_clips(spark, 10, id_offset=5000, dur_max_ms=300))
+    res2 = run_maintenance(t, led, job_id="cfg-override", curve="zorder",
+                           parity_gate=False, retain_last=1)
+    assert "zorder" in res2["stages"]["cluster"]["operation"]
+    assert "parity_violations" not in res2["gates"]
+
+
+def test_maintenance_config_rejects_unknown_keys(spark, tmp_path):
+    from open_finance_lakehouse_spark.operators.config import (
+        maintenance_properties,
+    )
+
+    with pytest.raises(ValueError, match="unknown maintenance keys"):
+        maintenance_properties({"target_byte": 1})  # typo'd knob
+
+
+def test_declared_salt_policy_skips_probe(spark, tmp_path, monkeypatch):
+    """maintenance.salt_count declared on the table feeds the merge's salted
+    dedup directly — no runtime hot-key sampling job."""
+    import importlib
+
+    mi = importlib.import_module(
+        "open_finance_lakehouse_spark.operators.merge_into")
+    t = LakeTable.create(
+        spark, str(tmp_path / "salted"), "salted", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+        maintenance={"salt_count": 3},
+    )
+    t.append(synth_clips(spark, 20, dur_max_ms=300))
+
+    def boom(*a, **kw):
+        raise AssertionError("probe ran despite declared salt_count")
+
+    monkeypatch.setattr(mi, "choose_salt_count", boom)
+    led = CheckpointLedger(str(tmp_path / "led_salt"))
+    src = (synth_clips(spark, 4, id_offset=7000, dur_max_ms=300)
+           .withColumn("op", F.lit("U"))
+           .withColumn("seq", F.lit(1).cast("long")))
+    res = mi.merge_into(t, src, led, "salt-job", source_token="s1")
+    assert t.scan().count() == 24

@@ -269,3 +269,57 @@ def test_distributed_gc_tolerates_stray_file_under_data(spark, warehouse):
     assert os.path.join("data", "stray.bin") in victims
     assert not os.path.exists(stray)
     assert t.scan().count() == 10
+
+
+def test_schema_evolution_add_and_widen(spark, warehouse):
+    """update_schema(add column, widen type): old files scan with NULL for
+    the new column and upcast for the widened one; appends after evolution
+    carry the new shape; time travel to a pre-evolution snapshot still
+    reads the OLD schema (schema-per-snapshot)."""
+    t = LakeTable.create(spark, os.path.join(warehouse, "ev"), "ev",
+                         "k INT, name STRING")
+    t.append(spark.range(5).select(F.col("id").cast("int").alias("k"),
+                                   F.lit("old").alias("name")))
+    pre = t.current_snapshot_id()
+
+    t.update_schema("k BIGINT, name STRING, score DOUBLE")
+    # old files under the new schema: k upcast, score projected as NULL
+    got = {r["k"]: r for r in t.scan().collect()}
+    assert len(got) == 5
+    assert all(r["score"] is None for r in got.values())
+    assert dict(t.scan().dtypes)["k"] == "bigint"
+
+    # append in the new shape round-trips
+    t.append(spark.createDataFrame([(100, "new", 9.5)],
+                                   "k BIGINT, name STRING, score DOUBLE"))
+    assert t.scan().count() == 6
+    assert t.scan().filter("score = 9.5").count() == 1
+
+    # time travel: the pre-evolution snapshot reads with the OLD schema
+    old = t.scan(snapshot_id=pre)
+    assert set(old.columns) == {"k", "name"}
+    assert dict(old.dtypes)["k"] == "int"
+
+    # evolution survives reload
+    t2 = LakeTable.load(spark, t.location)
+    assert "score" in t2.scan().columns
+
+
+def test_schema_evolution_rejects_unsafe_changes(spark, warehouse):
+    from open_finance_lakehouse_spark.format.table import SchemaEvolutionError
+
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "ev2"), "ev2",
+        "k INT, name STRING, v DOUBLE",
+        partition_spec={"kind": "bucket", "column": "k", "num_buckets": 2})
+    t.append(spark.range(4).select(F.col("id").cast("int").alias("k"),
+                                   F.lit("x").alias("name"),
+                                   F.lit(1.0).alias("v")))
+    before = t.meta.schema_ddl
+    with pytest.raises(SchemaEvolutionError, match="drop"):
+        t.update_schema("k INT, v DOUBLE")            # drops name
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        t.update_schema("k INT, name STRING, v FLOAT")  # narrows v
+    with pytest.raises(SchemaEvolutionError, match="partition"):
+        t.update_schema("k BIGINT, name STRING, v DOUBLE")  # widens bucket col
+    assert t.refresh().meta.schema_ddl == before  # nothing committed
