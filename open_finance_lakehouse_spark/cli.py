@@ -4,7 +4,7 @@ callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | pipeline |
-publish | silver-drain | rollback | history | sql.
+publish | silver-drain | rollback | history | evolve-schema | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -92,6 +92,13 @@ def main(argv=None):
     rb.add_argument("--snapshot-id", type=int, required=True)
     rb.add_argument("--master", default=None)
 
+    es = sub.add_parser("evolve-schema",
+                        help="add-column / widen-type schema evolution "
+                             "(metadata-only commit; drops/renames refuse)")
+    es.add_argument("--table", required=True)
+    es.add_argument("--ddl", required=True, help="the FULL new schema DDL")
+    es.add_argument("--master", default=None)
+
     hi = sub.add_parser("history", help="print the snapshot log")
     hi.add_argument("--table", required=True)
     hi.add_argument("--master", default=None)
@@ -171,6 +178,11 @@ def _execute(spark, args) -> dict:
         snap = t.rollback(args.snapshot_id)
         out = {"operation": "rollback", "current": snap.snapshot_id,
                "rows": t.scan().count()}
+    elif args.cmd == "evolve-schema":
+        t = LakeTable.load(spark, args.table)
+        t.update_schema(args.ddl)
+        out = {"operation": "evolve-schema", "schema": t.meta.schema_ddl,
+               "metadata_version": t.meta.version}
     elif args.cmd == "history":
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",

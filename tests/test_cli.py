@@ -100,3 +100,15 @@ def test_cli_lanes_emit_run_lineage_events(spark, tmp_path, capsys):
     # the run log is queryable as a DataFrame
     df = RunLog(loc).runs_df(spark)
     assert df.filter("event = 'FAIL'").count() == 1
+
+
+def test_cli_evolve_schema(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips_ev")
+    _run(capsys, ["synth", "--table", loc, "--rows", "5", "--buckets", "2"])
+    from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL
+
+    out = _run(capsys, ["evolve-schema", "--table", loc,
+                        "--ddl", CLIP_SCHEMA_DDL + ", lang STRING"])
+    assert "lang" in out["schema"]
+    t = LakeTable.load(spark, loc)
+    assert t.scan().filter("lang IS NULL").count() == 5

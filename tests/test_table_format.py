@@ -323,3 +323,31 @@ def test_schema_evolution_rejects_unsafe_changes(spark, warehouse):
     with pytest.raises(SchemaEvolutionError, match="partition"):
         t.update_schema("k BIGINT, name STRING, v DOUBLE")  # widens bucket col
     assert t.refresh().meta.schema_ddl == before  # nothing committed
+
+
+def test_merge_after_schema_evolution(spark, warehouse, tmp_path):
+    """MERGE on a table that evolved (added column): pre-evolution target
+    files project the new column as NULL through the copy-on-write join,
+    and upserts carrying the new column land it."""
+    from open_finance_lakehouse_spark.operators.merge_into import merge_into
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "evm"), "evm",
+        "k BIGINT, name STRING",
+        partition_spec={"kind": "bucket", "column": "k", "num_buckets": 2})
+    t.append(spark.range(10).select(F.col("id").alias("k"),
+                                    F.lit("old").alias("name")))
+    t.update_schema("k BIGINT, name STRING, score DOUBLE")
+
+    led = CheckpointLedger(str(tmp_path / "led_evm"))
+    src = spark.createDataFrame(
+        [(3, "upd", 7.5, "U", 1), (99, "new", 1.0, "U", 1)],
+        "k BIGINT, name STRING, score DOUBLE, op STRING, seq LONG")
+    merge_into(t, src, led, "evm-job", source_token="b1", key="k")
+
+    got = {r["k"]: r for r in t.scan().collect()}
+    assert len(got) == 11
+    assert got[3]["name"] == "upd" and got[3]["score"] == 7.5
+    assert got[99]["score"] == 1.0
+    assert got[5]["name"] == "old" and got[5]["score"] is None
