@@ -41,6 +41,9 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 ROW_CHANGING_OPS = {"merge", "replace", "overwrite"}
+# byte-moving, row-preserving maintenance commits (the parity gate proves
+# row identity): their added files carry only already-delivered rows
+ROW_PRESERVING_OPS = {"rewrite", "cluster", "compact"}
 
 
 @dataclass
@@ -100,8 +103,8 @@ def _added_paths(location: str, meta, start_id: int, end_id: int,
             f"offset snapshot {start_id} expired from the log — retention "
             "must exceed the consumer lag")
     bad = [s for s in snaps
-           if s.operation in ROW_CHANGING_OPS
-           or (s.operation not in ("append", "rewrite"))]
+           if s.operation != "append"
+           and s.operation not in ROW_PRESERVING_OPS]
     if bad:
         raise NonAppendInterval(
             f"snapshots {[s.snapshot_id for s in bad]} are "
@@ -109,11 +112,11 @@ def _added_paths(location: str, meta, start_id: int, end_id: int,
             "append-only row delta; recompute the consumer")
     paths: list[str] = []
     for s in snaps:
-        if s.operation == "rewrite":
+        if s.operation in ROW_PRESERVING_OPS:
             if skip_rewrites:
                 continue  # byte-moving, row-preserving: nothing new to emit
             raise NonAppendInterval(
-                f"snapshot {s.snapshot_id} is a rewrite and "
+                f"snapshot {s.snapshot_id} is a {s.operation} and "
                 "skipRewrites=false")
         parent = by_id.get(s.parent_id)
         parent_manifests = set(parent.manifests) if parent else set()

@@ -70,22 +70,35 @@ def added_files(table: LakeTable, snap: Snapshot) -> list[mf.DataFile]:
     return out
 
 
+# byte-moving, row-preserving maintenance operations: their added files
+# carry only rows an incremental consumer has already seen (parity-gated),
+# so the delta scan SKIPS them — maintenance on the source table no longer
+# interrupts its consumers (mirrors format("frost")'s skipRewrites)
+ROW_PRESERVING_OPS = {"rewrite", "cluster", "compact"}
+
+
 def incremental_scan(
     table: LakeTable, since_snapshot_id: int | None
 ) -> tuple[DataFrame, int | None, dict]:
     """(rows appended since the cursor, new cursor, info). Refreshes the
-    table first so the scan sees the latest committed snapshot."""
+    table first so the scan sees the latest committed snapshot.
+    Row-preserving rewrites in the interval contribute no delta rows;
+    row-CHANGING operations (merge/replace/overwrite) raise — the caller
+    must fall back to a full recompute."""
     table.refresh()
     head = table.current_snapshot_id()
     if head == since_snapshot_id:
         return table._empty_df(), since_snapshot_id, {"files": 0, "snapshots": 0}
     delta = snapshots_since(table, since_snapshot_id)
-    bad = [s for s in delta if s.operation != "append"]
+    bad = [s for s in delta
+           if s.operation != "append"
+           and s.operation not in ROW_PRESERVING_OPS]
     if bad:
         raise NonAppendInterval(
             f"snapshots {[s.snapshot_id for s in bad]} are "
             f"{sorted({s.operation for s in bad})}, not append")
-    files = [f for s in delta for f in added_files(table, s)]
+    files = [f for s in delta if s.operation == "append"
+             for f in added_files(table, s)]
     if not files:
         return table._empty_df(), head, {"files": 0, "snapshots": len(delta)}
     paths = [os.path.join(table.location, f.file_path) for f in files]

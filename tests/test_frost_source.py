@@ -98,3 +98,24 @@ def test_frost_stream_refuses_row_changing_interval(spark, bronze, tmp_path):
     with pytest.raises(Exception) as ei:
         _drain(spark, bronze.location, out, ckpt)
     assert "replace" in str(ei.value) or "append-only" in str(ei.value)
+
+
+def test_frost_stream_skips_real_maintenance_commits(spark, bronze, tmp_path):
+    """A REAL compact() between drains (operation='compact', not a generic
+    'rewrite') must be skipped by the stream — maintenance never
+    re-delivers rows to downstream consumers."""
+    from open_finance_lakehouse_spark.operators.compact import compact
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+
+    out, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(8)]), max_records_per_file=2)
+    _drain(spark, bronze.location, out, ckpt)
+    assert spark.read.parquet(out).count() == 8
+
+    res = compact(bronze, CheckpointLedger(str(tmp_path / "led")),
+                  "stream-compact", target_bytes=8 * 1024 * 1024)
+    assert res["partitions_rewritten"] >= 1
+    bronze.append(_rows(spark, [_event("ETH", 50, BASE_MS + 50_000)]))
+    _drain(spark, bronze.location, out, ckpt)
+    assert spark.read.parquet(out).count() == 9  # 8 + 1, no re-delivery

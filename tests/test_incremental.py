@@ -229,3 +229,38 @@ def test_incremental_drain_publish_is_o_delta(spark, bronze, tmp_path):
     got = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
            for r in silver.silver.scan().collect()}
     assert got == expect
+
+
+def test_incremental_drain_survives_bronze_maintenance(spark, bronze,
+                                                       tmp_path):
+    """Compaction on the BRONZE table between drains must not interrupt the
+    incremental consumer: the rewrite snapshot is row-preserving, so its
+    added files contribute no delta and the next drain processes only the
+    genuinely new append."""
+    from open_finance_lakehouse_spark.operators.compact import compact
+    from open_finance_lakehouse_spark.plans.ledger import (
+        CheckpointLedger as CL,
+    )
+
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="maint-silver")
+    bronze.append(_bronze_rows(
+        spark, [_event("BTC", i, BASE_MS + i * 1000) for i in range(8)]),
+        max_records_per_file=2)
+    assert silver.drain()["processed_rows"] == 8
+
+    # maintenance on bronze: compaction rewrites the small files
+    res = compact(bronze, CL(str(tmp_path / "led_b")), "bronze-compact",
+                  target_bytes=8 * 1024 * 1024)
+    assert res["partitions_rewritten"] >= 1
+
+    bronze.append(_bronze_rows(spark, [_event("BTC", 99, BASE_MS + 99_000)]))
+    m = silver.drain()
+    assert m["processed_rows"] == 1  # ONLY the new append — no re-delivery
+
+    expect = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+              for r in build_minute_rollup(bronze.scan()).collect()}
+    got = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
+           for r in silver.silver.scan().collect()}
+    assert got == expect
