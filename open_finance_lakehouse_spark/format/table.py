@@ -484,18 +484,37 @@ class LakeTable:
             tagged.unpersist()
 
     def commit_replace(self, added: list[mf.DataFile],
-                       summary: dict | None = None) -> md.Snapshot:
+                       summary: dict | None = None,
+                       operation: str = "replace",
+                       expect_current_snapshot_id: "int | None | object"
+                       = "__any__") -> md.Snapshot:
         """Full-rebuild publish: the new snapshot references ONLY ``added``
         — every prior file becomes unreachable from the new current
         snapshot while remaining readable through retained history
         (snapshot isolation). The reference's gold lane publishes marts this
         way: check, then overwrite the whole table
-        (/root/reference/ofl/transform/gold/runner.py:165-203)."""
+        (/root/reference/ofl/transform/gold/runner.py:165-203).
+
+        ``expect_current_snapshot_id`` turns this into a CONDITIONAL
+        replace: the commit refuses (CommitConflict) unless the table head
+        is still the given snapshot — the whole-table-rewrite analogue of
+        ``commit_rewrite``'s files-still-live check, at O(added) cost
+        instead of re-reading every live manifest (any concurrent commit
+        moves the head, so the guard is strictly as strong).
+        ``operation`` lets row-preserving whole-table rewrites label
+        themselves (e.g. ``cluster``) so incremental consumers skip them."""
         manifests = [mf.write_manifest(self.location, added)] if added else []
 
         def build(meta: md.TableMetadata):
+            if (expect_current_snapshot_id != "__any__"
+                    and meta.current_snapshot_id
+                    != expect_current_snapshot_id):
+                raise CommitConflict(
+                    f"table head moved ({expect_current_snapshot_id} -> "
+                    f"{meta.current_snapshot_id}) since this rewrite was "
+                    "planned")
             snap = meta.next_snapshot(
-                "replace", manifests,
+                operation, manifests,
                 {"added_files": len(added),
                  "added_records": sum(e.record_count for e in added),
                  **(summary or {})},

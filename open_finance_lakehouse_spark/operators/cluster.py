@@ -162,6 +162,7 @@ def cluster_global(
                         and per_part >= LOCAL_MIN_BYTES_PER_PARTITION)
                     else "range")
     totals["operation"] = f"cluster_global[{curve},{exchange}]"
+    pre_snapshot = table.current_snapshot_id()  # plan-time head (CAS guard)
     path_rows = inv.collect()
     paths_rel = sorted(r["file_path"] for r in path_rows)
     fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
@@ -244,8 +245,14 @@ def cluster_global(
         added = table.stage_dataframe(
             clustered, max_records_per_file=rpf,
             repartition_by_partition=False)
-    snap = table.commit_rewrite(
-        set(paths_rel), added, operation="cluster",
+    # conditional replace, not commit_rewrite: the rewrite covers EVERY
+    # live file, so "all removed files still live" ≡ "head unchanged" —
+    # validated at O(1) against the plan-time snapshot instead of
+    # re-reading every manifest (O(added) commit at any inventory size);
+    # operation="cluster" keeps it skippable by incremental consumers
+    snap = table.commit_replace(
+        added, operation="cluster",
+        expect_current_snapshot_id=pre_snapshot,
         summary={"job_id": job_id, "curve": curve, "mode": "global"})
     engine_ms = int((time.monotonic() - t0) * 1000)
 

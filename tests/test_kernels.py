@@ -173,3 +173,34 @@ def test_native_zorder_matches_vectorized_udf(spark):
         .alias("vectorized"),
     )
     assert both.filter(F.col("native") != F.col("vectorized")).count() == 0
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 400), st.integers(1, 1000)),
+             min_size=0, max_size=80),
+    st.integers(50, 500),
+)
+@settings(max_examples=200, deadline=None)
+def test_binpack_invariants_hold_for_any_inventory(sizes, target):
+    """Property test over the FFD bin planner: on any file inventory —
+    (1) no file appears in two bins; (2) only small files (< threshold)
+    are packed; (3) a bin never exceeds target unless it is a single
+    file; (4) every bin meets the min-files floor; (5) planning is
+    deterministic."""
+    from open_finance_lakehouse_spark.operators import binpack
+
+    files = [(f"f{i}", s, r) for i, (s, r) in enumerate(sizes)]
+    bins = binpack.plan_bins(files, target_bytes=target,
+                             small_file_ratio=0.75, min_files_per_bin=2)
+    seen = [p for b in bins for p in b.paths]
+    assert len(seen) == len(set(seen))
+    threshold = target * 0.75
+    by_path = dict((p, s) for p, s, _ in files)
+    for b in bins:
+        assert len(b.paths) >= 2
+        assert all(by_path[p] < threshold for p in b.paths)
+        assert b.total_bytes <= target or len(b.paths) == 1
+        assert b.total_bytes == sum(by_path[p] for p in b.paths)
+    again = binpack.plan_bins(files, target_bytes=target,
+                              small_file_ratio=0.75, min_files_per_bin=2)
+    assert [b.paths for b in again] == [b.paths for b in bins]

@@ -351,3 +351,30 @@ def test_merge_after_schema_evolution(spark, warehouse, tmp_path):
     assert got[3]["name"] == "upd" and got[3]["score"] == 7.5
     assert got[99]["score"] == 1.0
     assert got[5]["name"] == "old" and got[5]["score"] is None
+
+
+def test_conditional_replace_refuses_when_head_moved(spark, warehouse):
+    """commit_replace(expect_current_snapshot_id=...): the whole-table-
+    rewrite guard — a concurrent commit between planning and publish must
+    fail the replace, never silently drop the concurrent rows."""
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    t = make_table(spark, warehouse, name="crepl")
+    t.append(kdf(spark, 0, 20))
+    planned_head = t.current_snapshot_id()
+    staged = t.stage_dataframe(t.scan().coalesce(1))
+
+    # concurrent append moves the head after the rewrite was planned
+    t.append(kdf(spark, 20, 30))
+    with pytest.raises(CommitConflict, match="head moved"):
+        t.commit_replace(staged, operation="cluster",
+                         expect_current_snapshot_id=planned_head)
+    assert t.scan().count() == 30  # nothing lost
+
+    # with the current head the conditional replace commits
+    head2 = t.current_snapshot_id()
+    staged2 = t.stage_dataframe(t.scan().coalesce(1))
+    snap = t.commit_replace(staged2, operation="cluster",
+                            expect_current_snapshot_id=head2)
+    assert snap.operation == "cluster"
+    assert t.scan().count() == 30
