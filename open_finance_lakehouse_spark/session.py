@@ -89,6 +89,9 @@ def build_session(
         # file skipping depends on them. INT64 micros is also what
         # independent readers (DuckDB/arrow) expect.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # lets Python data sources (format("frost")) receive pushed filters
+        # for manifest-stats file pruning (off by default in Spark 4)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # measured: an oversized heap (48g) makes local[32] rewrites 5x
         # SLOWER than 8-12g (GC/page-commit pathology scales with threads x

@@ -25,6 +25,16 @@ log (reference: silver streams from bronze inheriting exactly-once,
 Executor-side ``read`` is self-contained pyarrow (no engine import needed
 on workers) and yields Arrow record batches cast to the table schema —
 the vectorized path end to end.
+
+Batch reads additionally take part in FILTER PUSHDOWN
+(``spark.sql.python.filterPushdown.enabled``, pinned on by
+``build_session``): pushed comparison filters become manifest-stats file
+pruning in ``partitions()`` — Spark's pushdown worker calls
+``pushFilters`` and plans partitions on the SAME reader instance, so the
+collected ranges drive the file list; every filter is also returned as
+unsupported so Spark re-applies it row-level above the scan (pruning can
+only skip files whose min/max range cannot match — never a correctness
+dependency).
 """
 
 from __future__ import annotations
@@ -169,16 +179,63 @@ class FrostBatchReader(DataSourceReader):
 
         self.location = location
         self.arrow_schema = to_arrow_schema(schema)
+        self._ranges: dict[str, list] = {}  # col -> [lo, hi] (None = open)
+
+    def pushFilters(self, filters):
+        """Comparison filters on top-level columns become manifest-stats
+        FILE pruning (same ColumnRange algebra as ``LakeTable.scan``).
+        Every filter is returned as unsupported: pruning only skips whole
+        files whose min/max range cannot match — Spark still applies the
+        row-level predicate above the scan, so correctness never depends
+        on the stats."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            rng = self._ranges.setdefault(col, [None, None])
+
+            def tighten(lo=None, hi=None):
+                if lo is not None and (rng[0] is None or lo > rng[0]):
+                    rng[0] = lo
+                if hi is not None and (rng[1] is None or hi < rng[1]):
+                    rng[1] = hi
+
+            if isinstance(f, EqualTo):
+                tighten(lo=f.value, hi=f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(hi=f.value)
+            elif isinstance(f, In) and f.value:
+                try:
+                    tighten(lo=min(f.value), hi=max(f.value))
+                except TypeError:
+                    pass
+        return filters  # all re-applied by Spark post-scan
 
     def partitions(self):
         from open_finance_lakehouse_spark.format import manifests as mf
+        from open_finance_lakehouse_spark.format.table import ColumnRange
 
         meta = _load_meta(self.location)
         snap = meta.snapshot()
+        preds = [ColumnRange(c, lo=r[0], hi=r[1])
+                 for c, r in self._ranges.items()]
         paths = [
             os.path.join(self.location, e.file_path)
             for m in (snap.manifests if snap else [])
             for e in mf.read_manifest(self.location, m)
+            if all(p.overlaps(e.bounds(p.column)) for p in preds)
         ]
         return [FrostFilePartition(p, self.arrow_schema) for p in paths] or \
             [FrostFilePartition("", self.arrow_schema)]

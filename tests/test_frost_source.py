@@ -119,3 +119,35 @@ def test_frost_stream_skips_real_maintenance_commits(spark, bronze, tmp_path):
     bronze.append(_rows(spark, [_event("ETH", 50, BASE_MS + 50_000)]))
     _drain(spark, bronze.location, out, ckpt)
     assert spark.read.parquet(out).count() == 9  # 8 + 1, no re-delivery
+
+
+def test_frost_batch_pushdown_prunes_files(spark, tmp_path):
+    """format("frost") batch reads receive pushed comparison filters and
+    prune whole files via manifest min/max stats — the scan's partition
+    count (one per surviving file) shrinks while results stay exact."""
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "pf"), "pf",
+                         "k BIGINT, v DOUBLE")
+    for lo in range(0, 500, 100):  # 5 files with disjoint k ranges
+        t.append(spark.range(lo, lo + 100).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+
+    df = spark.read.format("frost").option("location", t.location).load()
+    pruned = df.filter((F.col("k") >= 250) & (F.col("k") <= 260))
+    assert pruned.count() == 11  # rows exact regardless of pruning
+    assert pruned.agg(F.min("k"), F.max("k")).first() == (250, 260)
+
+    # the reader-level witness: pushed range filters shrink the file list
+    # 5 -> 1 via manifest stats (the DF API hides source partition counts)
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostBatchReader,
+    )
+
+    rd = FrostBatchReader(t._empty_df().schema, t.location)
+    assert len(rd.partitions()) == 5  # no filters: every file scans
+    rd2 = FrostBatchReader(t._empty_df().schema, t.location)
+    leftover = rd2.pushFilters([GreaterThanOrEqual(("k",), 250),
+                                LessThanOrEqual(("k",), 260)])
+    assert len(list(leftover)) == 2  # ALL filters re-applied by Spark
+    assert len(rd2.partitions()) == 1  # 4 of 5 files pruned by stats
