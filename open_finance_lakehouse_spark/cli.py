@@ -220,9 +220,17 @@ def _execute(spark, args) -> dict:
             )
 
             mode = args.mode or cfg["cluster_mode"]
-            curve = args.curve or cfg["curve"] or "zorder"
-            fn = cluster_global if mode == "global" else cluster
-            out = fn(t, ledger, job_id, curve=curve, target_bytes=target)
+            curve = args.curve if args.curve else cfg["curve"]
+            if curve is None:
+                # the table DECLARED curve=none; only an explicit --curve
+                # flag overrides — a hardcoded fallback would silently
+                # violate the flags > declared-config > defaults precedence
+                out = {"operation": "cluster", "skipped": True,
+                       "reason": "table declares maintenance.curve=none "
+                                 "(pass --curve to override)"}
+            else:
+                fn = cluster_global if mode == "global" else cluster
+                out = fn(t, ledger, job_id, curve=curve, target_bytes=target)
         elif args.cmd == "expire":
             from open_finance_lakehouse_spark.operators.expire import expire
 

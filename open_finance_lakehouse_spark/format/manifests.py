@@ -77,6 +77,21 @@ def _as_utc(dt):
     return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
 
 
+def temporal_to_micros(v) -> int:
+    """Canonical long stat for temporal values: epoch-MICROS (dates at
+    midnight UTC) — one unit for timestamps and dates so predicates and
+    stats always compare in the same domain."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return int(_as_utc(v).timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return int(datetime.datetime(
+            v.year, v.month, v.day,
+            tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    raise TypeError(f"not a temporal value: {v!r}")
+
+
 def collect_file_stats(abs_path: str, rel_path: str, partition: str) -> DataFile:
     """Build a DataFile entry from one Parquet file's footer.
 
@@ -130,13 +145,14 @@ def collect_file_stats(abs_path: str, rel_path: str, partition: str) -> DataFile
             try:
                 lo_i, hi_i = int(lo), int(hi)
             except (TypeError, ValueError):
-                # timestamps come back as datetime; store epoch-micros.
-                # Parquet timestamp stats are UTC instants, but pyarrow
-                # returns tz-NAIVE datetimes for timestamp_ntz — naive
-                # .timestamp() would shift by the driver's UTC offset and
-                # mis-prune files on any non-UTC host, so pin naive → UTC.
-                lo_i = int(_as_utc(lo).timestamp() * 1_000_000)
-                hi_i = int(_as_utc(hi).timestamp() * 1_000_000)
+                # timestamps/dates come back as datetime/date; store
+                # epoch-micros. Parquet timestamp stats are UTC instants,
+                # but pyarrow returns tz-NAIVE datetimes for
+                # timestamp_ntz — naive .timestamp() would shift by the
+                # driver's UTC offset and mis-prune files on any non-UTC
+                # host, so pin naive → UTC (dates: midnight UTC).
+                lo_i = temporal_to_micros(lo)
+                hi_i = temporal_to_micros(hi)
             entry.min_long[name] = lo_i
             entry.max_long[name] = hi_i
         elif kind == "double":

@@ -152,6 +152,21 @@ class LakeTable:
             out.extend(mf.read_manifest(self.location, m))
         return out
 
+    def live_file_count(self, snapshot_id: int | None = None) -> int:
+        """Exact live file count from manifest parquet FOOTERS — O(KB) per
+        manifest, no Spark job, no entry materialization. The correct
+        heuristic input for broadcast/distributed-path switches: snapshot
+        SUMMARY sums (added_files) undercount arbitrarily once expire has
+        dropped the append snapshots whose files are still live."""
+        import pyarrow.parquet as pq
+
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        return sum(
+            pq.ParquetFile(os.path.join(self.location, m)).metadata.num_rows
+            for m in snap.manifests)
+
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``.files`` metadata table as a Spark DataFrame (distributed
         planning path for cluster scale)."""
@@ -628,9 +643,9 @@ class LakeTable:
         self.refresh()
         now = time.time()
         if distributed == "auto":
-            est = sum(int(s.summary.get("added_files", 0) or 0)
-                      for s in self.meta.snapshots)
-            distributed = est >= 10_000
+            # exact current-snapshot inventory from manifest footers —
+            # summary sums undercount once expire drops append snapshots
+            distributed = self.live_file_count() >= 10_000
         if distributed:
             victims = self._find_orphans_distributed(grace_ms, now)
         else:

@@ -245,15 +245,27 @@ def cluster_global(
         added = table.stage_dataframe(
             clustered, max_records_per_file=rpf,
             repartition_by_partition=False)
-    # conditional replace, not commit_rewrite: the rewrite covers EVERY
-    # live file, so "all removed files still live" ≡ "head unchanged" —
-    # validated at O(1) against the plan-time snapshot instead of
-    # re-reading every manifest (O(added) commit at any inventory size);
-    # operation="cluster" keeps it skippable by incremental consumers
-    snap = table.commit_replace(
-        added, operation="cluster",
-        expect_current_snapshot_id=pre_snapshot,
-        summary={"job_id": job_id, "curve": curve, "mode": "global"})
+    # fast path: conditional replace — the rewrite covers every live file,
+    # so "head unchanged since planning" proves the removal set at O(1)
+    # metadata cost (no manifest re-read at any inventory size). If a
+    # CONCURRENT APPEND moved the head, its rows are not in the clustered
+    # output, so a replace would drop them — fall back to commit_rewrite,
+    # which removes exactly the planned files and PRESERVES the
+    # concurrent append's manifest (its validation only requires the
+    # planned files to still be live). operation="cluster" keeps the
+    # snapshot skippable by incremental consumers on either path.
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    cluster_summary = {"job_id": job_id, "curve": curve, "mode": "global"}
+    try:
+        snap = table.commit_replace(
+            added, operation="cluster",
+            expect_current_snapshot_id=pre_snapshot,
+            summary=cluster_summary)
+    except CommitConflict:
+        snap = table.commit_rewrite(
+            set(paths_rel), added, operation="cluster",
+            summary=cluster_summary)
     engine_ms = int((time.monotonic() - t0) * 1000)
 
     # per-partition ledger records (metrics grain preserved) + job record

@@ -18,6 +18,10 @@ from open_finance_lakehouse_spark.format.table import LakeTable
 from open_finance_lakehouse_spark.operators import binpack
 
 MAINTENANCE_DEFAULTS: dict = {
+    # DELIBERATE unification (r3): run_maintenance's old signature default
+    # was a sandbox-sized 8 MiB; the format-wide default is 128 MiB —
+    # tables without a declared target now get the production size, and
+    # benches/tests that want small files pass target_bytes explicitly.
     "target_bytes": binpack.DEFAULT_TARGET_FILE_BYTES,
     "curve": "zorder",          # zorder | hilbert | none
     "retain_last": 1,

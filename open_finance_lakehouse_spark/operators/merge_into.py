@@ -162,9 +162,8 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
         F.element_at(f"min_{kind}", F.lit(key)).alias("lo"),
         F.element_at(f"max_{kind}", F.lit(key)).alias("hi"),
     )
-    est_files = sum(int(s.summary.get("added_files", 0) or 0)
-                    for s in table.meta.snapshots)
-    bounds_rel = (F.broadcast(bounds) if est_files < BROADCAST_FILE_LIMIT
+    n_files = table.live_file_count()  # exact, from manifest footers
+    bounds_rel = (F.broadcast(bounds) if n_files < BROADCAST_FILE_LIMIT
                   else bounds)
     keys = src.select(key, "__part")
     # a key can only match rows in ITS OWN bucket partition's files, so the

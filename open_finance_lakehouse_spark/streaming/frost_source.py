@@ -51,9 +51,6 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 ROW_CHANGING_OPS = {"merge", "replace", "overwrite"}
-# byte-moving, row-preserving maintenance commits (the parity gate proves
-# row identity): their added files carry only already-delivered rows
-ROW_PRESERVING_OPS = {"rewrite", "cluster", "compact"}
 
 
 @dataclass
@@ -93,25 +90,41 @@ def _load_meta(location: str):
 
 def _added_paths(location: str, meta, start_id: int, end_id: int,
                  skip_rewrites: bool) -> list[str]:
-    """Data files added by append snapshots in (start, end]; rewrites are
-    skipped (row-preserving); row-changing ops raise."""
-    from open_finance_lakehouse_spark.format import manifests as mf
+    """Data files a consumer at offset ``start_id`` must read to reach
+    ``end_id``.
+
+    INITIAL LOAD (``start_id == 0``): the LIVE FILES of snapshot ``end``
+    — the table's materialized state, not a log replay. Replaying append
+    snapshots would silently deliver nothing when expire has truncated
+    the pre-maintenance history (the only surviving snapshot being a
+    rewrite), and live-files is also what Delta's readStream delivers as
+    its first batch.
+
+    INCREMENTAL: the parent-chain walk from ``end`` down to ``start``
+    (``table_source.ancestry_interval`` — never a raw id range, which
+    would emit phantom rows from branches abandoned by rollback). Within
+    the chain, appends emit their manifest diff; row-preserving
+    maintenance (rewrite/cluster/compact) is skipped; row-changing ops
+    raise."""
     from open_finance_lakehouse_spark.streaming.table_source import (
+        ROW_PRESERVING_OPS,
         NonAppendInterval,
+        added_entries,
+        ancestry_interval,
     )
 
-    by_id = {s.snapshot_id: s for s in meta.snapshots}
-    snaps = sorted((s for s in meta.snapshots
-                    if start_id < s.snapshot_id <= end_id),
-                   key=lambda s: s.sequence_number)
-    if start_id and start_id not in by_id:
-        # the offset's snapshot expired from the log — retention was
-        # shorter than the consumer lag. Snapshot ids are lifetime-unique
-        # (never recycled), so this check is reliable; refusing beats
-        # silently skipping whatever history was GC'd with it.
-        raise NonAppendInterval(
-            f"offset snapshot {start_id} expired from the log — retention "
-            "must exceed the consumer lag")
+    if not start_id:
+        from open_finance_lakehouse_spark.format import manifests as mf
+
+        snap = meta.snapshot(end_id) if end_id else None
+        return [os.path.join(location, e.file_path)
+                for m in (snap.manifests if snap else [])
+                for e in mf.read_manifest(location, m)]
+
+    try:
+        snaps = ancestry_interval(meta, start_id, end_id)
+    except ValueError as e:
+        raise NonAppendInterval(str(e)) from e
     bad = [s for s in snaps
            if s.operation != "append"
            and s.operation not in ROW_PRESERVING_OPS]
@@ -128,29 +141,32 @@ def _added_paths(location: str, meta, start_id: int, end_id: int,
             raise NonAppendInterval(
                 f"snapshot {s.snapshot_id} is a {s.operation} and "
                 "skipRewrites=false")
-        parent = by_id.get(s.parent_id)
-        parent_manifests = set(parent.manifests) if parent else set()
-        for m in s.manifests:
-            if m not in parent_manifests:
-                paths.extend(
-                    os.path.join(location, e.file_path)
-                    for e in mf.read_manifest(location, m))
+        paths.extend(os.path.join(location, e.file_path)
+                     for e in added_entries(location, meta, s))
     return paths
 
 
 class FrostStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, location: str,
-                 skip_rewrites: bool):
+                 skip_rewrites: bool, starting: str | None):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.location = location
         self.skip_rewrites = skip_rewrites
+        self.starting = starting
         self.arrow_schema = to_arrow_schema(schema)
 
     def initialOffset(self) -> dict:
-        # a new query starts BEFORE the log: the first micro-batch delivers
-        # the table's existing rows (Delta readStream semantics)
-        return {"snapshot_id": 0}
+        # default: start BEFORE the log — the first micro-batch delivers
+        # the table's existing rows (Delta readStream semantics).
+        # startingSnapshotId="latest" consumes only NEW commits (Delta's
+        # startingVersion=latest); an integer starts just after that id.
+        if self.starting is None:
+            return {"snapshot_id": 0}
+        if str(self.starting).lower() == "latest":
+            meta = _load_meta(self.location)
+            return {"snapshot_id": int(meta.current_snapshot_id or 0)}
+        return {"snapshot_id": int(self.starting)}
 
     def latestOffset(self) -> dict:
         meta = _load_meta(self.location)
@@ -197,6 +213,21 @@ class FrostBatchReader(DataSourceReader):
             LessThanOrEqual,
         )
 
+        import datetime
+
+        from open_finance_lakehouse_spark.format.manifests import (
+            temporal_to_micros,
+        )
+
+        def canon(v):
+            # manifest long stats store temporal values as epoch-micros;
+            # pushed timestamp/date literals arrive as datetime/date and
+            # must be compared in the same domain (an int-vs-datetime
+            # comparison would throw and fail the whole scan)
+            if isinstance(v, (datetime.datetime, datetime.date)):
+                return temporal_to_micros(v)
+            return v
+
         for f in filters:
             attr = getattr(f, "attribute", None)
             if not attr or len(attr) != 1:
@@ -211,14 +242,14 @@ class FrostBatchReader(DataSourceReader):
                     rng[1] = hi
 
             if isinstance(f, EqualTo):
-                tighten(lo=f.value, hi=f.value)
+                tighten(lo=canon(f.value), hi=canon(f.value))
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                tighten(lo=f.value)
+                tighten(lo=canon(f.value))
             elif isinstance(f, (LessThan, LessThanOrEqual)):
-                tighten(hi=f.value)
+                tighten(hi=canon(f.value))
             elif isinstance(f, In) and f.value:
                 try:
-                    tighten(lo=min(f.value), hi=max(f.value))
+                    tighten(lo=canon(min(f.value)), hi=canon(max(f.value)))
                 except TypeError:
                     pass
         return filters  # all re-applied by Spark post-scan
@@ -231,11 +262,19 @@ class FrostBatchReader(DataSourceReader):
         snap = meta.snapshot()
         preds = [ColumnRange(c, lo=r[0], hi=r[1])
                  for c, r in self._ranges.items()]
+
+        def survives(entry) -> bool:
+            try:
+                return all(p.overlaps(entry.bounds(p.column))
+                           for p in preds)
+            except TypeError:
+                return True  # incomparable stat/value domain: never prune
+
         paths = [
             os.path.join(self.location, e.file_path)
             for m in (snap.manifests if snap else [])
             for e in mf.read_manifest(self.location, m)
-            if all(p.overlaps(e.bounds(p.column)) for p in preds)
+            if survives(e)
         ]
         return [FrostFilePartition(p, self.arrow_schema) for p in paths] or \
             [FrostFilePartition("", self.arrow_schema)]
@@ -249,7 +288,10 @@ class FrostBatchReader(DataSourceReader):
 class FrostDataSource(DataSource):
     """``format("frost")`` batch + streaming source. Options:
     ``location`` (or ``path``) — the table root;
-    ``skipRewrites`` — skip row-preserving rewrite snapshots (default true).
+    ``skipRewrites`` — skip row-preserving rewrite snapshots (default true);
+    ``startingSnapshotId`` — stream start: unset = beginning of the table,
+    ``"latest"`` = only commits after the query starts, an id = just
+    after that snapshot.
     """
 
     @classmethod
@@ -270,7 +312,8 @@ class FrostDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> FrostStreamReader:
         skip = str(self.options.get("skipRewrites", "true")).lower() != "false"
-        return FrostStreamReader(schema, self._location(), skip)
+        return FrostStreamReader(schema, self._location(), skip,
+                                 self.options.get("startingSnapshotId"))
 
 
 def register_frost_source(spark) -> None:

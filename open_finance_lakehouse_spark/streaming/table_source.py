@@ -41,33 +41,66 @@ class NonAppendInterval(Exception):
     interval has no pure row-delta; consumers must recompute fully."""
 
 
+def ancestry_interval(meta, start_id: int | None, end_id: int | None
+                      ) -> list[Snapshot]:
+    """Snapshots on the CURRENT ancestry chain in (start, end], oldest
+    first — the parent-chain walk, NOT a raw id range: snapshots on a
+    branch abandoned by rollback stay in the log until expire, and an
+    id-range scan would deliver their rows as if committed (phantom
+    reads). Raises when the start cursor is not an ancestor of ``end``
+    (expired from the log, or a rollback crossed it) — refusing loudly
+    beats silently skipping whatever history was dropped."""
+    if end_id is None or end_id == start_id:
+        return []
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    chain: list[Snapshot] = []
+    cur = end_id
+    while cur is not None and cur != start_id:
+        snap = by_id.get(cur)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {cur} missing from the log while walking "
+                f"{end_id} -> {start_id}: the cursor expired or a rollback "
+                "crossed it — retention must exceed the consumer lag")
+        chain.append(snap)
+        cur = snap.parent_id
+    if cur != start_id and not (cur is None and not start_id):
+        raise ValueError(
+            f"cursor snapshot {start_id} is not an ancestor of {end_id}")
+    return list(reversed(chain))
+
+
 def snapshots_since(table: LakeTable, since_snapshot_id: int | None
                     ) -> list[Snapshot]:
-    """Snapshots strictly after the cursor, oldest first (current metadata)."""
-    snaps = sorted(table.meta.snapshots, key=lambda s: s.sequence_number)
-    if since_snapshot_id is None:
-        return snaps
-    seqs = [s.sequence_number for s in snaps
-            if s.snapshot_id == since_snapshot_id]
-    if not seqs:
+    """Snapshots after the cursor on the current ancestry chain, oldest
+    first (current metadata)."""
+    if (since_snapshot_id is not None
+            and all(s.snapshot_id != since_snapshot_id
+                    for s in table.meta.snapshots)):
         raise ValueError(
             f"cursor snapshot {since_snapshot_id} expired from the log — "
             "the retention window must exceed the consumer lag")
-    return [s for s in snaps if s.sequence_number > seqs[0]]
+    return ancestry_interval(table.meta, since_snapshot_id,
+                             table.meta.current_snapshot_id)
 
 
-def added_files(table: LakeTable, snap: Snapshot) -> list[mf.DataFile]:
+def added_entries(location: str, meta, snap: Snapshot) -> list[mf.DataFile]:
     """Files a snapshot added = entries of manifests not in its parent.
     Manifests are immutable and reused by path across commits, so the
-    path-set diff is exact."""
-    parent = next((s for s in table.meta.snapshots
+    path-set diff is exact. (Shared by the ledger-cursor consumer and the
+    ``format("frost")`` streaming source.)"""
+    parent = next((s for s in meta.snapshots
                    if s.snapshot_id == snap.parent_id), None)
     parent_manifests = set(parent.manifests) if parent else set()
     out: list[mf.DataFile] = []
     for m in snap.manifests:
         if m not in parent_manifests:
-            out.extend(mf.read_manifest(table.location, m))
+            out.extend(mf.read_manifest(location, m))
     return out
+
+
+def added_files(table: LakeTable, snap: Snapshot) -> list[mf.DataFile]:
+    return added_entries(table.location, table.meta, snap)
 
 
 # byte-moving, row-preserving maintenance operations: their added files
@@ -164,10 +197,19 @@ class IncrementalSilver:
         t0 = time.monotonic()
         cursor = self._cursor()
         delta, head, info = incremental_scan(self.bronze, cursor)
-        if head == cursor or info["files"] == 0:
+        if head == cursor:
             return {"query_id": self.query_id, "processed_rows": 0,
                     "delta_files": 0, "windows_recomputed": 0,
                     "cursor": cursor, "engine_ms": 0}
+        if info["files"] == 0:
+            # the head moved but the interval holds no row delta (pure
+            # maintenance commits) — the cursor MUST still advance, or a
+            # later expire of the old cursor snapshot would strand the
+            # consumer on a position that no longer exists in the log
+            self._record(head, 0, 0)
+            return {"query_id": self.query_id, "processed_rows": 0,
+                    "delta_files": 0, "windows_recomputed": 0,
+                    "cursor": head, "engine_ms": 0}
         if self.silver.committed_txn(self.query_id, head):
             # crash replay: publish landed, ledger record didn't — re-record
             self._record(head, 0, 0)
@@ -231,7 +273,12 @@ class IncrementalSilver:
                 out.sort("window_start", "symbol"),
                 max_records_per_file=self.max_records_per_file)
             if touched:
-                self.silver.commit_rewrite(touched, added, summary=txn)
+                # operation="merge", NOT the default "rewrite": this
+                # commit CHANGES rows (recomputed windows), so consumers
+                # of the silver table must refuse-and-recompute, never
+                # skip it as row-preserving maintenance
+                self.silver.commit_rewrite(touched, added,
+                                           operation="merge", summary=txn)
             else:
                 self.silver.commit_append(added, summary=txn)
             self._record(head, n_delta, n_windows)

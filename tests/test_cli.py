@@ -112,3 +112,23 @@ def test_cli_evolve_schema(spark, tmp_path, capsys):
     assert "lang" in out["schema"]
     t = LakeTable.load(spark, loc)
     assert t.scan().filter("lang IS NULL").count() == 5
+
+
+def test_cli_cluster_respects_declared_curve_none(spark, tmp_path, capsys):
+    from open_finance_lakehouse_spark.format.table import LakeTable as LT
+    from open_finance_lakehouse_spark.sources.synth import (
+        CLIP_SCHEMA_DDL,
+        synth_clips,
+    )
+
+    loc = str(tmp_path / "nocurve")
+    t = LT.create(spark, loc, "nocurve", CLIP_SCHEMA_DDL,
+                  maintenance={"curve": "none"})
+    t.append(synth_clips(spark, 5, dur_max_ms=300))
+    out = _run(capsys, ["cluster", "--table", loc,
+                        "--ledger", str(tmp_path / "led")])
+    assert out["skipped"] is True and "curve=none" in out["reason"]
+    # an explicit flag overrides the declared none
+    out = _run(capsys, ["cluster", "--table", loc, "--curve", "zorder",
+                        "--ledger", str(tmp_path / "led")])
+    assert out.get("skipped") is not True

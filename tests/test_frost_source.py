@@ -151,3 +151,79 @@ def test_frost_batch_pushdown_prunes_files(spark, tmp_path):
                                 LessThanOrEqual(("k",), 260)])
     assert len(list(leftover)) == 2  # ALL filters re-applied by Spark
     assert len(rd2.partitions()) == 1  # 4 of 5 files pruned by stats
+
+
+def test_frost_stream_starting_snapshot_latest(spark, bronze, tmp_path):
+    """startingSnapshotId='latest': existing rows are NOT delivered; only
+    commits after the query's first start flow."""
+    out, ckpt = str(tmp_path / "out4"), str(tmp_path / "ckpt4")
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(6)]))
+
+    def drain():
+        q = (spark.readStream.format("frost")
+             .option("location", bronze.location)
+             .option("startingSnapshotId", "latest").load()
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()  # pre-existing 6 rows skipped
+    import os as _os
+    n0 = (spark.read.parquet(out).count()
+          if _os.path.isdir(out) and any(
+              f.endswith(".parquet") for _r, _d, fs in _os.walk(out)
+              for f in fs) else 0)
+    assert n0 == 0
+
+    bronze.append(_rows(spark, [_event("ETH", 50, BASE_MS + 50_000)]))
+    drain()  # checkpointed offset — only the new commit flows
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_frost_fresh_stream_after_expire_delivers_full_table(
+        spark, bronze, tmp_path):
+    """A NEW stream on a table whose pre-maintenance history was expired
+    (only a rewrite snapshot survives) must still deliver every live row:
+    the initial load materializes the current snapshot's live files, not
+    a replay of (possibly truncated) append history."""
+    from open_finance_lakehouse_spark.operators.compact import compact
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(8)]), max_records_per_file=2)
+    compact(bronze, CheckpointLedger(str(tmp_path / "led")),
+            "fresh-compact", target_bytes=8 * 1024 * 1024)
+    bronze.expire_snapshots(retain_last=1)  # only the compact snapshot left
+    assert {s.operation for s in bronze.snapshots()} == {"compact"}
+
+    out, ckpt = str(tmp_path / "out5"), str(tmp_path / "ckpt5")
+    _drain(spark, bronze.location, out, ckpt)
+    assert spark.read.parquet(out).count() == 8  # NOT an empty first batch
+
+
+def test_frost_pushdown_timestamp_filter_does_not_crash(spark, bronze):
+    """Pushed timestamp filters arrive as datetime objects while manifest
+    long stats are epoch-micros — the reader must canonicalize, prune
+    correctly, and never throw a mixed-type comparison."""
+    import datetime
+
+    from pyspark.sql.datasource import GreaterThan
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostBatchReader,
+    )
+
+    # two files in disjoint minute ranges
+    bronze.append(_rows(spark, [_event("BTC", 1, BASE_MS)]))
+    bronze.append(_rows(spark, [_event("BTC", 2, BASE_MS + 600_000)]))
+    cutoff = datetime.datetime.fromtimestamp(
+        (BASE_MS + 300_000) / 1000, datetime.timezone.utc)
+    rd = FrostBatchReader(bronze._empty_df().schema, bronze.location)
+    rd.pushFilters([GreaterThan(("trade_time",), cutoff)])
+    assert len(rd.partitions()) == 1  # first file pruned, no TypeError
+
+    # and through the engine path: row-exact
+    df = (spark.read.format("frost").option("location", bronze.location)
+          .load().filter(F.col("trade_time") > F.lit(cutoff)))
+    assert df.count() == 1

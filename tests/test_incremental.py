@@ -264,3 +264,67 @@ def test_incremental_drain_survives_bronze_maintenance(spark, bronze,
     got = {(r["window_start"].isoformat(), r["symbol"]): r["n_trades"]
            for r in silver.silver.scan().collect()}
     assert got == expect
+
+
+def test_silver_publish_is_row_changing_operation(spark, bronze, tmp_path):
+    """The drain's window-upsert commit must carry a row-CHANGING operation
+    label ('merge') — consumers of the SILVER table must refuse/recompute,
+    never skip it as row-preserving maintenance (that would silently drop
+    updated windows downstream)."""
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="op-silver")
+    bronze.append(_bronze_rows(spark, [_event("BTC", 1, BASE_MS)]))
+    silver.drain()  # first drain: plain append
+    assert silver.silver.meta.snapshot().operation == "append"
+    bronze.append(_bronze_rows(spark, [_event("BTC", 2, BASE_MS + 1000)]))
+    silver.drain()  # touches the existing window -> rewrite of its file
+    assert silver.silver.meta.snapshot().operation == "merge"
+
+
+def test_drain_cursor_advances_over_maintenance_only_interval(
+        spark, bronze, tmp_path):
+    """compact + expire on bronze with NO new appends: the cursor must
+    advance to the maintenance head — otherwise expiring the old cursor
+    snapshot strands the consumer forever."""
+    from open_finance_lakehouse_spark.operators.compact import compact
+    from open_finance_lakehouse_spark.plans.ledger import (
+        CheckpointLedger as CL,
+    )
+
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="adv-silver")
+    bronze.append(_bronze_rows(
+        spark, [_event("BTC", i, BASE_MS + i * 1000) for i in range(6)]),
+        max_records_per_file=2)
+    silver.drain()
+
+    compact(bronze, CL(str(tmp_path / "led_b")), "adv-compact",
+            target_bytes=8 * 1024 * 1024)
+    m = silver.drain()  # maintenance-only interval
+    assert m["processed_rows"] == 0
+    assert m["cursor"] == bronze.current_snapshot_id()  # advanced!
+
+    # the old cursor snapshot can now expire without stranding the consumer
+    bronze.expire_snapshots(retain_last=1)
+    bronze.append(_bronze_rows(spark, [_event("ETH", 9, BASE_MS + 9000)]))
+    m2 = silver.drain()
+    assert m2["processed_rows"] == 1
+
+
+def test_incremental_scan_skips_abandoned_rollback_branch(spark, bronze):
+    """Rows committed on a branch later abandoned by rollback must never
+    reach an incremental consumer (ancestry walk, not id-range scan)."""
+    bronze.append(_bronze_rows(spark, [_event("BTC", 1, BASE_MS)]))
+    _, cur, _ = incremental_scan(bronze, None)
+    good = bronze.current_snapshot_id()
+
+    bronze.append(_bronze_rows(spark, [_event("BTC", 66, BASE_MS + 1000)]))
+    bronze.rollback(good)  # abandon the branch carrying trade 66
+    bronze.append(_bronze_rows(spark, [_event("BTC", 77, BASE_MS + 2000)]))
+
+    delta, cur2, info = incremental_scan(bronze, cur)
+    ids = {r["trade_id"] for r in delta.collect()}
+    assert ids == {77}  # 66 (abandoned) is NOT delivered
+    assert cur2 == bronze.current_snapshot_id()

@@ -849,3 +849,54 @@ def test_declared_salt_policy_skips_probe(spark, tmp_path, monkeypatch):
            .withColumn("seq", F.lit(1).cast("long")))
     res = mi.merge_into(t, src, led, "salt-job", source_token="s1")
     assert t.scan().count() == 24
+
+
+def test_cluster_global_survives_concurrent_append(spark, tmp_path,
+                                                   monkeypatch):
+    """An append landing between the cluster plan and its publish must not
+    abort the job OR lose the appended rows: the conditional replace
+    conflicts, and the fallback commit_rewrite removes exactly the planned
+    files while preserving the concurrent append's manifest."""
+    from open_finance_lakehouse_spark.operators.cluster import cluster_global
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "cc2"), "cc2", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 30, dur_max_ms=400), max_records_per_file=5)
+    n0 = t.scan().count()
+
+    real_replace = LakeTable.commit_replace
+    state = {"injected": False}
+
+    def inject_concurrent_append(self, *a, **kw):
+        if not state["injected"]:
+            state["injected"] = True
+            other = LakeTable.load(spark, t.location)
+            other.append(synth_clips(spark, 4, id_offset=70_000,
+                                     dur_max_ms=300))
+        return real_replace(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_replace",
+                        inject_concurrent_append)
+    led = CheckpointLedger(str(tmp_path / "led_cc2"))
+    res = cluster_global(t, led, "cc2-job", curve="zorder",
+                         target_bytes=4 * 1024 * 1024)
+    assert res["partitions_rewritten"] > 0
+    assert state["injected"]
+    assert t.refresh().scan().count() == n0 + 4  # concurrent rows intact
+    assert t.meta.snapshot().operation == "cluster"
+
+
+def test_live_file_count_exact_after_expire(spark, tmp_path):
+    """live_file_count (manifest footers) stays exact when expire drops
+    the append snapshots whose summaries the old estimate summed — the
+    input to the merge-broadcast and distributed-GC switches."""
+    t = LakeTable.create(spark, str(tmp_path / "lfc"), "lfc",
+                         "k BIGINT, v DOUBLE")
+    for lo in range(0, 300, 100):
+        t.append(spark.range(lo, lo + 100).coalesce(1).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    assert t.live_file_count() == 3
+    t.expire_snapshots(retain_last=1)
+    assert t.live_file_count() == len(t.live_files()) == 3
