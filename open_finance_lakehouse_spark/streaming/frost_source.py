@@ -44,9 +44,12 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -78,6 +81,28 @@ def _read_file_batches(part: FrostFilePartition):
     for batch in pa.table(dict(zip(part.arrow_schema.names, cols)),
                           schema=part.arrow_schema).to_batches():
         yield batch
+
+
+def _ddl_column_names(ddl: str) -> list[str]:
+    """Top-level column names of a DDL string, no SparkContext needed
+    (depth-aware split so map<k,v>/struct<...> commas don't break it)."""
+    names, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            tok = "".join(cur).strip()
+            if tok:
+                names.append(tok.split()[0].strip("`"))
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        names.append(tail.split()[0].strip("`"))
+    return names
 
 
 def _load_meta(location: str):
@@ -315,6 +340,133 @@ class FrostDataSource(DataSource):
         return FrostStreamReader(schema, self._location(), skip,
                                  self.options.get("startingSnapshotId"))
 
+    def _check_writable(self, schema: StructType) -> None:
+        meta = _load_meta(self._location())
+        if meta.partition_spec:
+            raise ValueError(
+                "format('frost') writes support unpartitioned tables only "
+                "(bucket routing needs the JVM's xxhash64); use "
+                "LakeTable.append for partitioned tables")
+        # context-free DDL column-name parse: the writer-init worker has
+        # no SparkContext, so pyspark's DDL parser is unavailable there
+        expect = _ddl_column_names(meta.schema_ddl)
+        got = [f.name for f in schema.fields]
+        if got != expect:
+            raise ValueError(
+                f"schema mismatch: table {expect} vs dataframe {got}")
+
+    def writer(self, schema: StructType, overwrite: bool) -> FrostBatchWriter:
+        self._check_writable(schema)
+        return FrostBatchWriter(self._location(), overwrite)
+
+    def streamWriter(self, schema: StructType,
+                     overwrite: bool) -> FrostStreamWriter:
+        self._check_writable(schema)
+        app = self.options.get("txnAppId") or "frost-stream-writer"
+        return FrostStreamWriter(self._location(), app)
+
 
 def register_frost_source(spark) -> None:
     spark.dataSource.register(FrostDataSource)
+
+
+# ---------------------------------------------------------------- writers
+
+
+@dataclass
+class FrostCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the DataFile entries the task landed."""
+
+    entries: list  # list[manifests.DataFile]
+
+
+def _write_task_file(location: str, batches) -> "FrostCommitMessage":
+    """Executor-side: one task's Arrow batches → one parquet file landed
+    directly in the table's data dir (uncommitted until the driver's
+    commit — orphan GC's grace window protects it meanwhile; abort
+    removes it). Returns the footer-derived DataFile entry."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from open_finance_lakehouse_spark.format import manifests as mf
+
+    batches = [b for b in batches if b.num_rows]
+    if not batches:
+        return FrostCommitMessage(entries=[])
+    table = pa.Table.from_batches(batches)
+    part_dir = os.path.join(location, "data", "part=0")
+    os.makedirs(part_dir, exist_ok=True)
+    rel = os.path.join("data", "part=0", f"{_uuid.uuid4().hex}.parquet")
+    ap = os.path.join(location, rel)
+    pq.write_table(table, ap)
+    return FrostCommitMessage(
+        entries=[mf.collect_file_stats(ap, rel, "0")])
+
+
+def _abort_files(location: str, messages) -> None:
+    for m in messages:
+        for e in getattr(m, "entries", []) or []:
+            try:
+                os.remove(os.path.join(location, e.file_path))
+            except FileNotFoundError:
+                pass
+
+
+class FrostStreamWriter(DataSourceStreamArrowWriter):
+    """``writeStream.format("frost")`` — exactly-once streaming sink.
+
+    Tasks land parquet files (Arrow-native, no row loop); the driver's
+    ``commit(messages, batchId)`` publishes ONE snapshot whose summary
+    carries the ``(txnAppId, batchId)`` marker ATOMICALLY with the data —
+    the same idempotence contract as the foreachBatch lane
+    (``streaming/ingest.py``): a Spark-replayed micro-batch finds the
+    marker, deletes its re-staged files, and no-ops. Unpartitioned
+    tables only (bucket routing needs the JVM's xxhash64)."""
+
+    def __init__(self, location: str, txn_app_id: str):
+        self.location = location
+        self.txn_app_id = txn_app_id
+
+    def write(self, iterator):
+        return _write_task_file(self.location, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from open_finance_lakehouse_spark.format.table import LakeTable
+
+        t = LakeTable.load(None, self.location)
+        entries = [e for m in messages if m
+                   for e in m.entries]
+        if t.committed_txn(self.txn_app_id, int(batchId)):
+            _abort_files(self.location, messages)  # replayed batch: no-op
+            return
+        t.commit_append(entries, summary={
+            "txn_app_id": self.txn_app_id, "txn_id": int(batchId)})
+
+    def abort(self, messages, batchId: int) -> None:
+        _abort_files(self.location, messages)
+
+
+class FrostBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("frost")`` — append or overwrite publish."""
+
+    def __init__(self, location: str, overwrite: bool):
+        self.location = location
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        return _write_task_file(self.location, iterator)
+
+    def commit(self, messages) -> None:
+        from open_finance_lakehouse_spark.format.table import LakeTable
+
+        t = LakeTable.load(None, self.location)
+        entries = [e for m in messages if m for e in m.entries]
+        if self.overwrite:
+            t.commit_replace(entries)
+        else:
+            t.commit_append(entries)
+
+    def abort(self, messages) -> None:
+        _abort_files(self.location, messages)

@@ -227,3 +227,60 @@ def test_frost_pushdown_timestamp_filter_does_not_crash(spark, bronze):
     df = (spark.read.format("frost").option("location", bronze.location)
           .load().filter(F.col("trade_time") > F.lit(cutoff)))
     assert df.count() == 1
+
+
+def test_frost_batch_write_append_and_overwrite(spark, tmp_path):
+    """df.write.format("frost"): append commits a snapshot; overwrite
+    publishes a replace — both readable back via scan()."""
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "bw"), "bw",
+                         "k BIGINT, v DOUBLE")
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                (F.col("id") * 2.0).alias("v"))
+    df.write.format("frost").option("location", t.location) \
+        .mode("append").save()
+    assert t.refresh().scan().count() == 10
+    assert t.meta.snapshot().operation == "append"
+
+    spark.range(3).select(F.col("id").alias("k"), F.lit(0.0).alias("v")) \
+        .write.format("frost").option("location", t.location) \
+        .mode("overwrite").save()
+    assert t.refresh().scan().count() == 3
+    assert t.meta.snapshot().operation == "replace"
+
+
+def test_frost_stream_writer_exactly_once_pipe(spark, bronze, tmp_path):
+    """frost→frost streaming pipe: readStream from bronze, writeStream
+    into a copy table — counts match after two drains, and a re-drain
+    with nothing new commits nothing (txn-marker exactly-once)."""
+    copy = LakeTable.create(spark, str(tmp_path / "copy"), "copy",
+                            BRONZE_DDL)
+    ckpt = str(tmp_path / "ckpt_w")
+
+    def pipe():
+        q = (spark.readStream.format("frost")
+             .option("location", bronze.location).load()
+             .writeStream.format("frost")
+             .option("location", copy.location)
+             .option("txnAppId", "pipe-1")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(7)]))
+    pipe()
+    assert copy.refresh().scan().count() == 7
+
+    bronze.append(_rows(spark, [_event("ETH", 50, BASE_MS + 50_000)]))
+    pipe()
+    assert copy.refresh().scan().count() == 8
+    assert copy.scan().exceptAll(bronze.scan()).count() == 0
+    assert bronze.scan().exceptAll(copy.scan()).count() == 0
+
+    snaps = len(copy.snapshots())
+    pipe()  # nothing new: no data snapshot may land
+    data_snaps = [s for s in copy.refresh().snapshots()
+                  if int(s.summary.get("added_records", 0) or 0) > 0]
+    assert copy.scan().count() == 8
+    assert len(data_snaps) == 2  # one per real micro-batch, none extra
