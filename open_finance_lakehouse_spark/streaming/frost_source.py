@@ -83,26 +83,49 @@ def _read_file_batches(part: FrostFilePartition):
         yield batch
 
 
-def _ddl_column_names(ddl: str) -> list[str]:
-    """Top-level column names of a DDL string, no SparkContext needed
-    (depth-aware split so map<k,v>/struct<...> commas don't break it)."""
-    names, depth, cur = [], 0, []
-    for ch in ddl:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            tok = "".join(cur).strip()
-            if tok:
-                names.append(tok.split()[0].strip("`"))
-            cur = []
+def _ddl_columns(ddl: str) -> list[tuple[str, str]]:
+    """Top-level ``(name, normalized_type)`` pairs of a DDL string, no
+    SparkContext needed: depth-aware split (map<k,v>/struct<...> commas
+    don't break it) and backtick-quoted names are opaque spans (names
+    containing commas/spaces parse whole)."""
+    cols, depth, cur, in_bt = [], 0, [], False
+
+    def emit(tok: str):
+        tok = tok.strip()
+        if not tok:
+            return
+        if tok.startswith("`"):
+            end = tok.index("`", 1)
+            name, typ = tok[1:end], tok[end + 1:]
         else:
-            cur.append(ch)
-    tail = "".join(cur).strip()
-    if tail:
-        names.append(tail.split()[0].strip("`"))
-    return names
+            parts = tok.split(None, 1)
+            name, typ = parts[0], parts[1] if len(parts) > 1 else ""
+        cols.append((name, _norm_type(typ)))
+
+    for ch in ddl:
+        if ch == "`":
+            in_bt = not in_bt
+        if not in_bt:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                emit("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    emit("".join(cur))
+    return cols
+
+
+_TYPE_ALIASES = {"integer": "int", "long": "bigint", "short": "smallint",
+                 "byte": "tinyint", "real": "float", "bool": "boolean"}
+
+
+def _norm_type(typ: str) -> str:
+    t = "".join(typ.split()).lower()
+    return _TYPE_ALIASES.get(t, t)
 
 
 def _load_meta(location: str):
@@ -347,10 +370,19 @@ class FrostDataSource(DataSource):
                 "format('frost') writes support unpartitioned tables only "
                 "(bucket routing needs the JVM's xxhash64); use "
                 "LakeTable.append for partitioned tables")
-        # context-free DDL column-name parse: the writer-init worker has
-        # no SparkContext, so pyspark's DDL parser is unavailable there
-        expect = _ddl_column_names(meta.schema_ddl)
-        got = [f.name for f in schema.fields]
+        if (meta.properties or {}).get("contract"):
+            # LakeTable.append is the contract-enforcing write path; a
+            # direct commit here would silently void the table's declared
+            # write-time contract
+            raise ValueError(
+                "table declares a write-time contract; format('frost') "
+                "writes bypass enforcement — use LakeTable.append")
+        # context-free DDL parse (names AND types): the writer-init worker
+        # has no SparkContext, so pyspark's DDL parser is unavailable, and
+        # a type-mismatched write would poison every later schema'd read
+        expect = _ddl_columns(meta.schema_ddl)
+        got = [(f.name, _norm_type(f.dataType.simpleString()))
+               for f in schema.fields]
         if got != expect:
             raise ValueError(
                 f"schema mismatch: table {expect} vs dataframe {got}")
@@ -362,8 +394,16 @@ class FrostDataSource(DataSource):
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> FrostStreamWriter:
         self._check_writable(schema)
-        app = self.options.get("txnAppId") or "frost-stream-writer"
-        return FrostStreamWriter(self._location(), app)
+        app = self.options.get("txnAppId")
+        if not app:
+            # a shared default would make two queries' batchIds collide in
+            # committed_txn and silently discard one query's batches as
+            # replays — the exactly-once marker needs a per-query identity
+            raise ValueError(
+                "writeStream.format('frost') requires "
+                ".option('txnAppId', <unique-per-query id>): it keys the "
+                "exactly-once replay marker")
+        return FrostStreamWriter(self._location(), app, overwrite)
 
 
 def register_frost_source(spark) -> None:
@@ -384,23 +424,31 @@ def _write_task_file(location: str, batches) -> "FrostCommitMessage":
     """Executor-side: one task's Arrow batches → one parquet file landed
     directly in the table's data dir (uncommitted until the driver's
     commit — orphan GC's grace window protects it meanwhile; abort
-    removes it). Returns the footer-derived DataFile entry."""
+    removes it). Batches stream through an incremental ParquetWriter —
+    the task's partition is never buffered whole in memory. Returns the
+    footer-derived DataFile entry."""
     import uuid as _uuid
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     from open_finance_lakehouse_spark.format import manifests as mf
 
-    batches = [b for b in batches if b.num_rows]
-    if not batches:
+    writer = None
+    rel = ap = None
+    for b in batches:
+        if not b.num_rows:
+            continue
+        if writer is None:
+            part_dir = os.path.join(location, "data", "part=0")
+            os.makedirs(part_dir, exist_ok=True)
+            rel = os.path.join("data", "part=0",
+                               f"{_uuid.uuid4().hex}.parquet")
+            ap = os.path.join(location, rel)
+            writer = pq.ParquetWriter(ap, b.schema)
+        writer.write_batch(b)
+    if writer is None:
         return FrostCommitMessage(entries=[])
-    table = pa.Table.from_batches(batches)
-    part_dir = os.path.join(location, "data", "part=0")
-    os.makedirs(part_dir, exist_ok=True)
-    rel = os.path.join("data", "part=0", f"{_uuid.uuid4().hex}.parquet")
-    ap = os.path.join(location, rel)
-    pq.write_table(table, ap)
+    writer.close()
     return FrostCommitMessage(
         entries=[mf.collect_file_stats(ap, rel, "0")])
 
@@ -425,9 +473,10 @@ class FrostStreamWriter(DataSourceStreamArrowWriter):
     marker, deletes its re-staged files, and no-ops. Unpartitioned
     tables only (bucket routing needs the JVM's xxhash64)."""
 
-    def __init__(self, location: str, txn_app_id: str):
+    def __init__(self, location: str, txn_app_id: str, overwrite: bool):
         self.location = location
         self.txn_app_id = txn_app_id
+        self.overwrite = overwrite
 
     def write(self, iterator):
         return _write_task_file(self.location, iterator)
@@ -441,8 +490,18 @@ class FrostStreamWriter(DataSourceStreamArrowWriter):
         if t.committed_txn(self.txn_app_id, int(batchId)):
             _abort_files(self.location, messages)  # replayed batch: no-op
             return
-        t.commit_append(entries, summary={
-            "txn_app_id": self.txn_app_id, "txn_id": int(batchId)})
+        txn = {"txn_app_id": self.txn_app_id, "txn_id": int(batchId)}
+        if self.overwrite:
+            # outputMode("complete"): every micro-batch REPLACES the table
+            # with the recomputed result (truncate-then-write semantics)
+            t.commit_replace(entries, summary=txn)
+            return
+        if not entries:
+            # empty micro-batch (watermark-advance triggers): nothing to
+            # commit and nothing a replay could double-apply — committing
+            # a marker-only snapshot per trigger would bloat the log
+            return
+        t.commit_append(entries, summary=txn)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_files(self.location, messages)

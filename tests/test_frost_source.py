@@ -284,3 +284,76 @@ def test_frost_stream_writer_exactly_once_pipe(spark, bronze, tmp_path):
                   if int(s.summary.get("added_records", 0) or 0) > 0]
     assert copy.scan().count() == 8
     assert len(data_snaps) == 2  # one per real micro-batch, none extra
+
+
+def test_frost_writer_guards(spark, tmp_path):
+    """Writer refusals: missing txnAppId (stream), declared contract,
+    type-mismatched schema — each fails loudly before any data lands."""
+    from open_finance_lakehouse_spark.quality.contracts import Contract
+
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "wg"), "wg",
+                         "k BIGINT, v DOUBLE")
+
+    # type mismatch (names match): refused, nothing committed
+    bad = spark.range(3).select(F.col("id").alias("k"),
+                                F.lit("oops").alias("v"))
+    with pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("frost").option("location", t.location) \
+           .mode("append").save()
+    assert t.refresh().current_snapshot_id() is None
+
+    # contract-protected table: format("frost") bypasses enforcement
+    c = LakeTable.create(spark, str(tmp_path / "wc"), "wc",
+                         "k STRING, v DOUBLE",
+                         contract=Contract(not_null=["k"]))
+    good = spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE")
+    with pytest.raises(Exception, match="contract"):
+        good.write.format("frost").option("location", c.location) \
+            .mode("append").save()
+
+    # streaming sink requires a per-query txnAppId
+    src = LakeTable.create(spark, str(tmp_path / "ws"), "ws",
+                           "k BIGINT, v DOUBLE")
+    src.append(spark.range(2).select(F.col("id").alias("k"),
+                                     F.lit(1.0).alias("v")))
+    with pytest.raises(Exception, match="txnAppId"):
+        q = (spark.readStream.format("frost")
+             .option("location", src.location).load()
+             .writeStream.format("frost").option("location", t.location)
+             .option("checkpointLocation", str(tmp_path / "ck_g"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+
+def test_frost_stream_writer_complete_mode_replaces(spark, bronze, tmp_path):
+    """outputMode('complete') aggregation into a frost sink: every
+    micro-batch REPLACES the table with the recomputed result."""
+    agg_t = LakeTable.create(spark, str(tmp_path / "agg"), "agg",
+                             "symbol STRING, n BIGINT")
+    ckpt = str(tmp_path / "ck_c")
+
+    def pipe():
+        counts = (spark.readStream.format("frost")
+                  .option("location", bronze.location).load()
+                  .groupBy("symbol")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        q = (counts.writeStream.outputMode("complete").format("frost")
+             .option("location", agg_t.location)
+             .option("txnAppId", "agg-pipe")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                for i in range(4)]))
+    pipe()
+    got = {r["symbol"]: r["n"] for r in agg_t.refresh().scan().collect()}
+    assert got == {"BTC": 4}
+
+    bronze.append(_rows(spark, [_event("ETH", 9, BASE_MS + 9000),
+                                _event("BTC", 10, BASE_MS + 10_000)]))
+    pipe()
+    got = {r["symbol"]: r["n"] for r in agg_t.refresh().scan().collect()}
+    assert got == {"BTC": 5, "ETH": 1}  # replaced, not appended
+    assert agg_t.meta.snapshot().operation == "replace"
