@@ -51,7 +51,12 @@ def _widenable(old: str, new: str) -> bool:
     if old in _INT_RANK and new in _INT_RANK:
         return _INT_RANK[old] < _INT_RANK[new]
     if old in _INT_RANK and new == "double":
-        return True
+        # parquet reader upcasts int32-and-below to double, but REFUSES
+        # int64 -> double (verified on this Spark: the scan of old files
+        # would throw SchemaColumnConvertNotSupported forever, and the
+        # change is irreversible since double -> bigint is narrowing);
+        # bigint -> double is also lossy above 2^53
+        return _INT_RANK[old] <= _INT_RANK["int"]
     return old == "float" and new == "double"
 
 
@@ -67,11 +72,26 @@ class ColumnRange:
         if bounds is None:
             return True  # no stats -> cannot prune
         fmin, fmax = bounds
-        if self.lo is not None and fmax is not None and fmax < self.lo:
-            return False
-        if self.hi is not None and fmin is not None and fmin > self.hi:
-            return False
+        lo, hi = self._canon(self.lo), self._canon(self.hi)
+        try:
+            if lo is not None and fmax is not None and fmax < lo:
+                return False
+            if hi is not None and fmin is not None and fmin > hi:
+                return False
+        except TypeError:
+            return True  # incomparable stat/value domain: never prune
         return True
+
+    @staticmethod
+    def _canon(v):
+        """Temporal predicate values → epoch-micros, the domain manifest
+        long stats store timestamps/dates in (an int < datetime comparison
+        would throw and fail the whole scan)."""
+        import datetime
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return mf.temporal_to_micros(v)
+        return v
 
     def to_spark_filter(self):
         cond = F.lit(True)
@@ -411,6 +431,13 @@ class LakeTable:
         live — the snapshot-isolation guard against concurrent rewrites.
         """
         added_manifest = mf.write_manifest(self.location, added) if added else None
+        # memoize per-source-manifest survivor rewrites across CAS retries:
+        # manifests are immutable by path and the removal set is fixed, so
+        # a lost commit race re-USES the survivor files already written
+        # instead of re-reading every manifest and orphaning last
+        # attempt's output (up to 50x under the retry budget)
+        # (survivor manifest path or None, hit path set) per source manifest
+        survivor_cache: dict[str, tuple[str | None, frozenset]] = {}
 
         def build(meta: md.TableMetadata):
             parent = meta.snapshot()
@@ -419,17 +446,24 @@ class LakeTable:
             new_manifests: list[str] = []
             seen: set[str] = set()
             for m in parent.manifests:
-                entries = mf.read_manifest(self.location, m)
-                hit = [e for e in entries if e.file_path in removed_paths]
-                seen.update(e.file_path for e in hit)
-                if not hit:
-                    new_manifests.append(m)  # reuse untouched manifest
-                else:
-                    survivors = [e for e in entries
-                                 if e.file_path not in removed_paths]
-                    if survivors:
-                        new_manifests.append(
-                            mf.write_manifest(self.location, survivors))
+                if m not in survivor_cache:
+                    entries = mf.read_manifest(self.location, m)
+                    hit = frozenset(e.file_path for e in entries
+                                    if e.file_path in removed_paths)
+                    if not hit:
+                        survivor_cache[m] = (m, hit)  # reuse untouched
+                    else:
+                        survivors = [e for e in entries
+                                     if e.file_path not in removed_paths]
+                        survivor_cache[m] = (
+                            mf.write_manifest(self.location, survivors)
+                            if survivors else None,
+                            hit,
+                        )
+                path, hit = survivor_cache[m]
+                seen.update(hit)
+                if path is not None:
+                    new_manifests.append(path)
             if seen != removed_paths:
                 raise CommitConflict(
                     f"{len(removed_paths - seen)} files to remove are no "
@@ -468,12 +502,22 @@ class LakeTable:
             raise ValueError(
                 f"on_violation={on_violation!r} — expected 'reject' or "
                 "'dead_letter'")
+        if on_violation == "dead_letter" and dead_letter is None:
+            # without a destination, "dead_letter" would silently DISCARD
+            # every violating row — the same quiet loss the mode guard
+            # above exists to prevent
+            raise ValueError(
+                "on_violation='dead_letter' requires a dead_letter table "
+                "(violators would otherwise be silently dropped)")
+        # write-schema conformance ALWAYS (Delta/Iceberg discipline, not
+        # just on contract tables): a misnamed column would otherwise
+        # commit fine and read back as all-NULL under the table schema
+        qc.check_schema(df, self._empty_df().schema)
         contract = qc.Contract.from_properties(self.meta.properties)
         if contract is None:
             return self.commit_append(
                 self.stage_dataframe(df, max_records_per_file), summary)
 
-        qc.check_schema(df, self._empty_df().schema)
         tagged = qc.tag_violations(df, contract).persist()
         try:
             bad = tagged.filter(F.col(qc.VIOLATION_COL).isNotNull())
@@ -488,8 +532,16 @@ class LakeTable:
                         sample)
                 n_bad = bad.count()
                 if dead_letter is not None:
-                    dead_letter.append(bad, summary={**(summary or {}),
-                                                     "source": self.meta.name})
+                    # replay-safe when the caller's summary carries txn
+                    # markers (the streaming lane always does): a retried
+                    # batch whose dead-letter commit already landed skips
+                    # it instead of duplicating the violators
+                    app = (summary or {}).get("txn_app_id")
+                    txn = (summary or {}).get("txn_id")
+                    if app is None or not dead_letter.committed_txn(app, txn):
+                        dead_letter.append(
+                            bad, summary={**(summary or {}),
+                                          "source": self.meta.name})
             good = tagged.filter(F.col(qc.VIOLATION_COL).isNull()) \
                          .drop(qc.VIOLATION_COL)
             return self.commit_append(

@@ -27,6 +27,7 @@ files produced which output file, under which operation and job.
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -171,6 +172,11 @@ class CheckpointLedger:
         )
         pattern = (os.path.join(base, "*.json") if job_id is not None
                    else os.path.join(base, "*", "*.json"))
+        if not glob.glob(pattern):
+            # an existing-but-empty dir (crash between makedirs and the
+            # atomic rename) must honor the empty-relation contract —
+            # Spark throws PATH_NOT_FOUND on an unmatched glob
+            return spark.createDataFrame([], CHECKPOINT_DDL)
         return (
             spark.read.schema(raw_ddl).json(pattern)
             .withColumn("updated_at",
@@ -247,6 +253,8 @@ class CheckpointLedger:
         )
         pattern = (os.path.join(base, "*.json") if job_id is not None
                    else os.path.join(base, "*", "*.json"))
+        if not glob.glob(pattern):
+            return spark.createDataFrame([], LINEAGE_DDL)
         return (
             spark.read.schema(raw_ddl).json(pattern)
             .select(F.explode("rows").alias("r"))

@@ -283,7 +283,13 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
     bucket+1} and joining on the block key recovers all |Δbucket| ≤ 1
     pairs while staying a pure EQUI-join (shuffle-partitionable at corpus
     scale). Each qualifying pair matches exactly once — at block =
-    max(bucket_a, bucket_b) — so no post-join distinct is needed."""
+    max(bucket_a, bucket_b) — so no post-join distinct is needed.
+
+    Deliberately NOT persisted (unlike the minhash/simhash signature
+    subplans): the explode is a Generate barrier, so Catalyst cannot
+    collapse the shingle projection into the join, and caching the large
+    shingle arrays measured 3.5× SLOWER than recomputing them once per
+    keyed row (17 s vs 4.8 s at sf0.1 local[32], min-of-3)."""
     d = load_fanout(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", "lang",

@@ -44,6 +44,9 @@ def register_tables(
     ``on_missing``: "warn" (default) logs and skips absent locations —
     downstream SQL referencing a skipped view fails by name, everything
     else runs; "raise" fails fast."""
+    if on_missing not in ("warn", "raise"):
+        raise ValueError(
+            f"on_missing={on_missing!r} — expected 'warn' or 'raise'")
     registered: list[str] = []
     skipped: list[str] = []
     for name, t in tables.items():
@@ -51,14 +54,19 @@ def register_tables(
             register_view(t, name)
             registered.append(name)
             continue
-        if not os.path.isdir(os.path.join(t, "metadata")):
+        try:
+            # load() is the authoritative existence check — an isdir probe
+            # would accept a half-created metadata dir (crashed create)
+            # and then crash the whole run despite warn mode
+            table = LakeTable.load(spark, t)
+        except FileNotFoundError:
             if on_missing == "raise":
                 raise FileNotFoundError(f"no table at {t} for view {name}")
             warnings.warn(f"skipping view {name}: no table at {t}",
                           stacklevel=2)
             skipped.append(name)
             continue
-        register_view(LakeTable.load(spark, t), name)
+        register_view(table, name)
         registered.append(name)
     return {"registered": registered, "skipped": skipped}
 

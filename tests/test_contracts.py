@@ -144,3 +144,46 @@ def test_append_rejects_unknown_violation_mode(spark, contracted):
     with pytest.raises(ValueError, match="on_violation"):
         contracted.append(ok, on_violation="deadletter")
     assert contracted.refresh().current_snapshot_id() is None
+
+
+def test_dead_letter_mode_requires_destination(spark, contracted):
+    """on_violation='dead_letter' with no dead_letter table would silently
+    discard violators — refuse instead."""
+    mixed = _df(spark, [("m1", 5.0, "a"), (None, 1.0, "a")])
+    with pytest.raises(ValueError, match="dead_letter"):
+        contracted.append(mixed, on_violation="dead_letter")
+    assert contracted.refresh().current_snapshot_id() is None
+
+
+def test_dead_letter_replay_with_txn_marker_no_duplicates(
+        spark, contracted, tmp_path):
+    """A replayed batch whose summary carries txn markers must not append
+    its violators to the dead-letter table a second time."""
+    dl = LakeTable.create(spark, str(tmp_path / "dl2"), "dl2",
+                          DDL + ", _violation STRING")
+    mixed = _df(spark, [("r1", 5.0, "a"), (None, 1.0, "a")])
+    txn = {"txn_app_id": "batch-app", "txn_id": 7}
+    contracted.append(mixed, on_violation="dead_letter", dead_letter=dl,
+                      summary=dict(txn))
+    assert dl.refresh().scan().count() == 1
+    # replay the same batch (same markers): dead letter must NOT grow
+    contracted.append(mixed, on_violation="dead_letter", dead_letter=dl,
+                      summary=dict(txn))
+    assert dl.refresh().scan().count() == 1
+
+
+def test_register_tables_tolerates_half_created_dir(spark, tmp_path):
+    """A crashed create leaves metadata/ with no version file; warn mode
+    must skip it (load is the authoritative existence check), and a
+    typo'd on_missing refuses."""
+    import os
+
+    half = tmp_path / "half"
+    (half / "metadata").mkdir(parents=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reg = register_tables(spark, {"h": str(half)})
+    assert reg["skipped"] == ["h"] and any("skipping" in str(x.message)
+                                           for x in w)
+    with pytest.raises(ValueError, match="on_missing"):
+        register_tables(spark, {}, on_missing="skip")

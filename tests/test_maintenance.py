@@ -900,3 +900,14 @@ def test_live_file_count_exact_after_expire(spark, tmp_path):
     assert t.live_file_count() == 3
     t.expire_snapshots(retain_last=1)
     assert t.live_file_count() == len(t.live_files()) == 3
+
+
+def test_ledger_dfs_tolerate_empty_dirs(spark, tmp_path):
+    """checkpoints_df/lineage_df on an existing-but-empty job dir must
+    return the empty relation, not throw PATH_NOT_FOUND on the glob."""
+    led = CheckpointLedger(str(tmp_path / "led_empty"))
+    (tmp_path / "led_empty" / "checkpoints" / "jobx").mkdir(parents=True)
+    (tmp_path / "led_empty" / "lineage" / "jobx").mkdir(parents=True)
+    assert led.checkpoints_df(spark, "jobx").count() == 0
+    assert led.lineage_df(spark, "jobx").count() == 0
+    assert led.checkpoints_df(spark).count() == 0

@@ -378,3 +378,58 @@ def test_conditional_replace_refuses_when_head_moved(spark, warehouse):
                             expect_current_snapshot_id=head2)
     assert snap.operation == "cluster"
     assert t.scan().count() == 30
+
+
+def test_schema_evolution_rejects_bigint_to_double(spark, warehouse):
+    """bigint->double is NOT a safe widening: the parquet reader refuses
+    INT64 files under a double read schema, so the evolution would brick
+    every scan of pre-evolution data (and is lossy above 2^53)."""
+    from open_finance_lakehouse_spark.format.table import SchemaEvolutionError
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "bd"), "bd",
+                         "k BIGINT, v INT")
+    t.append(spark.range(3).select(F.col("id").alias("k"),
+                                   F.col("id").cast("int").alias("v")))
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        t.update_schema("k DOUBLE, v INT")
+    # int -> double IS safe and still allowed
+    t.update_schema("k BIGINT, v DOUBLE")
+    assert t.scan().agg(F.sum("v")).first()[0] == 3.0
+
+
+def test_scan_accepts_temporal_predicates(spark, warehouse):
+    """ColumnRange with datetime bounds must prune via the epoch-micros
+    manifest stats (not crash on int-vs-datetime comparison) AND apply
+    the residual filter with the original temporal literal."""
+    import datetime
+
+    t = LakeTable.create(spark, os.path.join(warehouse, "tp"), "tp",
+                         "ts TIMESTAMP, v LONG")
+    base = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
+    for day in (0, 10):  # two files, disjoint time ranges
+        rows = [(base + datetime.timedelta(days=day, minutes=m), m)
+                for m in range(5)]
+        t.append(spark.createDataFrame(rows, "ts TIMESTAMP, v LONG")
+                 .coalesce(1))
+    cut = base + datetime.timedelta(days=5)
+    sel, total = t.plan_files(predicates=[ColumnRange("ts", lo=cut)])
+    assert (len(sel), total) == (1, 2)  # first file pruned by stats
+    got = t.scan(predicates=[ColumnRange("ts", lo=cut)])
+    assert got.count() == 5
+    assert got.agg(F.min("ts")).first()[0] >= cut.replace(tzinfo=None)
+
+
+def test_append_always_checks_write_schema(spark, warehouse):
+    """Even without a contract, a misnamed/mistyped column must refuse at
+    append (it would otherwise read back as all-NULL under the table
+    schema — silent data loss)."""
+    from open_finance_lakehouse_spark.quality.contracts import SchemaMismatch
+
+    t = make_table(spark, warehouse, name="ws")
+    bad = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit("c").alias("catt"),  # misnamed column
+        F.lit(1.0).alias("v"))
+    with pytest.raises(SchemaMismatch, match="catt"):
+        t.append(bad)
+    assert t.refresh().current_snapshot_id() is None
