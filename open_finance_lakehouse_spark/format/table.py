@@ -400,11 +400,17 @@ class LakeTable:
 
     def commit_append(self, added: list[mf.DataFile], summary: dict | None = None
                       ) -> md.Snapshot:
-        manifest = mf.write_manifest(self.location, added)
+        # a marker-only append (e.g. a txn marker for a zero-row batch)
+        # carries NO manifest: long-running streams would otherwise grow
+        # one empty manifest parquet per trigger, and every later scan
+        # opens them all
+        manifest = mf.write_manifest(self.location, added) if added else None
 
         def build(meta: md.TableMetadata):
             parent = meta.snapshot()
-            manifests = [*(parent.manifests if parent else []), manifest]
+            manifests = [*(parent.manifests if parent else [])]
+            if manifest is not None:
+                manifests.append(manifest)
             snap = meta.next_snapshot(
                 "append",
                 manifests,

@@ -180,7 +180,21 @@ def cluster_global(
         files_in=totals["files_in"], bytes_in=bytes_in,
     ))
     n_out = max(1, math.ceil(bytes_in / target_bytes))
-    rpf = binpack.records_per_file(bytes_in, records_in, target_bytes)
+    # per-partition input stats (path_rows is already on the driver): the
+    # row cap comes from the WIDEST-row partition so no partition's files
+    # exceed target_bytes — a single table-wide average would let a
+    # partition with 2×-wide rows (codec/duration mix) emit 2×-target
+    # files while narrow partitions emit half-size ones
+    part_stats: dict[str, list[int]] = {}
+    for r in path_rows:
+        s = part_stats.setdefault(r["partition"], [0, 0])
+        s[0] += int(r["file_size_bytes"])
+        s[1] += int(r["record_count"])
+    rpf = min(
+        (binpack.records_per_file(pb, pr, target_bytes)
+         for pb, pr in part_stats.values() if pr),
+        default=binpack.records_per_file(bytes_in, records_in, target_bytes),
+    )
     schema = table._empty_df().schema
     if exchange == "local":
         # no exchange: one task per table partition reads that partition's
@@ -272,8 +286,16 @@ def cluster_global(
     by_out: dict[str, list] = {}
     for a in added:
         by_out.setdefault(a.partition, []).append(a)
+    part_inputs: dict[str, list[str]] = {}
+    for r in path_rows:
+        part_inputs.setdefault(r["partition"], []).append(r["file_path"])
     for part, outs in sorted(by_out.items()):
-        ledger.append_lineage(job_id, f"part={part}", paths_rel,
+        # lineage inputs are the PARTITION's own files — rows never cross
+        # partitions (both exchange modes key on __part), and whole-table
+        # inputs would make the log O(partitions × files) and provenance
+        # queries useless
+        ledger.append_lineage(job_id, f"part={part}",
+                              sorted(part_inputs.get(part, [])),
                               [a.file_path for a in outs], "cluster")
     ledger.upsert(CheckpointRecord(
         job_id=job_id, table=table.meta.name, partition_id="__table__",

@@ -55,7 +55,10 @@ def expire(
         files_in=len(orphans), engine_ms=engine_ms,
         committed_snapshot_id=table.current_snapshot_id(),
     ))
-    ledger.append_lineage(job_id, "__snapshots__", orphans, [], "expire")
+    # lineage grain is one row per files_OUT entry — deletions go there
+    # (as the consumed/removed artifact of the expire), else the call
+    # would emit ZERO rows and GC'd paths would be unrecorded anywhere
+    ledger.append_lineage(job_id, "__snapshots__", [], orphans, "expire")
     return {
         "job_id": job_id,
         "operation": "expire",

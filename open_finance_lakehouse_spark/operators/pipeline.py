@@ -162,9 +162,21 @@ def run_maintenance(
         gates["parity_violations"] = int(bad)
         gates["parity_ms"] = int((time.monotonic() - t0) * 1000)
 
-    gc_kw = {} if gc_grace_ms is None else {"gc_grace_ms": gc_grace_ms}
-    stages["expire"] = expire(
-        table, ledger, f"{job_id}/expire", retain_last=retain_last, **gc_kw)
+    # the gates GATE: a violation means the rewrite is suspect, and the
+    # pre-rewrite snapshot is the only rollback path — expire + orphan GC
+    # (which would destroy it) are WITHHELD, exactly like publish_overwrite
+    # withholds on a failed check. The caller gets the evidence + a flag.
+    gate_failed = bool(gates.get("parity_violations")
+                       or gates.get("snr_violations")
+                       or gates.get("snr_error"))
+    if gate_failed:
+        stages["expire"] = {"skipped": "gate_failure",
+                            "rollback_to": pre_snapshot}
+    else:
+        gc_kw = {} if gc_grace_ms is None else {"gc_grace_ms": gc_grace_ms}
+        stages["expire"] = expire(
+            table, ledger, f"{job_id}/expire", retain_last=retain_last,
+            **gc_kw)
 
     engine_ms = int((time.monotonic() - t_start) * 1000)
     metrics = {
@@ -174,6 +186,7 @@ def run_maintenance(
         "clips_per_sec": (clip_count / (engine_ms / 1000.0)) if engine_ms else 0.0,
         "stages": stages,
         "gates": gates,
+        "gate_failed": gate_failed,
     }
     if with_audit:
         # table state witnessed by a fresh metadata read, not writer state

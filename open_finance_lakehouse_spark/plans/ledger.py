@@ -96,7 +96,12 @@ def _atomic_write_json(path: str, doc: dict) -> None:
 
 
 def _safe(name: str) -> str:
-    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in name)
+    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in name)
+    # Spark/Hadoop file indexes treat paths starting with "_" or "." as
+    # HIDDEN metadata (like _SUCCESS) and silently exclude them — a
+    # "__snapshots__-*.json" record would be invisible to
+    # checkpoints_df/lineage_df while plain open() sees it fine
+    return f"p{safe}" if safe[:1] in ("_", ".") else safe
 
 
 class CheckpointLedger:

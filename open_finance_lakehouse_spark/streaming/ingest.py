@@ -106,7 +106,16 @@ def build_minute_rollup(events: DataFrame, window: str = "1 minute",
         deduped = events.withWatermark("trade_time", watermark) \
             .dropDuplicatesWithinWatermark(["event_key"])
     else:
-        deduped = events.dropDuplicates(["event_key"])
+        # deterministic keeper — NOT dropDuplicates, whose pick varies
+        # with shuffle delivery order: conflicting payloads under one key
+        # would make batch recomputes disagree with each other (the
+        # streaming path keeps the first ARRIVAL, which no batch recompute
+        # can observe; a stable rule is the reproducible stand-in)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_key").orderBy("trade_time", "trade_id")
+        deduped = (events.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
     agg = (
         deduped.groupBy(F.window("trade_time", window).alias("w"), "symbol")
         .agg(
@@ -130,6 +139,15 @@ class StreamingIngest:
 
     def __init__(self, spark: SparkSession, workdir: str,
                  query_id: str = "bronze-events"):
+        if str(spark.conf.get("spark.sql.caseSensitive", "false")
+               ).lower() != "true":
+            # the wire schema's case-only field pairs (e/E, t/T) are
+            # AMBIGUOUS under the default resolver — the first micro-batch
+            # would die mid-stream with AMBIGUOUS_REFERENCE; fail fast at
+            # construction instead (build_session pins the config)
+            raise ValueError(
+                "StreamingIngest requires spark.sql.caseSensitive=true "
+                "(the trade wire schema has case-only field pairs)")
         self.spark = spark
         self.workdir = workdir
         self.query_id = query_id

@@ -43,13 +43,31 @@ def _parse_iso_us(ts: str) -> int:
     return int(dt.astimezone(timezone.utc).timestamp() * 1_000_000)
 
 
+def _aggregation_state(ops: list[dict]) -> dict | None:
+    """The windowed AGGREGATION's state entry. Spark lists state operators
+    in PRE-order (sink side first), so for dedup→window-agg plans the
+    aggregation is the FIRST ``stateStoreSave`` entry — ``ops[-1]`` would
+    read the upstream dedup's retained-keys count instead. Select by
+    operatorName, falling back to the first entry for engines that omit
+    the name."""
+    for so in ops:
+        if "statestoresave" in str(so.get("operatorName", "")).lower():
+            return so
+    return ops[0] if ops else None
+
+
 def run_report(query) -> dict:
     """Drain-level accounting: rows in/out per trigger, rows dropped by the
     watermark (summed over all stateful operators and triggers), the final
     watermark (ISO + epoch-µs), and the engine-reported open-group count
-    (state rows of the LAST stateful operator — the windowed aggregation —
-    at the last trigger: groups buffered but not yet emitted in append
-    mode)."""
+    (state rows of the windowed aggregation at the last trigger: groups
+    buffered but not yet emitted in append mode).
+
+    ``truncated`` flags when ``recentProgress`` hit Spark's retention cap
+    (``spark.sql.streaming.numRecentProgressUpdates``, default 100): the
+    per-trigger SUMS then cover only the retained window and under-count
+    the drain — callers needing exact long-run totals should attach a
+    StreamingQueryListener instead."""
     progs = progress_dicts(query)
     dropped = 0
     rows_in = 0
@@ -62,9 +80,9 @@ def run_report(query) -> dict:
         wm = (p.get("eventTime") or {}).get("watermark")
         if wm and not wm.startswith("1970-01-01T00:00:00"):
             watermark_iso = wm
-        ops = p.get("stateOperators", [])
-        if ops:
-            open_groups = int(ops[-1].get("numRowsTotal", 0) or 0)
+        agg = _aggregation_state(p.get("stateOperators", []))
+        if agg is not None:
+            open_groups = int(agg.get("numRowsTotal", 0) or 0)
     return {
         "batches": len(progs),
         "input_rows": rows_in,
@@ -72,6 +90,7 @@ def run_report(query) -> dict:
         "watermark": watermark_iso,
         "watermark_us": _parse_iso_us(watermark_iso) if watermark_iso else None,
         "open_groups": open_groups,
+        "truncated": len(progs) >= 100,
     }
 
 

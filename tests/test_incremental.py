@@ -192,6 +192,11 @@ def test_run_report_matches_mirror(spark, tmp_path):
     got_open = {(int(r["window_start"].timestamp() * US), r["symbol"])
                 for r in ow}
     assert got_open == mirror_open
+    # the ENGINE-reported open-group count (windowed aggregation's state
+    # rows — selected by operatorName, NOT ops[-1], which is the upstream
+    # dedup) must agree with the mirror's open-window set
+    assert rep["open_groups"] == len(mirror_open)
+    assert rep["truncated"] is False
 
 
 def test_incremental_drain_publish_is_o_delta(spark, bronze, tmp_path):

@@ -911,3 +911,96 @@ def test_ledger_dfs_tolerate_empty_dirs(spark, tmp_path):
     assert led.checkpoints_df(spark, "jobx").count() == 0
     assert led.lineage_df(spark, "jobx").count() == 0
     assert led.checkpoints_df(spark).count() == 0
+
+
+def test_gate_failure_withholds_expire(spark, tmp_path, monkeypatch):
+    """A failing parity/SNR gate must WITHHOLD expire + GC: the
+    pre-rewrite snapshot is the only rollback path and deleting it after
+    reporting corruption would destroy the last good copy."""
+    import open_finance_lakehouse_spark.operators.audit as audit_mod
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "gate"), "gate", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 30, dur_max_ms=300), max_records_per_file=6)
+    pre = t.current_snapshot_id()
+    led = CheckpointLedger(str(tmp_path / "led_gate"))
+
+    real_parity = audit_mod.scan_parity
+
+    def fake_violations(a, b):
+        return spark.createDataFrame([("fake",)], "problem string")
+
+    monkeypatch.setattr(audit_mod, "scan_parity", fake_violations)
+    res = run_maintenance(t, led, job_id="gated", parity_gate=True,
+                          gc_grace_ms=0, retain_last=1)
+    monkeypatch.setattr(audit_mod, "scan_parity", real_parity)
+
+    assert res["gate_failed"] is True
+    assert res["stages"]["expire"] == {"skipped": "gate_failure",
+                                       "rollback_to": pre}
+    # the pre-rewrite snapshot SURVIVES and still scans
+    assert pre in [s.snapshot_id for s in t.snapshots()]
+    assert t.scan(snapshot_id=pre).count() == 30
+    # rollback works — recovery path intact
+    t.rollback(pre)
+    assert t.scan().count() == 30
+
+
+def test_expire_lineage_records_deleted_paths(spark, tmp_path):
+    """GC'd orphan paths must appear in the lineage log (one row per
+    deleted file, op='expire')."""
+    t = LakeTable.create(spark, str(tmp_path / "el"), "el",
+                         "k BIGINT, v DOUBLE")
+    t.append(spark.range(10).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    live = {f.file_path for f in t.live_files()}
+    t.commit_rewrite(live, t.stage_dataframe(t.scan().coalesce(1)))
+    led = CheckpointLedger(str(tmp_path / "led_el"))
+    res = expire(t, led, "el-exp", retain_last=1, gc_grace_ms=0)
+    assert res["orphans_deleted"] >= 1
+    rows = led.lineage_df(spark, "el-exp").filter("op = 'expire'").collect()
+    assert len(rows) == res["orphans_deleted"]
+    assert {r["file_out"] for r in rows} >= live  # old data files recorded
+
+
+def test_marker_only_append_writes_no_manifest(spark, tmp_path):
+    """A zero-row txn-marker commit must not add an (empty) manifest —
+    long streams would otherwise accrete one per trigger."""
+    t = LakeTable.create(spark, str(tmp_path / "mk"), "mk", "k BIGINT")
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    before = list(t.meta.snapshot().manifests)
+    snap = t.commit_append([], summary={"txn_app_id": "a", "txn_id": 1})
+    assert snap.manifests == before  # marker snapshot, no new manifest
+    assert t.committed_txn("a", 1)
+    assert t.scan().count() == 3
+
+
+def test_batch_rollup_dedup_is_deterministic(spark):
+    """Conflicting payloads under one event_key: the batch rollup must
+    pick a STABLE keeper (min (trade_time, trade_id)), not whatever row
+    the shuffle delivers first."""
+    from open_finance_lakehouse_spark.streaming.ingest import (
+        build_minute_rollup,
+    )
+
+    base = 1_700_000_040_000
+    rows = [
+        ("BTC:1", "BTC", 1, 10.0, 1.0, base, False, "r1"),
+        ("BTC:1", "BTC", 2, 99.0, 1.0, base + 5_000, False, "r2"),  # dup key
+        ("BTC:2", "BTC", 3, 20.0, 1.0, base + 10_000, False, "r3"),
+    ]
+    ev = spark.createDataFrame(
+        [(k, s, t, p, q, __import__("datetime").datetime.fromtimestamp(
+            ts / 1000, __import__("datetime").timezone.utc), m, r)
+         for k, s, t, p, q, ts, m, r in rows],
+        "event_key STRING, symbol STRING, trade_id LONG, price DOUBLE, "
+        "qty DOUBLE, trade_time TIMESTAMP, is_maker BOOLEAN, raw STRING")
+    out1 = build_minute_rollup(ev.repartition(8)).collect()
+    out2 = build_minute_rollup(ev.repartition(3)).collect()
+    assert out1 == out2
+    bar = out1[0]
+    assert bar["n_trades"] == 2          # dup collapsed
+    assert bar["open"] == 10.0           # the (trade_time, trade_id)-min row
+    assert bar["high"] == 20.0           # 99.0 (losing dup) never surfaces
