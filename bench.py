@@ -77,6 +77,11 @@ def run_bench(sf_dir: str, cpus: str, out=None):
             n = fn(spark, sf_dir).count()
             samples[name].append(time.monotonic() - t0)
             assert n >= 0
+            # queries persist() signature/normalized subplans internally
+            # and the returned plan can't unpersist them — drop the cache
+            # between queries so storage memory never accumulates across
+            # the run (and timings stay independent)
+            spark.catalog.clearCache()
     for name in HEADLINE:
         timings[name] = round(min(samples[name]), 3)
 

@@ -233,34 +233,45 @@ def audio_maintenance_pipeline(spark, sf_dir):
     small-files write → compact → Z-order → expire, then the full
     post-maintenance gate (row parity + SNR). Returns one summary row per
     stage with violation counts — all zeros on a correct engine."""
+    import shutil
+
     workdir = os.path.join(tempfile.gettempdir(),
                            f"ofl_mm_{uuid.uuid4().hex[:8]}")
-    t = LakeTable.create(
-        spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
-        partition_spec={"kind": "bucket", "column": "clip_id",
-                        "num_buckets": 4},
-    )
-    clips = clips_from_documents(spark, sf_dir, limit=200)
-    t.append(clips, max_records_per_file=10)
-    n_before = t.scan().count()
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(workdir, "clips"), "clips", CLIP_SCHEMA_DDL,
+            partition_spec={"kind": "bucket", "column": "clip_id",
+                            "num_buckets": 4},
+        )
+        clips = clips_from_documents(spark, sf_dir, limit=200)
+        t.append(clips, max_records_per_file=10)
+        n_before = t.scan().count()
 
-    ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
-    # gates run INSIDE the pipeline: parity before expire (files of both
-    # snapshots still on disk — never a cache-resurrected read of deleted
-    # paths, r1 ADVICE), SNR overlapped with the rewrite
-    metrics = run_maintenance(t, ledger, job_id="mm-pipe",
-                              target_bytes=4 * 1024 * 1024, with_audit=True,
-                              snr_gate="overlap", parity_gate=True)
-    parity_bad = metrics["gates"]["parity_violations"]
-    snr_bad = metrics["gates"].get("snr_violations", -1)
-    rows = [
-        ("rows_before", int(n_before), 0),
-        ("rows_after", int(metrics["table_audit"]["rows"]), 0),
-        ("duplicate_keys", int(metrics["table_audit"]["duplicate_keys"]), 0),
-        ("parity_violations", int(parity_bad), 0),
-        ("snr_violations", int(snr_bad), 0),
-        ("files_rewritten", int(metrics["stages"]["cluster"]["files_in"]), 0),
-        ("snapshots_after_expire", len(t.snapshots()), 0),
-    ]
-    return spark.createDataFrame(
-        rows, "metric string, value long, violations long")
+        ledger = CheckpointLedger(os.path.join(workdir, "ledger"))
+        # gates run INSIDE the pipeline: parity before expire (files of
+        # both snapshots still on disk — never a cache-resurrected read of
+        # deleted paths, r1 ADVICE), SNR overlapped with the rewrite
+        metrics = run_maintenance(t, ledger, job_id="mm-pipe",
+                                  target_bytes=4 * 1024 * 1024,
+                                  with_audit=True,
+                                  snr_gate="overlap", parity_gate=True)
+        parity_bad = metrics["gates"]["parity_violations"]
+        snr_bad = metrics["gates"].get("snr_violations", -1)
+        rows = [
+            ("rows_before", int(n_before), 0),
+            ("rows_after", int(metrics["table_audit"]["rows"]), 0),
+            ("duplicate_keys",
+             int(metrics["table_audit"]["duplicate_keys"]), 0),
+            ("parity_violations", int(parity_bad), 0),
+            ("snr_violations", int(snr_bad), 0),
+            ("files_rewritten",
+             int(metrics["stages"]["cluster"]["files_in"]), 0),
+            ("snapshots_after_expire", len(t.snapshots()), 0),
+        ]
+        # the returned frame is LOCAL rows — safe to collect the scratch
+        # table now; without this every invocation leaks a full clip
+        # table of binary payloads under the system tempdir
+        return spark.createDataFrame(
+            rows, "metric string, value long, violations long")
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)

@@ -31,11 +31,16 @@ MH_PARAMS = [(2 * i + 3, 7 * i + 11) for i in range(8)]  # (a, b)
 _TOKENS = "split(text, ' ')"
 _TOKENS_SQL = "string_split(text, ' ')"
 
-# trigram shingles, 0-indexed (Spark) vs 1-indexed (DuckDB)
+# trigram shingles, 0-indexed (Spark) vs 1-indexed (DuckDB). The <3-token
+# case must be an EMPTY array, guarded explicitly: sequence(0, -1) yields
+# [0, -1] (a descending sequence, not []), which under ANSI mode turns
+# split(text)[2] into an INVALID_ARRAY_INDEX crash — and the DuckDB
+# oracle's generate_series(1, 0) correctly yields [].
 _SHINGLES = (
-    "array_distinct(transform(sequence(0, greatest(size(split(text,' '))-3, -1)),"
+    "CASE WHEN size(split(text,' ')) < 3 THEN cast(array() as array<string>)"
+    " ELSE array_distinct(transform(sequence(0, size(split(text,' '))-3),"
     " i -> concat_ws(' ', split(text,' ')[i], split(text,' ')[i+1],"
-    " split(text,' ')[i+2])))"
+    " split(text,' ')[i+2]))) END"
 )
 _SHINGLES_SQL = (
     "list_distinct(list_transform(generate_series(1,"

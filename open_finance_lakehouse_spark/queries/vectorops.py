@@ -30,7 +30,13 @@ _DOT = (
 )
 _DOT_SQL = "list_dot_product({a}, {b})"
 
-# L2-normalized double array from the float column, computed once per row
+# L2-normalized double array from the float column. The norm fold inside
+# the transform lambda re-evaluates per ELEMENT (Catalyst doesn't hoist
+# loop invariants out of higher-order functions), making one evaluation
+# O(d²) — but every consumer persists the normalized relation immediately,
+# so the cost is paid exactly once per row at materialization; at d=64 it
+# is noise against the pair joins downstream. A let-binding would need a
+# materialization barrier anyway (projection collapse re-inlines columns).
 _NORMED = (
     "transform({e}, x -> cast(x as double) / sqrt(aggregate("
     "zip_with({e}, {e}, (p, q) -> cast(p as double) * cast(q as double)),"

@@ -3,20 +3,27 @@
 hatch for operators Spark's windowed aggregations cannot express).
 
 Semantics: consecutive trades of one symbol belong to one session while the
-gap between event times stays under ``gap_ms``; a session CLOSES when a
-later trade of that symbol arrives more than ``gap_ms`` after the
-session's last trade, or when the state times out (event-time timeout
-keyed to the watermark — so closure is driven by stream progress, exactly
-like Spark's own session windows). Each closed session emits ONE row:
+gap between event times stays under ``gap_ms``. Closure is driven by the
+WATERMARK, never by arrival order: a session emits only once the watermark
+passes its gap horizon (``last + gap``), because until then an out-of-order
+but in-watermark trade may still extend it — or BRIDGE it with a later
+session. Eager closure on observing a larger gap (the naive fold) would
+emit rows that batch semantics retroactively merge, and append mode can
+never retract them; this operator therefore keeps ALL open sessions of a
+key in state (as parallel arrays) and merges each micro-batch's trades
+into that interval set. This is exactly how Spark's own
+``session_window`` aggregation handles late bridging rows. Each closed
+session emits ONE row:
 
   symbol, session_start, session_end, n_trades, volume, vwap
 
-Everything here follows the engine's streaming discipline:
-- deterministic under replay: state transitions depend only on event
-  times/values, ties broken by trade_id; batch order inside a group is
-  normalized by sorting on (trade_time, trade_id);
-- bounded state: one open session per symbol + the watermark timeout, the
-  same bounded-state story as dropDuplicatesWithinWatermark;
+Engine streaming discipline held throughout:
+- deterministic under replay: the interval merge folds points in
+  (event-time, trade_id) order, so state transitions are independent of
+  arrival interleaving;
+- bounded state: open sessions all have horizons above the watermark, so
+  a key holds at most (watermark delay / gap) + 1 sessions — the same
+  bounded-state story as dropDuplicatesWithinWatermark;
 - two code paths: ``sessionize_batch`` computes identical sessions over a
   static frame (pure pandas, no Spark) and the tests assert
   stream == batch (reference mirror discipline,
@@ -39,8 +46,10 @@ SESSION_DDL = (
     "n_trades LONG, volume DOUBLE, vwap DOUBLE"
 )
 
+# parallel arrays: one entry per OPEN session (sorted by start)
 _STATE_DDL = (
-    "start_ms LONG, last_ms LONG, n LONG, volume DOUBLE, notional DOUBLE"
+    "starts array<long>, lasts array<long>, ns array<long>, "
+    "vols array<double>, nots array<double>"
 )
 
 
@@ -56,43 +65,65 @@ def _emit(symbol: str, st: tuple) -> dict:
     }
 
 
+def _merge_sessions(sessions: list[tuple], gap_ms: int) -> list[tuple]:
+    """Gap-merge a list of (start, last, n, vol, notional) intervals:
+    sort by start, fold left — adjacent intervals within ``gap_ms`` fuse
+    (bridging works because a point is a unit interval). Left-fold in
+    start order keeps the float accumulation deterministic."""
+    sessions = sorted(sessions, key=lambda s: (s[0], s[1]))
+    out: list[tuple] = []
+    for s in sessions:
+        if out and s[0] - out[-1][1] <= gap_ms:
+            p = out[-1]
+            out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2],
+                       p[3] + s[3], p[4] + s[4])
+        else:
+            out.append(s)
+    return out
+
+
 def make_session_fn(gap_ms: int):
     """Returns the (key, batches, state) -> batches function for
     ``applyInPandasWithState`` with ``GroupStateTimeout.EventTimeTimeout``."""
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         symbol = key[0]
-        if state.hasTimedOut:
-            # watermark passed the open session's horizon — close and emit
-            if state.exists:
-                yield pd.DataFrame([_emit(symbol, tuple(state.get))])
-                state.remove()
-            return
+        wm = int(state.getCurrentWatermarkMs() or 0)
+        if state.exists:
+            starts, lasts, ns, vols, nots = state.get
+            sessions = list(zip(starts, lasts, ns, vols, nots))
+        else:
+            sessions = []
 
-        rows = []
-        for pdf in pdf_iter:
-            rows.append(pdf[["trade_time", "trade_id", "price", "qty"]])
-        batch = pd.concat(rows).sort_values(["trade_time", "trade_id"])
+        if not state.hasTimedOut:
+            pts: list[tuple] = []
+            for pdf in pdf_iter:
+                for t, _tid, price, qty in pdf[
+                        ["trade_time", "trade_id", "price", "qty"]
+                        ].itertuples(index=False):
+                    ms = int(pd.Timestamp(t).value // 1_000_000)
+                    pts.append((ms, ms, 1, float(qty),
+                                float(price) * float(qty)))
+            sessions = _merge_sessions(sessions + pts, gap_ms)
 
-        closed: list[dict] = []
-        st = tuple(state.get) if state.exists else None
-        for t, _tid, price, qty in batch.itertuples(index=False):
-            ms = int(pd.Timestamp(t).value // 1_000_000)
-            if st is not None and ms - st[1] > gap_ms:
-                closed.append(_emit(symbol, st))
-                st = None
-            if st is None:
-                st = (ms, ms, 1, float(qty), float(price) * float(qty))
-            else:
-                st = (st[0], max(st[1], ms), st[2] + 1,
-                      st[3] + float(qty),
-                      st[4] + float(price) * float(qty))
-        state.update(st)
-        # close the open session once the WATERMARK passes its gap horizon
-        # (event-time timeout — deterministic against stream progress)
-        state.setTimeoutTimestamp(st[1] + gap_ms)
+        # a session is CLOSED once the watermark reaches its horizon: any
+        # row that could still join (ts <= last+gap) would be late-dropped
+        closed = [s for s in sessions if wm and s[1] + gap_ms <= wm]
+        open_ = [s for s in sessions if not (wm and s[1] + gap_ms <= wm)]
+
+        if open_:
+            state.update((
+                [s[0] for s in open_], [s[1] for s in open_],
+                [s[2] for s in open_], [s[3] for s in open_],
+                [s[4] for s in open_],
+            ))
+            # fire when the watermark reaches the EARLIEST open horizon
+            # (strictly above wm by the closure rule, so always legal)
+            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in open_))
+        else:
+            state.remove()
         if closed:
-            yield pd.DataFrame(closed)
+            yield pd.DataFrame([_emit(symbol, s) for s in closed])
 
     return fn
 

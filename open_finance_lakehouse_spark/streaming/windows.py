@@ -10,7 +10,12 @@ Semantics mirrored (Spark's documented rules):
 - tumbling windows are epoch-floored, [start, end); a boundary timestamp
   belongs to the LATER window;
 - watermark = max observed event time − delay; only moves forward;
-- a row is late iff its event time is strictly before the watermark;
+- the windowed AGGREGATION drops a row iff its window's END <= watermark
+  (that window's state was already emitted and evicted) — a row behind
+  the watermark whose window is still open IS aggregated;
+- per-event lateness (``is_late``, event time < watermark) is the
+  DEDUP-state rule (dropDuplicatesWithinWatermark's eviction horizon),
+  not the aggregation's;
 - a window can emit (append mode) once watermark >= window end.
 """
 
@@ -60,21 +65,27 @@ class WatermarkTracker:
             and self.watermark_us >= window_end_us
 
 
-def tumbling_aggregate(rows, size_us: int, delay_us: int, batches):
+def tumbling_aggregate(size_us: int, delay_us: int, batches):
     """Reference implementation of watermarked windowed counting over a
     sequence of micro-batches. ``batches`` is a list of lists of
     (ts_us, key); returns (emitted, dropped_late) where emitted maps
-    (window_start, key) -> count for CLOSED windows only (append mode)."""
+    (window_start, key) -> count for CLOSED windows only (append mode).
+
+    The drop rule is the aggregation's: a row is discarded iff its
+    WINDOW's end <= the watermark (the window already emitted and its
+    state was evicted) — a behind-the-watermark row whose window is
+    still open joins the aggregate, exactly as Spark's stateStoreSave
+    operator behaves."""
     tracker = WatermarkTracker(delay_us)
     state: dict[tuple[int, str], int] = {}
     emitted: dict[tuple[int, str], int] = {}
     dropped = 0
     for batch in batches:
         for ts_us, key in batch:
-            if tracker.is_late(ts_us):
+            start, end = window_of(ts_us, size_us)
+            if tracker.window_closed(end):
                 dropped += 1
                 continue
-            start, _end = window_of(ts_us, size_us)
             state[(start, key)] = state.get((start, key), 0) + 1
             tracker.observe(ts_us)
         tracker.advance()

@@ -171,7 +171,7 @@ def test_run_report_matches_mirror(spark, tmp_path):
     mb1 = [((BASE_MS + i * 10_000) * 1000, "BTC") for i in range(30)]
     mb2 = [((BASE_MS - 240_000) * 1000, "BTC"),
            ((BASE_MS + 295_000) * 1000, "BTC")]
-    _emitted, dropped = mw.tumbling_aggregate(None, size, delay, [mb1, mb2])
+    _emitted, dropped = mw.tumbling_aggregate(size, delay, [mb1, mb2])
     assert rep["dropped_by_watermark"] == dropped
 
     # open windows derived from drained input + watermark == mirror's rule

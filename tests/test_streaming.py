@@ -56,7 +56,7 @@ def test_tumbling_aggregate_emits_closed_windows_and_drops_late():
         [(400 * US, "A")],          # advances watermark to 280s → closes all
         [(5 * US, "A")],            # late: before watermark
     ]
-    emitted, dropped = mw.tumbling_aggregate(None, size, delay, batches)
+    emitted, dropped = mw.tumbling_aggregate(size, delay, batches)
     assert emitted == {(0, "A"): 1, (60 * US, "A"): 1, (60 * US, "B"): 1}
     assert dropped == 1
 

@@ -72,6 +72,10 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # queries persist() subplans internally; drop caches between
+            # queries so a 50-query run never accumulates storage memory
+            spark.catalog.clearCache()
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={len(s_rows)} (rows-only, {dt:.1f}s)")
