@@ -238,10 +238,12 @@ class FrostStreamReader(DataSourceStreamReader):
 
 
 class FrostBatchReader(DataSourceReader):
-    def __init__(self, schema: StructType, location: str):
+    def __init__(self, schema: StructType, location: str,
+                 snapshot_id: int | None = None):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self.location = location
+        self.snapshot_id = snapshot_id  # None = current (time travel)
         self.arrow_schema = to_arrow_schema(schema)
         self._ranges: dict[str, list] = {}  # col -> [lo, hi] (None = open)
 
@@ -307,7 +309,7 @@ class FrostBatchReader(DataSourceReader):
         from open_finance_lakehouse_spark.format.table import ColumnRange
 
         meta = _load_meta(self.location)
-        snap = meta.snapshot()
+        snap = meta.snapshot(self.snapshot_id)
         preds = [ColumnRange(c, lo=r[0], hi=r[1])
                  for c, r in self._ranges.items()]
 
@@ -339,7 +341,9 @@ class FrostDataSource(DataSource):
     ``skipRewrites`` — skip row-preserving rewrite snapshots (default true);
     ``startingSnapshotId`` — stream start: unset = beginning of the table,
     ``"latest"`` = only commits after the query starts, an id = just
-    after that snapshot.
+    after that snapshot;
+    ``snapshotId`` — batch TIME TRAVEL: read the table as of that
+    snapshot, with its commit-time schema (scan(snapshot_id=...) parity).
     """
 
     @classmethod
@@ -352,11 +356,23 @@ class FrostDataSource(DataSource):
             raise ValueError("frost source requires option('location', ...)")
         return loc
 
+    def _snapshot_id(self) -> int | None:
+        sid = self.options.get("snapshotId")
+        return int(sid) if sid is not None else None
+
     def schema(self) -> str:
-        return _load_meta(self._location()).schema_ddl
+        meta = _load_meta(self._location())
+        sid = self._snapshot_id()
+        if sid is not None:
+            # schema-per-snapshot time travel, same rule as LakeTable.scan
+            snap = meta.snapshot(sid)
+            if snap is not None and snap.schema_ddl:
+                return snap.schema_ddl
+        return meta.schema_ddl
 
     def reader(self, schema: StructType) -> FrostBatchReader:
-        return FrostBatchReader(schema, self._location())
+        return FrostBatchReader(schema, self._location(),
+                                self._snapshot_id())
 
     def streamReader(self, schema: StructType) -> FrostStreamReader:
         skip = str(self.options.get("skipRewrites", "true")).lower() != "false"

@@ -357,3 +357,25 @@ def test_frost_stream_writer_complete_mode_replaces(spark, bronze, tmp_path):
     got = {r["symbol"]: r["n"] for r in agg_t.refresh().scan().collect()}
     assert got == {"BTC": 5, "ETH": 1}  # replaced, not appended
     assert agg_t.meta.snapshot().operation == "replace"
+
+
+def test_frost_batch_time_travel(spark, tmp_path):
+    """option("snapshotId"): batch reads time-travel with the snapshot's
+    commit-time schema, matching scan(snapshot_id=...)."""
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "tt"), "tt",
+                         "k BIGINT, v DOUBLE")
+    s1 = t.append(spark.range(5).select(F.col("id").alias("k"),
+                                        F.lit(1.0).alias("v")))
+    t.update_schema("k BIGINT, v DOUBLE, tag STRING")
+    t.append(spark.createDataFrame([(9, 2.0, "new")],
+                                   "k BIGINT, v DOUBLE, tag STRING"))
+
+    old = (spark.read.format("frost").option("location", t.location)
+           .option("snapshotId", str(s1.snapshot_id)).load())
+    assert old.count() == 5
+    assert set(old.columns) == {"k", "v"}  # pre-evolution schema
+
+    cur = (spark.read.format("frost")
+           .option("location", t.location).load())
+    assert cur.count() == 6 and "tag" in cur.columns
