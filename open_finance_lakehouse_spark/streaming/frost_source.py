@@ -63,15 +63,24 @@ class FrostFilePartition(InputPartition):
 
 
 def _read_file_batches(part: FrostFilePartition):
-    """Executor-side: one file → casted Arrow batches (pyarrow only)."""
+    """Executor-side: one file → casted Arrow batches (pyarrow only).
+
+    Reads ONLY the columns the read schema asks for (``columns=`` hits
+    parquet column-chunk granularity): a metadata-only query through
+    ``.schema("clip_id string, dur_ms int")`` never decodes the ~60 KB
+    ``bytes`` payload column — the Python DataSource API has no
+    column-pruning hook, so the pruning rides on the user-supplied read
+    schema instead."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(part.path)
-    # project to the table schema's columns and cast (parquet files written
+    pf = pq.ParquetFile(part.path)
+    avail = set(pf.schema_arrow.names)
+    want = [f.name for f in part.arrow_schema if f.name in avail]
+    table = pf.read(columns=want)
+    # project to the read schema's columns and cast (parquet files written
     # under an older, narrower schema upcast here; missing columns become
     # all-null arrays via the cast of a null-filled projection)
-    import pyarrow as pa
-
     cols = []
     for field in part.arrow_schema:
         if field.name in table.column_names:
@@ -95,8 +104,20 @@ def _ddl_columns(ddl: str) -> list[tuple[str, str]]:
         if not tok:
             return
         if tok.startswith("`"):
-            end = tok.index("`", 1)
-            name, typ = tok[1:end], tok[end + 1:]
+            # a literal backtick inside a quoted name is escaped by
+            # doubling (Spark's quoteIfNeeded) — skip `` pairs when
+            # looking for the closing quote
+            name_chars, i = [], 1
+            while i < len(tok):
+                if tok[i] == "`":
+                    if i + 1 < len(tok) and tok[i + 1] == "`":
+                        name_chars.append("`")
+                        i += 2
+                        continue
+                    break
+                name_chars.append(tok[i])
+                i += 1
+            name, typ = "".join(name_chars), tok[i + 1:]
         else:
             parts = tok.split(None, 1)
             name, typ = parts[0], parts[1] if len(parts) > 1 else ""
@@ -379,13 +400,28 @@ class FrostDataSource(DataSource):
         return FrostStreamReader(schema, self._location(), skip,
                                  self.options.get("startingSnapshotId"))
 
-    def _check_writable(self, schema: StructType) -> None:
+    def _check_writable(self, schema: StructType) -> tuple[str, str, int] | None:
+        """Validate the write target; return the bucket routing triple
+        ``(column, spark_type, num_buckets)`` for bucket-partitioned
+        tables (rows are routed executor-side with the numpy XXH64 —
+        bit-exact with ``F.xxhash64``, see ``functions/xxh64.py``),
+        ``None`` for unpartitioned ones."""
         meta = _load_meta(self._location())
-        if meta.partition_spec:
-            raise ValueError(
-                "format('frost') writes support unpartitioned tables only "
-                "(bucket routing needs the JVM's xxhash64); use "
-                "LakeTable.append for partitioned tables")
+        spec = meta.partition_spec
+        routing = None
+        if spec:
+            if spec.get("kind") != "bucket":
+                raise ValueError(
+                    f"format('frost') writes do not support partition spec "
+                    f"{spec!r}; use LakeTable.append")
+            col = spec["column"]
+            col_type = dict(_ddl_columns(meta.schema_ddl)).get(col)
+            if col_type not in ("string", "int", "smallint", "tinyint",
+                                "bigint", "boolean"):
+                raise ValueError(
+                    f"format('frost') writes cannot bucket-route type "
+                    f"{col_type!r} of column {col!r}; use LakeTable.append")
+            routing = (col, col_type, int(spec["num_buckets"]))
         if (meta.properties or {}).get("contract"):
             # LakeTable.append is the contract-enforcing write path; a
             # direct commit here would silently void the table's declared
@@ -402,14 +438,15 @@ class FrostDataSource(DataSource):
         if got != expect:
             raise ValueError(
                 f"schema mismatch: table {expect} vs dataframe {got}")
+        return routing
 
     def writer(self, schema: StructType, overwrite: bool) -> FrostBatchWriter:
-        self._check_writable(schema)
-        return FrostBatchWriter(self._location(), overwrite)
+        routing = self._check_writable(schema)
+        return FrostBatchWriter(self._location(), overwrite, routing)
 
     def streamWriter(self, schema: StructType,
                      overwrite: bool) -> FrostStreamWriter:
-        self._check_writable(schema)
+        routing = self._check_writable(schema)
         app = self.options.get("txnAppId")
         if not app:
             # a shared default would make two queries' batchIds collide in
@@ -419,7 +456,7 @@ class FrostDataSource(DataSource):
                 "writeStream.format('frost') requires "
                 ".option('txnAppId', <unique-per-query id>): it keys the "
                 "exactly-once replay marker")
-        return FrostStreamWriter(self._location(), app, overwrite)
+        return FrostStreamWriter(self._location(), app, overwrite, routing)
 
 
 def register_frost_source(spark) -> None:
@@ -436,37 +473,66 @@ class FrostCommitMessage(WriterCommitMessage):
     entries: list  # list[manifests.DataFile]
 
 
-def _write_task_file(location: str, batches) -> "FrostCommitMessage":
-    """Executor-side: one task's Arrow batches → one parquet file landed
+def _write_task_file(location: str, batches,
+                     routing: tuple[str, str, int] | None = None,
+                     ) -> "FrostCommitMessage":
+    """Executor-side: one task's Arrow batches → parquet files landed
     directly in the table's data dir (uncommitted until the driver's
-    commit — orphan GC's grace window protects it meanwhile; abort
-    removes it). Batches stream through an incremental ParquetWriter —
+    commit — orphan GC's grace window protects them meanwhile; abort
+    removes them). Batches stream through incremental ParquetWriters —
     the task's partition is never buffered whole in memory. Returns the
-    footer-derived DataFile entry."""
+    footer-derived DataFile entries.
+
+    ``routing``: ``None`` for unpartitioned tables (everything lands in
+    ``part=0``); ``(column, spark_type, num_buckets)`` for bucket tables —
+    rows are routed with the JVM-free numpy XXH64 (bit-exact with
+    ``F.xxhash64``, so the layout matches ``LakeTable.append`` exactly),
+    one file per bucket the task touches."""
     import uuid as _uuid
 
     import pyarrow.parquet as pq
 
     from open_finance_lakehouse_spark.format import manifests as mf
 
-    writer = None
-    rel = ap = None
-    for b in batches:
-        if not b.num_rows:
-            continue
-        if writer is None:
-            part_dir = os.path.join(location, "data", "part=0")
+    writers: dict[str, tuple] = {}  # partition value -> (writer, rel, ap)
+
+    def sink(part: str, schema):
+        if part not in writers:
+            part_dir = os.path.join(location, "data", f"part={part}")
             os.makedirs(part_dir, exist_ok=True)
-            rel = os.path.join("data", "part=0",
+            rel = os.path.join("data", f"part={part}",
                                f"{_uuid.uuid4().hex}.parquet")
             ap = os.path.join(location, rel)
-            writer = pq.ParquetWriter(ap, b.schema)
-        writer.write_batch(b)
-    if writer is None:
-        return FrostCommitMessage(entries=[])
-    writer.close()
-    return FrostCommitMessage(
-        entries=[mf.collect_file_stats(ap, rel, "0")])
+            writers[part] = (pq.ParquetWriter(ap, schema), rel, ap)
+        return writers[part][0]
+
+    if routing is not None:
+        import numpy as np
+        import pyarrow as pa
+
+        from open_finance_lakehouse_spark.functions.xxh64 import bucket_of
+
+        col, dtype, num_buckets = routing
+        for b in batches:
+            if not b.num_rows:
+                continue
+            vals = b.column(b.schema.get_field_index(col)).to_pylist()
+            buckets = bucket_of(vals, dtype, num_buckets)
+            for bk in np.unique(buckets):
+                rows = np.flatnonzero(buckets == bk)
+                sub = b.take(pa.array(rows, type=pa.int64()))
+                sink(str(int(bk)), b.schema).write_batch(sub)
+    else:
+        for b in batches:
+            if not b.num_rows:
+                continue
+            sink("0", b.schema).write_batch(b)
+
+    entries = []
+    for part, (writer, rel, ap) in writers.items():
+        writer.close()
+        entries.append(mf.collect_file_stats(ap, rel, part))
+    return FrostCommitMessage(entries=entries)
 
 
 def _abort_files(location: str, messages) -> None:
@@ -486,16 +552,20 @@ class FrostStreamWriter(DataSourceStreamArrowWriter):
     carries the ``(txnAppId, batchId)`` marker ATOMICALLY with the data —
     the same idempotence contract as the foreachBatch lane
     (``streaming/ingest.py``): a Spark-replayed micro-batch finds the
-    marker, deletes its re-staged files, and no-ops. Unpartitioned
-    tables only (bucket routing needs the JVM's xxhash64)."""
+    marker, deletes its re-staged files, and no-ops. Bucket-partitioned
+    tables route rows executor-side via the numpy XXH64 (bit-exact with
+    ``F.xxhash64``, ``functions/xxh64.py``) — the layout matches
+    ``LakeTable.append`` byte for byte."""
 
-    def __init__(self, location: str, txn_app_id: str, overwrite: bool):
+    def __init__(self, location: str, txn_app_id: str, overwrite: bool,
+                 routing: tuple[str, str, int] | None = None):
         self.location = location
         self.txn_app_id = txn_app_id
         self.overwrite = overwrite
+        self.routing = routing
 
     def write(self, iterator):
-        return _write_task_file(self.location, iterator)
+        return _write_task_file(self.location, iterator, self.routing)
 
     def commit(self, messages, batchId: int) -> None:
         from open_finance_lakehouse_spark.format.table import LakeTable
@@ -526,12 +596,14 @@ class FrostStreamWriter(DataSourceStreamArrowWriter):
 class FrostBatchWriter(DataSourceArrowWriter):
     """``df.write.format("frost")`` — append or overwrite publish."""
 
-    def __init__(self, location: str, overwrite: bool):
+    def __init__(self, location: str, overwrite: bool,
+                 routing: tuple[str, str, int] | None = None):
         self.location = location
         self.overwrite = overwrite
+        self.routing = routing
 
     def write(self, iterator):
-        return _write_task_file(self.location, iterator)
+        return _write_task_file(self.location, iterator, self.routing)
 
     def commit(self, messages) -> None:
         from open_finance_lakehouse_spark.format.table import LakeTable

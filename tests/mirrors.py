@@ -99,3 +99,61 @@ def alaw_decode_sample(q: int) -> float:
     else:
         x = math.exp(ay * denom - 1.0) / A_LAW_A
     return math.copysign(x, y)
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (seed 42) — scalar mirror of functions/xxh64.py's vectorized kernel
+# ---------------------------------------------------------------------------
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xrotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_scalar(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 of a byte string (unsigned result), one byte at a
+    time — the slow obviously-correct twin of the numpy lanes."""
+    n = len(data)
+    off = 0
+    if n >= 32:
+        v = [(seed + _XXP1 + _XXP2) & _M64, (seed + _XXP2) & _M64,
+             seed & _M64, (seed - _XXP1) & _M64]
+        while off + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[off:off + 8], "little")
+                v[j] = (_xrotl((v[j] + k * _XXP2) & _M64, 31) * _XXP1) & _M64
+                off += 8
+        h = (_xrotl(v[0], 1) + _xrotl(v[1], 7)
+             + _xrotl(v[2], 12) + _xrotl(v[3], 18)) & _M64
+        for j in range(4):
+            h ^= _xrotl((v[j] * _XXP2) & _M64, 31) * _XXP1 & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while off + 8 <= n:
+        k = int.from_bytes(data[off:off + 8], "little")
+        h ^= _xrotl((k * _XXP2) & _M64, 31) * _XXP1 & _M64
+        h = (_xrotl(h, 27) * _XXP1 + _XXP4) & _M64
+        off += 8
+    if off + 4 <= n:
+        h ^= (int.from_bytes(data[off:off + 4], "little") * _XXP1) & _M64
+        h = (_xrotl(h, 23) * _XXP2 + _XXP3) & _M64
+        off += 4
+    while off < n:
+        h ^= (data[off] * _XXP5) & _M64
+        h = (_xrotl(h, 11) * _XXP1) & _M64
+        off += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h

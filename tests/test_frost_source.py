@@ -379,3 +379,239 @@ def test_frost_batch_time_travel(spark, tmp_path):
     cur = (spark.read.format("frost")
            .option("location", t.location).load())
     assert cur.count() == 6 and "tag" in cur.columns
+
+
+def test_frost_batch_write_bucket_partitioned(spark, tmp_path):
+    """Batch writes into a BUCKET-PARTITIONED table: the numpy XXH64
+    router must land every row in exactly the partition the JVM path
+    (pmod(xxhash64(clip_id), n)) computes — verified per-row against
+    manifest partition values, plus scan parity with LakeTable.append
+    of the same rows."""
+    from open_finance_lakehouse_spark.sources import synth
+
+    register_frost_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "bp"), "clips", synth.CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 8})
+    clips = synth.synth_clips(spark, 120, dur_max_ms=400)
+    clips.write.format("frost").option("location", t.location) \
+        .mode("append").save()
+    t.refresh()
+    assert t.scan().count() == 120
+    parts = {f.partition for f in t.live_files()}
+    assert len(parts) > 1  # rows actually spread across buckets
+
+    # per-row witness: file's manifest partition == JVM-computed bucket
+    part_of = {f.file_path: f.partition for f in t.live_files()}
+    rows = (t.scan(with_file_path=True)
+            .withColumn("expected", t.partition_value_col())
+            .select("_file", "expected").collect())
+    for r in rows:
+        rel = os.path.relpath(r["_file"].replace("file://", ""), t.location)
+        assert part_of[rel] == r["expected"]
+
+    # parity with the JVM write path over the same rows
+    ref = LakeTable.create(
+        spark, str(tmp_path / "bp_ref"), "clips", synth.CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 8})
+    ref.append(clips)
+    assert t.scan().exceptAll(ref.scan()).count() == 0
+    assert ref.scan().exceptAll(t.scan()).count() == 0
+    assert ({f.partition for f in ref.live_files()}
+            == {f.partition for f in t.live_files()})
+
+
+def test_frost_stream_writer_bucket_partitioned_exactly_once(
+        spark, tmp_path):
+    """writeStream.format("frost") into the bucket-partitioned clip table
+    (the flagship shape): two drains deliver each row once, an empty
+    drain commits nothing, and every landed file sits in the partition
+    the JVM router would choose."""
+    from open_finance_lakehouse_spark.sources import synth
+
+    register_frost_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "src"), "clips_src",
+                           synth.CLIP_SCHEMA_DDL)
+    dst = LakeTable.create(
+        spark, str(tmp_path / "dst"), "clips", synth.CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 4})
+    ckpt = str(tmp_path / "ck_bp")
+
+    def pipe():
+        q = (spark.readStream.format("frost")
+             .option("location", src.location).load()
+             .writeStream.format("frost").option("location", dst.location)
+             .option("txnAppId", "bp-pipe")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    src.append(synth.synth_clips(spark, 40, dur_max_ms=300))
+    pipe()
+    assert dst.refresh().scan().count() == 40
+
+    src.append(synth.synth_clips(spark, 10, dur_max_ms=300, id_offset=1000))
+    pipe()
+    assert dst.refresh().scan().count() == 50
+    assert dst.scan().exceptAll(src.scan()).count() == 0
+    assert src.scan().exceptAll(dst.scan()).count() == 0
+
+    pipe()  # nothing new: no extra rows
+    assert dst.refresh().scan().count() == 50
+
+    part_of = {f.file_path: f.partition for f in dst.live_files()}
+    rows = (dst.scan(with_file_path=True)
+            .withColumn("expected", dst.partition_value_col())
+            .select("_file", "expected").collect())
+    for r in rows:
+        rel = os.path.relpath(r["_file"].replace("file://", ""),
+                              dst.location)
+        assert part_of[rel] == r["expected"]
+
+
+def test_frost_read_schema_prunes_payload_column(spark, tmp_path):
+    """A frost read with a narrowed .schema(...) never decodes the
+    omitted columns: the executor passes exactly the requested column
+    subset to the parquet reader (witnessed by intercepting the read),
+    and values via the engine path stay exact."""
+    from open_finance_lakehouse_spark.sources import synth
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostFilePartition,
+        _read_file_batches,
+    )
+
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "pr"), "clips_pr",
+                         synth.CLIP_SCHEMA_DDL)
+    t.append(synth.synth_clips(spark, 30, dur_max_ms=300))
+
+    # engine path: metadata-only projection is row-exact
+    meta_df = (spark.read.format("frost").option("location", t.location)
+               .schema("clip_id STRING, dur_ms INT").load())
+    assert meta_df.count() == 30
+    want = {(r["clip_id"], r["dur_ms"])
+            for r in t.scan().select("clip_id", "dur_ms").collect()}
+    assert {(r["clip_id"], r["dur_ms"]) for r in meta_df.collect()} == want
+
+    # reader-level witness: the parquet read receives ONLY the narrowed
+    # column list — the 60 KB payload column is never requested
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    requested = []
+    orig = pq.ParquetFile.read
+
+    def spy(self, columns=None, **kw):
+        requested.append(tuple(columns or ()))
+        return orig(self, columns=columns, **kw)
+
+    first = t.live_files()[0]
+    path = os.path.join(t.location, first.file_path)
+    narrow = to_arrow_schema(
+        StructType.fromDDL("clip_id STRING, dur_ms INT"))
+    pq.ParquetFile.read = spy
+    try:
+        batches = list(_read_file_batches(
+            FrostFilePartition(path, narrow)))
+    finally:
+        pq.ParquetFile.read = orig
+    assert requested == [("clip_id", "dur_ms")]
+    assert sum(b.num_rows for b in batches) == first.record_count
+    assert batches[0].schema.names == ["clip_id", "dur_ms"]
+
+
+def test_frost_stream_writer_abort_leaves_no_orphans(spark, tmp_path):
+    """Fault injection for the sink's abort path: a micro-batch that
+    FAILS mid-write (one task's data raises under ANSI) must leave the
+    table untouched — no snapshot, and after orphan GC the data dir holds
+    exactly the live files.  A restart with the poison fixed replays the
+    batch and delivers every row exactly once (the txn marker never
+    committed, so nothing is skipped)."""
+    from open_finance_lakehouse_spark.sources import synth
+
+    register_frost_source(spark)
+    src = LakeTable.create(spark, str(tmp_path / "fsrc"), "clips_src",
+                           synth.CLIP_SCHEMA_DDL)
+    for off in (0, 100, 200):  # three files -> three sink tasks
+        src.append(synth.synth_clips(spark, 4, dur_max_ms=300,
+                                     id_offset=off))
+    poison = src.scan().select("clip_id").first()["clip_id"]
+    dst = LakeTable.create(spark, str(tmp_path / "fdst"), "clips_dst",
+                           synth.CLIP_SCHEMA_DDL)
+    ckpt = str(tmp_path / "ck_abort")
+    cols = [f.name for f in src.scan().schema.fields]
+
+    def pipe(poisoned: bool):
+        df = (spark.readStream.format("frost")
+              .option("location", src.location).load())
+        if poisoned:
+            df = df.withColumn(
+                "sr_hz",
+                F.when(F.col("clip_id") == poison,
+                       (F.col("sr_hz") / F.lit(0)).cast("int"))
+                .otherwise(F.col("sr_hz"))).select(*cols)
+        q = (df.writeStream.format("frost")
+             .option("location", dst.location)
+             .option("txnAppId", "abort-pipe")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception):  # ANSI divide-by-zero fails the batch
+        pipe(poisoned=True)
+    assert dst.refresh().current_snapshot_id() is None  # nothing committed
+
+    # abort removed the staged task files; GC (grace 0) sweeps any
+    # straggler a killed task left behind — data dir == live files
+    dst.delete_orphans(grace_ms=0)
+    data_dir = os.path.join(dst.location, "data")
+    leftover = [os.path.join(r, n) for r, _d, ns in os.walk(data_dir)
+                for n in ns if n.endswith(".parquet")]
+    assert leftover == []
+
+    pipe(poisoned=False)  # fixed pipeline, same checkpoint: full replay
+    assert dst.refresh().scan().count() == 12
+    assert dst.scan().exceptAll(src.scan()).count() == 0
+    assert src.scan().exceptAll(dst.scan()).count() == 0
+
+    pipe(poisoned=False)  # and nothing double-delivers after that
+    assert dst.refresh().scan().count() == 12
+
+
+def test_frost_stream_writer_abort_deletes_staged_files(tmp_path):
+    """Unit witness for the abort hook itself: staged task files named in
+    the commit messages are removed, already-missing ones are tolerated."""
+    from open_finance_lakehouse_spark.format.manifests import DataFile
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostCommitMessage,
+        FrostStreamWriter,
+    )
+
+    loc = str(tmp_path / "t")
+    os.makedirs(os.path.join(loc, "data", "part=0"))
+    rel = os.path.join("data", "part=0", "staged.parquet")
+    open(os.path.join(loc, rel), "wb").write(b"x")
+    entry = DataFile(file_path=rel, partition="0", record_count=1,
+                     file_size_bytes=1)
+    gone = DataFile(file_path=os.path.join("data", "part=0", "gone.parquet"),
+                    partition="0", record_count=1, file_size_bytes=1)
+    w = FrostStreamWriter(loc, "unit", overwrite=False)
+    w.abort([FrostCommitMessage(entries=[entry]),
+             FrostCommitMessage(entries=[gone]), None], batchId=0)
+    assert not os.path.exists(os.path.join(loc, rel))
+
+
+def test_ddl_columns_handles_escaped_backticks():
+    """A literal backtick in a quoted column name is escaped by doubling
+    (Spark's quoteIfNeeded); the context-free parser must not split the
+    name at the first escape."""
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        _ddl_columns,
+    )
+
+    cols = _ddl_columns("`a``b` int, `c,d` string, plain bigint")
+    assert cols == [("a`b", "int"), ("c,d", "string"), ("plain", "bigint")]

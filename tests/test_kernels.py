@@ -204,3 +204,62 @@ def test_binpack_invariants_hold_for_any_inventory(sizes, target):
     again = binpack.plan_bins(files, target_bytes=target,
                               small_file_ratio=0.75, min_files_per_bin=2)
     assert [b.paths for b in again] == [b.paths for b in bins]
+
+
+# ---------------------------------------------------------------------------
+# XXH64 bucket router (frost writer's JVM-free routing)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.binary(min_size=0, max_size=100), min_size=1, max_size=40))
+@settings(max_examples=120, deadline=None)
+def test_xxh64_vectorized_matches_scalar_mirror(blobs):
+    from open_finance_lakehouse_spark.functions.xxh64 import _pack_bytes, xxh64
+
+    data, lengths = _pack_bytes(blobs)
+    got = xxh64(data, lengths)
+    want = [mirrors.xxh64_scalar(b) for b in blobs]
+    assert [int(h) for h in got] == want
+
+
+def test_xxh64_matches_spark_all_bucket_types(spark):
+    """Bit-exact parity with F.xxhash64 over every type the bucket router
+    accepts — strings (incl. empty/unicode/length-boundary), int-family,
+    bigint, boolean, NULLs — one batched collect per type (the reference's
+    Python/SQL pair-equivalence discipline,
+    /root/reference/ofl/streaming/schema.py:57-73)."""
+    import random
+    import string as _st
+
+    from pyspark.sql import functions as F
+
+    from open_finance_lakehouse_spark.functions.xxh64 import (
+        bucket_of,
+        xxh64_spark_column,
+    )
+
+    rng = random.Random(20260817)
+    cases = {
+        "string": (["", "a", "abcd", "abcdefgh", "x" * 31, "x" * 32,
+                    "y" * 33, "z" * 200, "héllo ✓ 音声", None]
+                   + ["".join(rng.choices(_st.printable, k=rng.randrange(120)))
+                      for _ in range(200)]),
+        "int": ([0, 1, -1, 2**31 - 1, -2**31, None]
+                + [rng.randrange(-2**31, 2**31) for _ in range(200)]),
+        "bigint": ([0, 1, -1, 2**63 - 1, -2**63, None]
+                   + [rng.randrange(-2**63, 2**63) for _ in range(200)]),
+        "smallint": [0, 1, -1, 32767, -32768, None],
+        "boolean": [True, False, None],
+    }
+    for dtype, values in cases.items():
+        df = spark.createDataFrame([(v,) for v in values], f"v {dtype}")
+        want = [r[0] for r in df.select(F.xxhash64("v")).collect()]
+        got = [int(h) for h in xxh64_spark_column(values, dtype)]
+        assert got == want, dtype
+
+    # and the full router expression: pmod(xxhash64(col), n) as string
+    df = spark.createDataFrame([(v,) for v in cases["string"]], "v string")
+    want = [r[0] for r in
+            df.select(F.pmod(F.xxhash64("v"), F.lit(16)).cast("string"))
+            .collect()]
+    got = [str(int(b)) for b in bucket_of(cases["string"], "string", 16)]
+    assert got == want
