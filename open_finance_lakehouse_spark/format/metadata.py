@@ -167,8 +167,18 @@ def read_current_metadata(location: str) -> TableMetadata:
         raise FileNotFoundError(f"no table metadata at {location}")
     v = versions[-1]
     path = os.path.join(metadata_dir(location), f"v{v}.metadata.json")
-    with open(path, encoding="utf-8") as f:
-        return TableMetadata.from_json(f.read(), version=v)
+    # On filesystems without hard-link support the writer falls back to
+    # O_EXCL-claim + atomic replace (see write_metadata_exclusive), which
+    # exposes an empty head for a moment between the two steps — retry
+    # briefly before declaring the document corrupt.
+    for _ in range(5):
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+        try:
+            return TableMetadata.from_json(text, version=v)
+        except (json.JSONDecodeError, ValueError, KeyError, TypeError):
+            time.sleep(0.01)
+    raise ValueError(f"unreadable table metadata document: {path}")
 
 
 def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
@@ -179,7 +189,13 @@ def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
     partially-written document (caught by the cross-process race test).
     So the document is fully written + fsync'd to a temp file first, then
     ``os.link``ed into place — link is the CAS (EEXIST → FileExistsError)
-    and the file is never visible with incomplete content."""
+    and the file is never visible with incomplete content.
+
+    Filesystems without hard-link support (some network mounts) get a
+    degraded-but-still-CAS fallback: claim the version name with O_EXCL
+    (losers still get FileExistsError), then atomically swap the fsync'd
+    content in with ``os.replace``; readers that hit the sub-millisecond
+    claim→replace window retry (``read_current_metadata``)."""
     d = metadata_dir(meta.location)
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"v{version}.metadata.json")
@@ -190,6 +206,42 @@ def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
         os.fsync(f.fileno())
     try:
         os.link(tmp, path)
-    finally:
+    except FileExistsError:
         os.unlink(tmp)
+        raise
+    except OSError:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise
+        os.close(fd)
+        os.replace(tmp, path)  # consumes tmp
+        return path
+    os.unlink(tmp)
     return path
+
+
+def sweep_stale_tmp(location: str, max_age_ms: int = 3_600_000) -> list[str]:
+    """Remove ``.tmp-*`` litter in metadata/ left by writers that died
+    between fsync and the link CAS (orphan GC sweeps only data/, so these
+    would otherwise accumulate forever). The age gate keeps a live
+    writer's in-flight temp file safe; called from ``delete_orphans``."""
+    d = metadata_dir(location)
+    removed: list[str] = []
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return removed
+    now_ms = time.time() * 1000
+    for n in names:
+        if not n.startswith(".tmp-"):
+            continue
+        p = os.path.join(d, n)
+        try:
+            if now_ms - os.path.getmtime(p) * 1000 >= max_age_ms:
+                os.unlink(p)
+                removed.append(p)
+        except FileNotFoundError:
+            pass  # a concurrent sweep or the owning writer finished
+    return removed

@@ -258,9 +258,11 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writes
 
-    def partition_value_col(self):
-        """Column computing the partition value for a row, per the spec."""
-        spec = self.meta.partition_spec
+    def partition_value_col(self, spec: dict | None = None):
+        """Column computing the partition value for a row, per the spec
+        (default: the table's own — ``rewrite_schema`` passes the
+        post-rewrite spec while staging under a renamed partition column)."""
+        spec = spec if spec is not None else self.meta.partition_spec
         if not spec:
             return F.lit("0")
         if spec["kind"] == "bucket":
@@ -275,6 +277,7 @@ class LakeTable:
         max_records_per_file: int | None = None,
         repartition_by_partition: bool = True,
         fixed_partition: str | None = None,
+        partition_value=None,
     ) -> list[mf.DataFile]:
         """Write ``df`` as immutable data files + collect footer stats.
 
@@ -288,6 +291,10 @@ class LakeTable:
         frame's row order exactly: a ``partitionBy`` write makes Spark
         insert its own (unstable) sort on the partition column, which
         would scramble a clustering sort that isn't led by that column.
+
+        ``partition_value``: override Column for the routing expression
+        (``rewrite_schema`` stages under the POST-rewrite spec, whose
+        partition column name may differ from the current metadata's).
         """
         staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
         spec = self.meta.partition_spec
@@ -298,7 +305,10 @@ class LakeTable:
                                        str(max_records_per_file))
             writer.parquet(staging)
         else:
-            writer_df = df.withColumn("__part", self.partition_value_col())
+            writer_df = df.withColumn(
+                "__part",
+                partition_value if partition_value is not None
+                else self.partition_value_col())
             if spec and repartition_by_partition:
                 writer_df = writer_df.repartition("__part")
             writer = writer_df.write.mode("overwrite")
@@ -480,6 +490,53 @@ class LakeTable:
                 operation,
                 new_manifests,
                 {"removed_files": len(removed_paths), "added_files": len(added),
+                 **(summary or {})},
+            )
+            return snap, meta.with_snapshot(snap)
+
+        return self._try_commit(build)
+
+    def commit_rewrite_manifests(
+        self,
+        removed_manifests: set[str],
+        added: list[mf.DataFile],
+        operation: str = "rewrite",
+        summary: dict | None = None,
+    ) -> md.Snapshot:
+        """Rewrite commit whose removal set is WHOLE MANIFESTS: the new
+        snapshot's manifest list = parent's − ``removed_manifests`` + one
+        new manifest for ``added``.
+
+        The isolation guard is O(manifests), never O(files): manifests are
+        immutable by path, so the parent still *referencing* a removed
+        manifest proves every file it lists is still live — the same
+        validation ``commit_rewrite`` performs per file, without the
+        driver ever materializing a path list (at 10⁷ files the path
+        strings alone are ~GB). A concurrent ``commit_rewrite`` that
+        replaced one of these manifests with a survivor manifest drops it
+        from the parent list → CommitConflict here, exactly as the
+        per-file check would have conflicted. Concurrent APPENDS add new
+        manifests, which pass through untouched."""
+        added_manifest = (mf.write_manifest(self.location, added)
+                          if added else None)
+
+        def build(meta: md.TableMetadata):
+            parent = meta.snapshot()
+            if parent is None:
+                raise CommitConflict("rewrite on empty table")
+            missing = removed_manifests - set(parent.manifests)
+            if missing:
+                raise CommitConflict(
+                    f"{len(missing)} manifests to remove are no longer "
+                    "referenced by the head (concurrent rewrite?)")
+            new_manifests = [m for m in parent.manifests
+                             if m not in removed_manifests]
+            if added_manifest:
+                new_manifests.append(added_manifest)
+            snap = meta.next_snapshot(
+                operation, new_manifests,
+                {"removed_manifests": len(removed_manifests),
+                 "added_files": len(added),
                  **(summary or {})},
             )
             return snap, meta.with_snapshot(snap)
@@ -716,6 +773,9 @@ class LakeTable:
             else:
                 for rel in victims:
                     os.remove(os.path.join(self.location, rel))
+            # metadata/ .tmp-* litter from writers that died mid-commit
+            # lives outside data/ — sweep it under the same grace window
+            md.sweep_stale_tmp(self.location, max_age_ms=max(grace_ms, 1))
         return sorted(victims)
 
     def _find_orphans_walk(self, grace_ms: int, now: float) -> list[str]:
@@ -853,6 +913,92 @@ class LakeTable:
             return meta.snapshot(), evolved
 
         self._try_commit(build)
+
+    def rewrite_schema(self, new_ddl: str,
+                       mapping: dict[str, str] | None = None,
+                       max_records_per_file: int | None = None
+                       ) -> md.Snapshot:
+        """DROP/RENAME schema evolution via copy-on-write — the shapes
+        ``update_schema``'s metadata-only path refuses (frost's name-keyed
+        schema has no Iceberg field-ids, so a rename cannot be expressed
+        without rewriting bytes; Iceberg exposes the same capability
+        through its rewrite machinery, and the reference reaches it via
+        Delta's ``overwriteSchema`` full rebuilds,
+        /root/reference/ofl/transform/spark/dimensions.py:39-44).
+
+        ``mapping``: ``{new_name: old_name}`` for renames; new columns
+        absent from both the old schema and the mapping fill with NULL;
+        old columns not carried into ``new_ddl`` are dropped.
+
+        Every live row is re-staged under the new shape and published as
+        ONE ``replace`` snapshot that atomically flips ``schema_ddl`` (and
+        the partition spec, if the bucket column was renamed) — the commit
+        is conditional on the head the rewrite scanned, so a concurrent
+        append under the old shape conflicts instead of vanishing.  The
+        snapshot is ROW-CHANGING by label: incremental consumers refuse
+        and recompute (a renamed column is a different relation to them).
+        Old snapshots keep time-traveling with their commit-time schema.
+        """
+        mapping = dict(mapping or {})
+        new_fields = self.spark.createDataFrame([], new_ddl).schema.fields
+        old_names = [f.name for f in self._empty_df().schema.fields]
+        unknown = [s for s in mapping.values() if s not in old_names]
+        if unknown:
+            raise SchemaEvolutionError(
+                f"mapping sources {unknown} not in the current schema "
+                f"{old_names}")
+
+        def source_of(name: str) -> str | None:
+            if name in mapping:
+                return mapping[name]
+            return name if name in old_names else None
+
+        exprs = []
+        for f in new_fields:
+            src = source_of(f.name)
+            if src is None:
+                exprs.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                exprs.append(F.col(src).cast(f.dataType).alias(f.name))
+
+        spec = self.meta.partition_spec
+        new_spec = spec
+        if spec:
+            carriers = [f.name for f in new_fields
+                        if source_of(f.name) == spec["column"]]
+            if not carriers:
+                raise SchemaEvolutionError(
+                    f"partition column {spec['column']!r} has no successor "
+                    "in the new schema — dropping the bucket column would "
+                    "leave the table unroutable")
+            # prefer the identity name if it survives, else the rename
+            new_col = (spec["column"] if spec["column"] in carriers
+                       else carriers[0])
+            new_spec = {**spec, "column": new_col}
+
+        head = self.current_snapshot_id()
+        entries = self.stage_dataframe(
+            self.scan().select(*exprs), max_records_per_file,
+            partition_value=self.partition_value_col(new_spec))
+        manifests = [mf.write_manifest(self.location, entries)] \
+            if entries else []
+
+        def build(meta: md.TableMetadata):
+            if meta.current_snapshot_id != head:
+                raise CommitConflict(
+                    f"table head moved ({head} -> "
+                    f"{meta.current_snapshot_id}) while the schema rewrite "
+                    "was staging — retry against the new head")
+            evolved = dc_replace(meta, properties=dict(meta.properties),
+                                 schema_ddl=new_ddl, partition_spec=new_spec)
+            snap = evolved.next_snapshot(
+                "replace", manifests,
+                {"added_files": len(entries),
+                 "added_records": sum(e.record_count for e in entries),
+                 "schema_rewrite": "true"})
+            return snap, evolved.with_snapshot(snap)
+
+        return self._try_commit(build)
 
     # ------------------------------------------------------------- metadata
 

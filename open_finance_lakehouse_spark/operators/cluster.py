@@ -71,6 +71,37 @@ def observed_bounds_df(table: LakeTable, columns=("dur_ms", "sr_hz")) -> dict:
     return out
 
 
+LINEAGE_FILE_GRAIN_MAX = 100_000
+# above this inventory size, cluster_global's lineage degrades from
+# file-grain inputs to manifest-grain — file-grain lineage inherently
+# writes the whole path list into the log, which is the one remaining
+# O(files) driver materialization and must not ride along unbounded
+
+
+def _xor_fingerprint_repr(curve: str, n: int, xored: int) -> str:
+    """Canonical text form of the order-insensitive input fingerprint:
+    (count, XOR of per-path ``xxhash64(f"{curve}:{path}")``)."""
+    return f"{curve}:{n}:{xored & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _xor_fingerprint_py(curve: str, paths: list[str]) -> str:
+    """Driver-side twin of the Spark aggregate fingerprint, built on the
+    numpy XXH64 kernel (bit-exact with ``F.xxhash64`` — property-tested in
+    ``tests/test_kernels.py``), so an output file set's fingerprint can be
+    compared with a later run's Spark-computed input fingerprint."""
+    import numpy as np
+
+    from open_finance_lakehouse_spark.functions.xxh64 import (
+        xxh64_spark_column,
+    )
+
+    if not paths:
+        return _xor_fingerprint_repr(curve, 0, 0)
+    h = xxh64_spark_column([f"{curve}:{p}" for p in paths], "string")
+    x = int(np.bitwise_xor.reduce(h.view(np.uint64)))
+    return _xor_fingerprint_repr(curve, len(paths), x)
+
+
 LOCAL_SORT_MAX_PARTITION_BYTES = 512 * 1024 * 1024
 # local mode pays ~0.1-0.3 s of driver plan-construction per partition
 # (32 file relations + a union); it only wins when each partition's data
@@ -162,10 +193,19 @@ def cluster_global(
                         and per_part >= LOCAL_MIN_BYTES_PER_PARTITION)
                     else "range")
     totals["operation"] = f"cluster_global[{curve},{exchange}]"
-    pre_snapshot = table.current_snapshot_id()  # plan-time head (CAS guard)
-    path_rows = inv.collect()
-    paths_rel = sorted(r["file_path"] for r in path_rows)
-    fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
+    pre_snap = table.meta.snapshot()  # plan-time head (CAS guard)
+    pre_snapshot = pre_snap.snapshot_id
+    pre_manifests = set(pre_snap.manifests)
+    # input fingerprint: ONE Spark aggregate over the manifest relation —
+    # XOR of per-path xxhash64 is order-insensitive and never materializes
+    # the path list on the driver (count hardens it against the xor's
+    # even-multiset blind spot; paths within a snapshot are unique anyway)
+    fp = inv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(
+            F.concat(F.lit(f"{curve}:"), F.col("file_path")))).alias("x"),
+    ).first()
+    fingerprint = _xor_fingerprint_repr(curve, int(fp["n"]), int(fp["x"]))
     if ledger.is_committed(job_id, "__table__", fingerprint):
         totals["partitions_skipped"] = totals["partitions_planned"]
         return totals
@@ -180,19 +220,20 @@ def cluster_global(
         files_in=totals["files_in"], bytes_in=bytes_in,
     ))
     n_out = max(1, math.ceil(bytes_in / target_bytes))
-    # per-partition input stats (path_rows is already on the driver): the
-    # row cap comes from the WIDEST-row partition so no partition's files
-    # exceed target_bytes — a single table-wide average would let a
-    # partition with 2×-wide rows (codec/duration mix) emit 2×-target
-    # files while narrow partitions emit half-size ones
-    part_stats: dict[str, list[int]] = {}
-    for r in path_rows:
-        s = part_stats.setdefault(r["partition"], [0, 0])
-        s[0] += int(r["file_size_bytes"])
-        s[1] += int(r["record_count"])
+    # per-partition input stats as a grouped aggregate (O(partitions) rows
+    # reach the driver, never O(files)): the row cap comes from the
+    # WIDEST-row partition so no partition's files exceed target_bytes — a
+    # single table-wide average would let a partition with 2×-wide rows
+    # (codec/duration mix) emit 2×-target files while narrow partitions
+    # emit half-size ones
+    part_stat_rows = (
+        inv.groupBy("partition")
+        .agg(F.sum("file_size_bytes").alias("pb"),
+             F.sum("record_count").alias("pr"))
+        .collect())
     rpf = min(
-        (binpack.records_per_file(pb, pr, target_bytes)
-         for pb, pr in part_stats.values() if pr),
+        (binpack.records_per_file(int(r["pb"]), int(r["pr"]), target_bytes)
+         for r in part_stat_rows if r["pr"]),
         default=binpack.records_per_file(bytes_in, records_in, target_bytes),
     )
     schema = table._empty_df().schema
@@ -205,16 +246,21 @@ def cluster_global(
         # normally merge equal-partition-count union children into one
         # task (spark.sql.unionOutputPartitioning) — disabled around this
         # job so the branches stay parallel.
-        by_part: dict[str, list] = {}
-        for r in path_rows:
-            by_part.setdefault(r["partition"], []).append(r)
+        # local mode builds one explicit-file read per partition — this
+        # (partition, path) collect is SCAN-TASK PLANNING (what every
+        # format's driver does to schedule reads), not commit arithmetic,
+        # and local mode is only chosen when partitions are modest (the
+        # many-small-partitions regime); the 100 TB path is "range", which
+        # plans through table.scan() and collects no path list here
+        by_part: dict[str, list[str]] = {}
+        for r in inv.select("partition", "file_path").collect():
+            by_part.setdefault(r["partition"], []).append(r["file_path"])
         spark = table.spark
         parts_sorted = sorted(by_part)
 
         def build_branch(part: str):
-            rows = by_part[part]
-            ppaths = [os.path.join(table.location, r["file_path"])
-                      for r in sorted(rows, key=lambda r: r["file_path"])]
+            ppaths = [os.path.join(table.location, p)
+                      for p in sorted(by_part[part])]
             return (
                 spark.read.schema(schema).parquet(*ppaths)
                 .coalesce(1)
@@ -246,8 +292,10 @@ def cluster_global(
         finally:
             spark.conf.set(conf_key, prev)
     else:
-        paths = [os.path.join(table.location, p) for p in paths_rel]
-        df = table.spark.read.schema(schema).parquet(*paths)
+        # the scale path: read the planned snapshot through the format's
+        # one scan seam (pinned to the plan-time head) — cluster.py itself
+        # never materializes a file list in range mode
+        df = table.scan(snapshot_id=pre_snapshot)
         clustered = (
             df.withColumn("__part", table.partition_value_col())
             .withColumn("__zval", curve_key_col(curve, bounds))
@@ -263,11 +311,13 @@ def cluster_global(
     # so "head unchanged since planning" proves the removal set at O(1)
     # metadata cost (no manifest re-read at any inventory size). If a
     # CONCURRENT APPEND moved the head, its rows are not in the clustered
-    # output, so a replace would drop them — fall back to commit_rewrite,
-    # which removes exactly the planned files and PRESERVES the
-    # concurrent append's manifest (its validation only requires the
-    # planned files to still be live). operation="cluster" keeps the
-    # snapshot skippable by incremental consumers on either path.
+    # output, so a replace would drop them — fall back to a
+    # MANIFEST-granularity rewrite: remove exactly the plan-time
+    # manifests (their continued presence in the head proves every
+    # planned file is still live, at O(manifests) cost — the driver
+    # never enumerates file paths) and PRESERVE the concurrent append's
+    # manifests. operation="cluster" keeps the snapshot skippable by
+    # incremental consumers on either path.
     from open_finance_lakehouse_spark.format.table import CommitConflict
 
     cluster_summary = {"job_id": job_id, "curve": curve, "mode": "global"}
@@ -277,8 +327,8 @@ def cluster_global(
             expect_current_snapshot_id=pre_snapshot,
             summary=cluster_summary)
     except CommitConflict:
-        snap = table.commit_rewrite(
-            set(paths_rel), added, operation="cluster",
+        snap = table.commit_rewrite_manifests(
+            pre_manifests, added, operation="cluster",
             summary=cluster_summary)
     engine_ms = int((time.monotonic() - t0) * 1000)
 
@@ -286,16 +336,24 @@ def cluster_global(
     by_out: dict[str, list] = {}
     for a in added:
         by_out.setdefault(a.partition, []).append(a)
-    part_inputs: dict[str, list[str]] = {}
-    for r in path_rows:
-        part_inputs.setdefault(r["partition"], []).append(r["file_path"])
+    # lineage inputs are the PARTITION's own files — rows never cross
+    # partitions (both exchange modes key on __part), and whole-table
+    # inputs would make the log O(partitions × files) and provenance
+    # queries useless. File-grain lineage inherently materializes the
+    # path list (it gets WRITTEN to the log), so above the bound the log
+    # degrades to manifest-grain inputs instead of OOMing the driver.
+    if totals["files_in"] <= LINEAGE_FILE_GRAIN_MAX:
+        part_inputs = {
+            r["partition"]: sorted(r["ps"])
+            for r in inv.groupBy("partition")
+            .agg(F.collect_list("file_path").alias("ps")).collect()
+        }
+    else:
+        part_inputs = {}
+    manifest_inputs = sorted(pre_manifests)
     for part, outs in sorted(by_out.items()):
-        # lineage inputs are the PARTITION's own files — rows never cross
-        # partitions (both exchange modes key on __part), and whole-table
-        # inputs would make the log O(partitions × files) and provenance
-        # queries useless
         ledger.append_lineage(job_id, f"part={part}",
-                              sorted(part_inputs.get(part, [])),
+                              part_inputs.get(part, manifest_inputs),
                               [a.file_path for a in outs], "cluster")
     ledger.upsert(CheckpointRecord(
         job_id=job_id, table=table.meta.name, partition_id="__table__",
@@ -304,8 +362,11 @@ def cluster_global(
         bytes_in=bytes_in, bytes_out=sum(a.file_size_bytes for a in added),
         files_in=totals["files_in"], files_out=len(added),
         engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
-        output_file_set_hash=file_set_hash(
-            [f"{curve}:{a.file_path}" for a in added]),
+        # driver twin of the Spark-side input fingerprint (the numpy
+        # XXH64 is bit-exact with F.xxhash64): a re-run whose input IS
+        # this output set is recognized as already-clustered
+        output_file_set_hash=_xor_fingerprint_py(
+            curve, [a.file_path for a in added]),
     ))
     totals.update(
         partitions_rewritten=totals["partitions_planned"],

@@ -433,3 +433,171 @@ def test_append_always_checks_write_schema(spark, warehouse):
     with pytest.raises(SchemaMismatch, match="catt"):
         t.append(bad)
     assert t.refresh().current_snapshot_id() is None
+
+
+def test_rewrite_schema_rename_drop_roundtrip(spark, warehouse):
+    """Copy-on-write drop/rename: rows survive under the new shape, the
+    bucket spec follows the renamed partition column (layout stays
+    routable), time travel keeps the OLD shape, and the snapshot is
+    row-changing so incremental consumers refuse and recompute."""
+    from open_finance_lakehouse_spark.streaming.table_source import (
+        NonAppendInterval,
+        incremental_scan,
+    )
+
+    t = make_table(spark, warehouse, "rs",
+                   spec={"kind": "bucket", "column": "cat",
+                         "num_buckets": 4})
+    s1 = t.append(kdf(spark, 0, 100))
+    before = {(r["k"], r["cat"]) for r in
+              t.scan().select("k", "cat").collect()}
+
+    t.rewrite_schema("k BIGINT, category STRING, note STRING",
+                     mapping={"category": "cat"})  # rename cat, drop v
+    assert t.scan().columns == ["k", "category", "note"]
+    after = {(r["k"], r["category"]) for r in
+             t.scan().select("k", "category").collect()}
+    assert after == before
+    assert t.scan().filter(F.col("note").isNotNull()).count() == 0
+    assert t.meta.snapshot().operation == "replace"
+    assert t.meta.partition_spec["column"] == "category"
+
+    # rows landed in the partitions the (renamed) router computes
+    part_of = {f.file_path: f.partition for f in t.live_files()}
+    rows = (t.scan(with_file_path=True)
+            .withColumn("expected", t.partition_value_col())
+            .select("_file", "expected").collect())
+    for r in rows:
+        rel = os.path.relpath(r["_file"].replace("file://", ""), t.location)
+        assert part_of[rel] == r["expected"]
+
+    # time travel: the pre-rewrite snapshot still reads the OLD shape
+    old = t.scan(snapshot_id=s1.snapshot_id)
+    assert set(old.columns) == {"k", "cat", "v"}
+    assert old.count() == 100
+
+    # a consumer parked before the rewrite must refuse (row-changing)
+    with pytest.raises(NonAppendInterval):
+        incremental_scan(t, s1.snapshot_id)
+
+    # life goes on under the new shape
+    t.append(spark.createDataFrame([(500, "c9", "fresh")],
+                                   "k BIGINT, category STRING, note STRING"))
+    assert t.scan().count() == 101
+
+
+def test_rewrite_schema_guards(spark, warehouse):
+    """Refusals: dropping the bucket column, mapping from a ghost column,
+    and a concurrent append between staging and publish (the conditional
+    commit must conflict, not silently swallow the append)."""
+    from open_finance_lakehouse_spark.format.table import (
+        SchemaEvolutionError,
+    )
+
+    t = make_table(spark, warehouse, "rg",
+                   spec={"kind": "bucket", "column": "cat",
+                         "num_buckets": 4})
+    t.append(kdf(spark, 0, 20))
+
+    with pytest.raises(SchemaEvolutionError, match="partition column"):
+        t.rewrite_schema("k BIGINT, v DOUBLE")  # drops the bucket column
+    with pytest.raises(SchemaEvolutionError, match="mapping sources"):
+        t.rewrite_schema("k BIGINT, category STRING",
+                         mapping={"category": "nope"})
+
+    # deterministic concurrency: another handle appends while this
+    # rewrite is staging -> the conditional publish must CommitConflict
+    orig = LakeTable.stage_dataframe
+    fired = []
+
+    def race(self, df, *a, **kw):
+        if not fired:  # only the rewrite's own staging triggers the race
+            fired.append(True)
+            other = LakeTable.load(spark, t.location)
+            other.append(kdf(spark, 100, 105))
+        return orig(self, df, *a, **kw)
+
+    LakeTable.stage_dataframe = race
+    try:
+        with pytest.raises(CommitConflict, match="head moved"):
+            t.rewrite_schema("k BIGINT, category STRING, v DOUBLE",
+                             mapping={"category": "cat"})
+    finally:
+        LakeTable.stage_dataframe = orig
+    # nothing was lost or half-applied
+    assert t.refresh().scan().count() == 25
+    assert set(t.scan().columns) == {"k", "cat", "v"}
+
+
+def test_metadata_tmp_litter_swept_by_gc(spark, warehouse):
+    """Writers that die between fsync and the link CAS leave `.tmp-*` in
+    metadata/ — orphan GC must sweep stale ones (age-gated so a live
+    writer's in-flight temp file survives)."""
+    from open_finance_lakehouse_spark.format import metadata as md
+
+    t = make_table(spark, warehouse, "tmpgc")
+    t.append(kdf(spark, 0, 10))
+    d = md.metadata_dir(t.location)
+    stale = os.path.join(d, ".tmp-deadbeef")
+    fresh = os.path.join(d, ".tmp-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    os.utime(stale, (1, 1))  # crashed long ago
+    t.delete_orphans(grace_ms=60_000)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the grace window -> kept
+    assert t.refresh().scan().count() == 10
+
+
+def test_metadata_write_falls_back_without_hard_links(spark, warehouse,
+                                                      monkeypatch):
+    """Filesystems without hard-link support (os.link raises) still get a
+    CAS commit: O_EXCL claims the version name, so the loser of a race
+    sees FileExistsError, and the winner's content lands atomically."""
+    import errno
+
+    from open_finance_lakehouse_spark.format import metadata as md
+
+    t = make_table(spark, warehouse, "nolink")
+
+    def no_link(src, dst, **kw):
+        raise OSError(errno.EOPNOTSUPP, "hard links not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    t.append(kdf(spark, 0, 10))   # commits via the fallback
+    t.append(kdf(spark, 10, 20))
+    assert t.refresh().scan().count() == 20
+    d = md.metadata_dir(t.location)
+    assert not [n for n in os.listdir(d) if n.startswith(".tmp-")]
+
+    # a lost race still surfaces as FileExistsError under the fallback
+    meta = t.meta
+    with pytest.raises(FileExistsError):
+        md.write_metadata_exclusive(meta, meta.version)
+
+
+def test_commit_rewrite_manifests_semantics(spark, warehouse):
+    """Manifest-granularity rewrite: removes whole manifests, preserves
+    concurrently-added ones, and conflicts when a removed manifest is no
+    longer referenced (a concurrent rewrite replaced it) — the O(manifests)
+    twin of commit_rewrite's per-file liveness check."""
+    t = make_table(spark, warehouse, "crm")
+    t.append(kdf(spark, 0, 50))
+    pre = set(t.meta.snapshot().manifests)
+
+    # a concurrent append adds a manifest the rewrite must keep
+    other = LakeTable.load(spark, t.location)
+    other.append(kdf(spark, 100, 110))
+
+    added = t.stage_dataframe(t.scan(snapshot_id=t.history()
+                                     .orderBy("snapshot_id").first()
+                                     ["snapshot_id"]))
+    snap = t.commit_rewrite_manifests(pre, added, operation="cluster")
+    assert snap.operation == "cluster"
+    assert t.scan().count() == 60  # 50 rewritten + 10 concurrent
+    assert pre.isdisjoint(set(t.meta.snapshot().manifests))
+
+    # now the old manifests are gone — removing them again must conflict
+    with pytest.raises(CommitConflict, match="no longer referenced"):
+        t.commit_rewrite_manifests(pre, [], operation="cluster")
