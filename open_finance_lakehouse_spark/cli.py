@@ -103,6 +103,17 @@ def main(argv=None):
     hi.add_argument("--table", required=True)
     hi.add_argument("--master", default=None)
 
+    ru = sub.add_parser("runs", help="list run-level lineage (START/"
+                                     "COMPLETE/FAIL pairs from runs.jsonl)")
+    ru.add_argument("--root", required=True,
+                    help="ledger/table root holding runs.jsonl; named "
+                         "--root (not --table) so this read-only lane "
+                         "does not log a run about itself")
+    ru.add_argument("--job", default=None, help="filter by job/lane name")
+    ru.add_argument("--limit", type=int, default=50,
+                    help="most recent N runs")
+    ru.add_argument("--master", default=None)
+
     sq = sub.add_parser("sql", help="run SQL over registered tables")
     sq.add_argument("--register", action="append", default=[],
                     metavar="NAME=LOCATION",
@@ -187,6 +198,27 @@ def _execute(spark, args) -> dict:
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",
                "snapshots": [r.asDict() for r in t.history().collect()]}
+    elif args.cmd == "runs":
+        from open_finance_lakehouse_spark.plans.lineage import RunLog
+
+        by_run: dict[str, dict] = {}
+        for e in RunLog(args.root).events():
+            if args.job and e.get("job") != args.job:
+                continue
+            r = by_run.setdefault(e["run_id"], {
+                "run_id": e["run_id"], "job": e.get("job"),
+                "table": e.get("table"), "status": "RUNNING",
+                "started_ms": None, "ended_ms": None,
+                "error": None, "summary": {}})
+            if e["event"] == "START":
+                r["started_ms"] = e["timestamp_ms"]
+            else:  # COMPLETE | FAIL — terminal events pair by run_id
+                r["status"] = e["event"]
+                r["ended_ms"] = e["timestamp_ms"]
+                r["error"] = e.get("error")
+                r["summary"] = e.get("summary", {})
+        out = {"operation": "runs",
+               "runs": list(by_run.values())[-args.limit:]}
     elif args.cmd == "sql":
         from open_finance_lakehouse_spark.sql import register_tables, run_sql
 
@@ -206,7 +238,11 @@ def _execute(spark, args) -> dict:
         # flags beat the table's declared maintenance.* config, which
         # beats the built-in defaults (registry discipline, SURVEY §1.4)
         cfg = maintenance_config(t)
-        target = (args.target_mb * 1024 * 1024 if args.target_mb
+        # presence checks compare against None — truthiness would treat an
+        # explicit `--target-mb 0` as unset instead of rejecting it
+        if args.target_mb is not None and args.target_mb <= 0:
+            raise SystemExit("--target-mb must be a positive integer")
+        target = (args.target_mb * 1024 * 1024 if args.target_mb is not None
                   else cfg["target_bytes"])
         if args.cmd == "compact":
             from open_finance_lakehouse_spark.operators.compact import compact
@@ -251,11 +287,11 @@ def _execute(spark, args) -> dict:
             )
 
             kw = {}
-            if args.target_mb:
+            if args.target_mb is not None:
                 kw["target_bytes"] = target
             if args.retain_last is not None:
                 kw["retain_last"] = args.retain_last
-            if args.cluster_mode:
+            if args.cluster_mode is not None:
                 kw["cluster_mode"] = args.cluster_mode
             out = run_maintenance(t, ledger, job_id=args.job_id, **kw)
     return out

@@ -96,12 +96,19 @@ def _atomic_write_json(path: str, doc: dict) -> None:
 
 
 def _safe(name: str) -> str:
-    safe = "".join(c if (c.isalnum() or c in "-_.") else "_" for c in name)
+    safe = _old_safe(name)
     # Spark/Hadoop file indexes treat paths starting with "_" or "." as
     # HIDDEN metadata (like _SUCCESS) and silently exclude them — a
     # "__snapshots__-*.json" record would be invisible to
     # checkpoints_df/lineage_df while plain open() sees it fine
     return f"p{safe}" if safe[:1] in ("_", ".") else safe
+
+
+def _old_safe(name: str) -> str:
+    """Sanitization rule of builds that predate the hidden-path prefix —
+    their records live under the unprefixed name and must still resolve
+    (and migrate forward on the next upsert)."""
+    return "".join(c if (c.isalnum() or c in "-_.") else "_" for c in name)
 
 
 class CheckpointLedger:
@@ -115,15 +122,34 @@ class CheckpointLedger:
             self.root, "checkpoints", _safe(job_id), f"{_safe(partition_id)}.json"
         )
 
+    def _legacy_ckpt_path(self, job_id: str, partition_id: str) -> str | None:
+        """Where a pre-prefix build would have written this record, or
+        None when the old and new rules agree (no migration needed)."""
+        p = os.path.join(self.root, "checkpoints", _old_safe(job_id),
+                         f"{_old_safe(partition_id)}.json")
+        return p if p != self._ckpt_path(job_id, partition_id) else None
+
     def upsert(self, rec: CheckpointRecord) -> None:
         rec.updated_at_ms = int(time.time() * 1000)
         _atomic_write_json(self._ckpt_path(rec.job_id, rec.partition_id),
                            asdict(rec))
+        legacy = self._legacy_ckpt_path(rec.job_id, rec.partition_id)
+        if legacy and os.path.exists(legacy):
+            # migrate: the stale pre-prefix record would otherwise shadow
+            # this upsert for directory-globbing readers forever
+            os.remove(legacy)
+            try:
+                os.rmdir(os.path.dirname(legacy))
+            except OSError:
+                pass  # other records still live there
 
     def get(self, job_id: str, partition_id: str) -> CheckpointRecord | None:
         p = self._ckpt_path(job_id, partition_id)
         if not os.path.exists(p):
-            return None
+            legacy = self._legacy_ckpt_path(job_id, partition_id)
+            if not (legacy and os.path.exists(legacy)):
+                return None
+            p = legacy
         with open(p, encoding="utf-8") as f:
             return CheckpointRecord(**json.load(f))
 

@@ -90,8 +90,23 @@ def run_report(query) -> dict:
         "watermark": watermark_iso,
         "watermark_us": _parse_iso_us(watermark_iso) if watermark_iso else None,
         "open_groups": open_groups,
-        "truncated": len(progs) >= 100,
+        "truncated": len(progs) >= _progress_cap(),
     }
+
+
+def _progress_cap() -> int:
+    """Spark's recentProgress retention cap — read from the live session's
+    conf (it is tunable), falling back to the engine default of 100."""
+    try:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            return int(sess.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"))
+    except Exception:
+        pass
+    return 100
 
 
 def open_windows(events: DataFrame, watermark_us: int | None,

@@ -102,6 +102,46 @@ def test_cli_lanes_emit_run_lineage_events(spark, tmp_path, capsys):
     assert df.filter("event = 'FAIL'").count() == 1
 
 
+def test_cli_runs_lists_paired_lineage(spark, tmp_path, capsys):
+    """`runs` surfaces the run log operably: one row per run_id with the
+    terminal status (COMPLETE / FAIL+error) folded in, filterable by job —
+    and, being read-only, logs no run about itself."""
+    import pytest
+
+    from open_finance_lakehouse_spark.plans.lineage import RunLog
+
+    loc = str(tmp_path / "clips_runs")
+    _run(capsys, ["synth", "--table", loc, "--rows", "10", "--buckets", "2"])
+    with pytest.raises(ValueError):
+        cli.main(["rollback", "--table", loc, "--snapshot-id", "999"])
+    capsys.readouterr()
+
+    out = _run(capsys, ["runs", "--root", loc])
+    assert out["operation"] == "runs"
+    by_job = {r["job"]: r for r in out["runs"]}
+    assert by_job["synth"]["status"] == "COMPLETE"
+    assert by_job["synth"]["summary"]["rows"] == 10
+    assert by_job["synth"]["started_ms"] <= by_job["synth"]["ended_ms"]
+    assert by_job["rollback"]["status"] == "FAIL"
+    assert "999" in by_job["rollback"]["error"]
+
+    filtered = _run(capsys, ["runs", "--root", loc, "--job", "rollback"])
+    assert [r["job"] for r in filtered["runs"]] == ["rollback"]
+
+    # reading the log must not append to it
+    assert len(RunLog(loc).events()) == 4
+
+
+def test_cli_rejects_nonpositive_target_mb(spark, tmp_path, capsys):
+    import pytest
+
+    loc = str(tmp_path / "clips_tmb")
+    _run(capsys, ["synth", "--table", loc, "--rows", "5", "--buckets", "2"])
+    with pytest.raises(SystemExit, match="positive"):
+        cli.main(["compact", "--table", loc,
+                  "--ledger", str(tmp_path / "led"), "--target-mb", "0"])
+
+
 def test_cli_evolve_schema(spark, tmp_path, capsys):
     loc = str(tmp_path / "clips_ev")
     _run(capsys, ["synth", "--table", loc, "--rows", "5", "--buckets", "2"])

@@ -855,8 +855,8 @@ def test_cluster_global_survives_concurrent_append(spark, tmp_path,
                                                    monkeypatch):
     """An append landing between the cluster plan and its publish must not
     abort the job OR lose the appended rows: the conditional replace
-    conflicts, and the fallback commit_rewrite removes exactly the planned
-    files while preserving the concurrent append's manifest."""
+    conflicts, and the manifest-granularity fallback removes exactly the
+    plan-time manifests while preserving the concurrent append's."""
     from open_finance_lakehouse_spark.operators.cluster import cluster_global
 
     t = LakeTable.create(
@@ -1004,3 +1004,46 @@ def test_batch_rollup_dedup_is_deterministic(spark):
     assert bar["n_trades"] == 2          # dup collapsed
     assert bar["open"] == 10.0           # the (trade_time, trade_id)-min row
     assert bar["high"] == 20.0           # 99.0 (losing dup) never surfaces
+
+
+# ------------------------------------------------------------------ ledger
+
+
+def test_ledger_resolves_and_migrates_legacy_hidden_names(tmp_path):
+    """Records written by builds that predate the hidden-path prefix (job
+    or partition names starting with "_"/".") must still resolve, and the
+    next upsert must migrate them — otherwise directory-globbing readers
+    see two records for one (job, partition) key forever."""
+    import json as _json
+
+    from open_finance_lakehouse_spark.plans.ledger import (
+        CheckpointLedger,
+        CheckpointRecord,
+        _old_safe,
+    )
+
+    led = CheckpointLedger(str(tmp_path / "led"))
+    job, part = "__snapshots__", "_p0"
+
+    # plant the record exactly where a pre-prefix build wrote it
+    legacy = os.path.join(str(tmp_path / "led"), "checkpoints",
+                          _old_safe(job), f"{_old_safe(part)}.json")
+    os.makedirs(os.path.dirname(legacy))
+    old = CheckpointRecord(job_id=job, table="t", partition_id=part,
+                           file_set_hash="h-old", status=STATUS_COMMITTED)
+    with open(legacy, "w", encoding="utf-8") as f:
+        _json.dump(old.__dict__, f)
+
+    # resolves through the legacy name
+    got = led.get(job, part)
+    assert got is not None and got.file_set_hash == "h-old"
+    assert led.is_committed(job, part, "h-old")
+
+    # upsert writes the new name and removes the stale twin
+    led.upsert(CheckpointRecord(job_id=job, table="t", partition_id=part,
+                                file_set_hash="h-new",
+                                status=STATUS_COMMITTED))
+    assert not os.path.exists(legacy)
+    assert led.get(job, part).file_set_hash == "h-new"
+    recs = [r for r in led.records() if r.partition_id == part]
+    assert len(recs) == 1  # no double record after migration
