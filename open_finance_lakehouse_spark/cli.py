@@ -4,7 +4,8 @@ callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | pipeline |
-publish | silver-drain | rollback | history | evolve-schema | sql.
+publish | silver-drain | rollback | history | runs | evolve-schema |
+rewrite-schema | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -98,6 +99,20 @@ def main(argv=None):
     es.add_argument("--table", required=True)
     es.add_argument("--ddl", required=True, help="the FULL new schema DDL")
     es.add_argument("--master", default=None)
+
+    rs = sub.add_parser("rewrite-schema",
+                        help="DROP/RENAME schema evolution via copy-on-write "
+                             "rewrite (one atomic replace snapshot; old "
+                             "snapshots keep their commit-time shape)")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--ddl", required=True, help="the FULL new schema DDL")
+    rs.add_argument("--rename", action="append", default=[],
+                    metavar="NEW=OLD",
+                    help="repeatable rename mapping; new columns absent "
+                         "from both the old schema and any --rename fill "
+                         "with NULL, old columns not in --ddl are dropped")
+    rs.add_argument("--records-per-file", type=int, default=None)
+    rs.add_argument("--master", default=None)
 
     hi = sub.add_parser("history", help="print the snapshot log")
     hi.add_argument("--table", required=True)
@@ -194,6 +209,13 @@ def _execute(spark, args) -> dict:
         t.update_schema(args.ddl)
         out = {"operation": "evolve-schema", "schema": t.meta.schema_ddl,
                "metadata_version": t.meta.version}
+    elif args.cmd == "rewrite-schema":
+        t = LakeTable.load(spark, args.table)
+        mapping = dict(kv.split("=", 1) for kv in args.rename)
+        snap = t.rewrite_schema(args.ddl, mapping=mapping,
+                                max_records_per_file=args.records_per_file)
+        out = {"operation": "rewrite-schema", "snapshot": snap.snapshot_id,
+               "schema": t.meta.schema_ddl, "rows": t.scan().count()}
     elif args.cmd == "history":
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",

@@ -154,6 +154,21 @@ def test_cli_evolve_schema(spark, tmp_path, capsys):
     assert t.scan().filter("lang IS NULL").count() == 5
 
 
+def test_cli_rewrite_schema_rename_and_drop(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips_rw")
+    _run(capsys, ["synth", "--table", loc, "--rows", "6", "--buckets", "2"])
+
+    out = _run(capsys, ["rewrite-schema", "--table", loc,
+                        "--ddl", "clip_id STRING, payload BINARY, sr_hz INT, "
+                                 "dur_ms INT, codec STRING",
+                        "--rename", "payload=bytes"])
+    assert out["rows"] == 6
+    assert "payload" in out["schema"] and "transcript" not in out["schema"]
+    t = LakeTable.load(spark, loc)
+    cols = t.scan().columns
+    assert "payload" in cols and "bytes" not in cols and "transcript" not in cols
+
+
 def test_cli_cluster_respects_declared_curve_none(spark, tmp_path, capsys):
     from open_finance_lakehouse_spark.format.table import LakeTable as LT
     from open_finance_lakehouse_spark.sources.synth import (
