@@ -76,6 +76,29 @@ class TableMetadata:
                 return s
         raise ValueError(f"snapshot {sid} not found in {self.name}")
 
+    def snapshot_as_of(self, ts_ms: int) -> "Snapshot":
+        """Newest snapshot on the CURRENT ancestry chain with
+        ``timestamp_ms <= ts_ms`` — Iceberg ``TIMESTAMP AS OF`` semantics
+        over the main lineage (the reference time-travels Delta the same
+        way, "timestampAsOf" in /root/reference/ofl/io/delta.py).  The
+        parent-chain walk, not a log scan: snapshots abandoned by rollback
+        are not candidates, exactly like ``ancestry_interval``."""
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        cur = self.current_snapshot_id
+        while cur is not None:
+            snap = by_id.get(cur)
+            if snap is None:
+                raise ValueError(
+                    f"ancestry of {self.name} is truncated at snapshot "
+                    f"{cur} (expired): no readable snapshot at or before "
+                    f"timestamp {ts_ms}")
+            if snap.timestamp_ms <= ts_ms:
+                return snap
+            cur = snap.parent_id
+        raise ValueError(
+            f"no snapshot at or before timestamp {ts_ms} on the current "
+            f"lineage of {self.name} — the oldest commit is newer")
+
     def next_snapshot(
         self, operation: str, manifests: list[str], summary: dict
     ) -> Snapshot:

@@ -1026,5 +1026,11 @@ class LakeTable:
     def current_snapshot_id(self) -> int | None:
         return self.meta.current_snapshot_id
 
+    def snapshot_id_as_of(self, ts_ms: int) -> int:
+        """Resolve a wall-clock timestamp (epoch ms) to the snapshot that
+        was current then — ``scan(t.snapshot_id_as_of(ts))`` is the
+        ``TIMESTAMP AS OF`` read path (``snapshot_as_of`` for semantics)."""
+        return self.meta.snapshot_as_of(ts_ms).snapshot_id
+
     def total_bytes(self, snapshot_id: int | None = None) -> int:
         return sum(f.file_size_bytes for f in self.live_files(snapshot_id))

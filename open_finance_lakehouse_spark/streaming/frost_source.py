@@ -364,7 +364,11 @@ class FrostDataSource(DataSource):
     ``"latest"`` = only commits after the query starts, an id = just
     after that snapshot;
     ``snapshotId`` — batch TIME TRAVEL: read the table as of that
-    snapshot, with its commit-time schema (scan(snapshot_id=...) parity).
+    snapshot, with its commit-time schema (scan(snapshot_id=...) parity);
+    ``asOfTimestampMs`` — TIMESTAMP AS OF travel: resolve an epoch-ms
+    wall time to the snapshot current then (current-ancestry walk,
+    ``TableMetadata.snapshot_as_of``); mutually exclusive with
+    ``snapshotId``.
     """
 
     @classmethod
@@ -379,7 +383,17 @@ class FrostDataSource(DataSource):
 
     def _snapshot_id(self) -> int | None:
         sid = self.options.get("snapshotId")
-        return int(sid) if sid is not None else None
+        ts = self.options.get("asOfTimestampMs")
+        if sid is not None and ts is not None:
+            raise ValueError(
+                "snapshotId and asOfTimestampMs are mutually exclusive "
+                "(Iceberg's VERSION AS OF vs TIMESTAMP AS OF rule)")
+        if sid is not None:
+            return int(sid)
+        if ts is not None:
+            meta = _load_meta(self._location())
+            return meta.snapshot_as_of(int(ts)).snapshot_id
+        return None
 
     def schema(self) -> str:
         meta = _load_meta(self._location())

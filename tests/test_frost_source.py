@@ -381,6 +381,37 @@ def test_frost_batch_time_travel(spark, tmp_path):
     assert cur.count() == 6 and "tag" in cur.columns
 
 
+def test_frost_batch_as_of_timestamp(spark, tmp_path):
+    """option("asOfTimestampMs"): epoch-ms TIMESTAMP AS OF travel through
+    the data source, resolving on the current ancestry like
+    LakeTable.snapshot_id_as_of; mutually exclusive with snapshotId."""
+    import time
+
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "ttts"), "ttts",
+                         "k BIGINT, v DOUBLE")
+    s1 = t.append(spark.range(5).select(F.col("id").alias("k"),
+                                        F.lit(1.0).alias("v")))
+    while int(time.time() * 1000) <= s1.timestamp_ms:
+        time.sleep(0.002)
+    t.append(spark.range(3).select((F.col("id") + 100).alias("k"),
+                                   F.lit(2.0).alias("v")))
+
+    old = (spark.read.format("frost").option("location", t.location)
+           .option("asOfTimestampMs", str(s1.timestamp_ms)).load())
+    assert old.count() == 5
+
+    cur = (spark.read.format("frost")
+           .option("location", t.location).load())
+    assert cur.count() == 8
+
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("frost").option("location", t.location)
+         .option("snapshotId", str(s1.snapshot_id))
+         .option("asOfTimestampMs", str(s1.timestamp_ms)).load()
+         .count())
+
+
 def test_frost_batch_write_bucket_partitioned(spark, tmp_path):
     """Batch writes into a BUCKET-PARTITIONED table: the numpy XXH64
     router must land every row in exactly the partition the JVM path

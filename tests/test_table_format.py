@@ -189,6 +189,36 @@ def test_manifest_reuse_across_commits(spark, warehouse):
     assert m1 < m3 and not (m2 - m1) & m3
 
 
+def test_timestamp_as_of_travel(spark, warehouse):
+    """snapshot_id_as_of(ts): TIMESTAMP AS OF resolves along the CURRENT
+    ancestry — the newest commit at-or-before ts; pre-table timestamps
+    refuse; a rollback removes the abandoned branch from candidacy (its
+    snapshots are not "what the table said then" on the main lineage)."""
+    import time
+
+    t = make_table(spark, warehouse, "asof")
+    s1 = t.append(kdf(spark, 0, 10))
+    # force a strictly later wall-clock ms for the second commit so the
+    # tie-break (walk from head, first ts<=target wins) is deterministic
+    while int(time.time() * 1000) <= s1.timestamp_ms:
+        time.sleep(0.002)
+    s2 = t.append(kdf(spark, 10, 30))
+
+    assert t.snapshot_id_as_of(s1.timestamp_ms) == s1.snapshot_id
+    assert t.snapshot_id_as_of(s2.timestamp_ms) == s2.snapshot_id
+    assert t.snapshot_id_as_of(s2.timestamp_ms + 10_000) == s2.snapshot_id
+    assert t.scan(t.snapshot_id_as_of(s1.timestamp_ms)).count() == 10
+
+    with pytest.raises(ValueError, match="oldest commit is newer"):
+        t.snapshot_id_as_of(s1.timestamp_ms - 1)
+
+    # rollback to s1: s2 leaves the main lineage, so even s2's own
+    # timestamp now resolves to s1
+    t.rollback(s1.snapshot_id)
+    t.refresh()
+    assert t.snapshot_id_as_of(s2.timestamp_ms) == s1.snapshot_id
+
+
 def test_rollback_recovers_from_bad_rewrite(spark, warehouse):
     """rollback(snapshot_id): the recovery path after a bad maintenance
     rewrite — no data copy, concurrency-safe, abandoned snapshots stay
