@@ -5,7 +5,7 @@ mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | pipeline |
 publish | silver-drain | rollback | history | runs | evolve-schema |
-rewrite-schema | sql.
+rewrite-schema | rewrite-partitioning | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -114,6 +114,17 @@ def main(argv=None):
     rs.add_argument("--records-per-file", type=int, default=None)
     rs.add_argument("--master", default=None)
 
+    rp = sub.add_parser("rewrite-partitioning",
+                        help="re-bucket (or un-partition) a table via one "
+                             "copy-on-write rewrite snapshot; old snapshots "
+                             "keep their commit-time layout")
+    rp.add_argument("--table", required=True)
+    rp.add_argument("--bucket-column", default=None)
+    rp.add_argument("--num-buckets", type=int, default=None)
+    rp.add_argument("--unpartition", action="store_true")
+    rp.add_argument("--records-per-file", type=int, default=None)
+    rp.add_argument("--master", default=None)
+
     hi = sub.add_parser("history", help="print the snapshot log")
     hi.add_argument("--table", required=True)
     hi.add_argument("--master", default=None)
@@ -216,6 +227,22 @@ def _execute(spark, args) -> dict:
                                 max_records_per_file=args.records_per_file)
         out = {"operation": "rewrite-schema", "snapshot": snap.snapshot_id,
                "schema": t.meta.schema_ddl, "rows": t.scan().count()}
+    elif args.cmd == "rewrite-partitioning":
+        t = LakeTable.load(spark, args.table)
+        if args.unpartition:
+            spec = None
+        else:
+            if not args.bucket_column or args.num_buckets is None:
+                raise SystemExit("rewrite-partitioning needs --bucket-column "
+                                 "and --num-buckets (or --unpartition)")
+            spec = {"kind": "bucket", "column": args.bucket_column,
+                    "num_buckets": args.num_buckets}
+        snap = t.rewrite_partitioning(
+            spec, max_records_per_file=args.records_per_file)
+        out = {"operation": "rewrite-partitioning",
+               "snapshot": snap.snapshot_id,
+               "partition_spec": t.meta.partition_spec,
+               "rows": t.scan().count()}
     elif args.cmd == "history":
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",

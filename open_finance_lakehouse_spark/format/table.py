@@ -1000,6 +1000,66 @@ class LakeTable:
 
         return self._try_commit(build)
 
+    def rewrite_partitioning(self, new_spec: dict | None,
+                             max_records_per_file: int | None = None
+                             ) -> md.Snapshot:
+        """Partition-spec evolution via copy-on-write (Iceberg's
+        partition-evolution capability; frost keeps ONE live spec per
+        snapshot — no per-file spec ids — so changing it re-stages every
+        live row under the new routing and publishes one conditional
+        ``rewrite`` snapshot that atomically flips the spec).
+
+        ``new_spec``: ``{"kind": "bucket", "column": c, "num_buckets": n}``
+        or ``None`` to un-partition.  The operation is ROW-PRESERVING —
+        labeled ``rewrite`` so incremental consumers ride through it
+        (``skipRewrites``) exactly like compaction and clustering; old
+        snapshots keep time-traveling with their commit-time layout.  The
+        use case at scale: a bucket count sized for yesterday's cluster
+        (data skew, executor count) re-sized without downtime.
+        """
+        if new_spec is not None:
+            if new_spec.get("kind") != "bucket":
+                raise ValueError(f"unknown partition spec {new_spec}")
+            if int(new_spec.get("num_buckets", 0)) < 1:
+                raise ValueError("num_buckets must be >= 1")
+            names = [f.name for f in self._empty_df().schema.fields]
+            if new_spec.get("column") not in names:
+                raise ValueError(
+                    f"bucket column {new_spec.get('column')!r} not in the "
+                    f"schema {names}")
+        if new_spec == self.meta.partition_spec:
+            raise ValueError(
+                "new partition spec equals the current one — nothing to "
+                "rewrite")
+
+        head = self.current_snapshot_id()
+        if new_spec is not None:
+            entries = self.stage_dataframe(
+                self.scan(), max_records_per_file,
+                partition_value=self.partition_value_col(new_spec))
+        else:
+            entries = self.stage_dataframe(
+                self.scan(), max_records_per_file, fixed_partition="0")
+        manifests = [mf.write_manifest(self.location, entries)] \
+            if entries else []
+
+        def build(meta: md.TableMetadata):
+            if meta.current_snapshot_id != head:
+                raise CommitConflict(
+                    f"table head moved ({head} -> "
+                    f"{meta.current_snapshot_id}) while the partition "
+                    "rewrite was staging — retry against the new head")
+            evolved = dc_replace(meta, properties=dict(meta.properties),
+                                 partition_spec=new_spec)
+            snap = evolved.next_snapshot(
+                "rewrite", manifests,
+                {"added_files": len(entries),
+                 "added_records": sum(e.record_count for e in entries),
+                 "partition_rewrite": "true"})
+            return snap, evolved.with_snapshot(snap)
+
+        return self._try_commit(build)
+
     # ------------------------------------------------------------- metadata
 
     def history(self) -> DataFrame:

@@ -169,6 +169,18 @@ def test_cli_rewrite_schema_rename_and_drop(spark, tmp_path, capsys):
     assert "payload" in cols and "bytes" not in cols and "transcript" not in cols
 
 
+def test_cli_rewrite_partitioning(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips_rp")
+    _run(capsys, ["synth", "--table", loc, "--rows", "12", "--buckets", "2"])
+
+    out = _run(capsys, ["rewrite-partitioning", "--table", loc,
+                        "--bucket-column", "clip_id", "--num-buckets", "8"])
+    assert out["rows"] == 12
+    assert out["partition_spec"]["num_buckets"] == 8
+    t = LakeTable.load(spark, loc)
+    assert t.meta.partition_spec["num_buckets"] == 8
+
+
 def test_cli_cluster_respects_declared_curve_none(spark, tmp_path, capsys):
     from open_finance_lakehouse_spark.format.table import LakeTable as LT
     from open_finance_lakehouse_spark.sources.synth import (

@@ -189,6 +189,70 @@ def test_manifest_reuse_across_commits(spark, warehouse):
     assert m1 < m3 and not (m2 - m1) & m3
 
 
+def test_rewrite_partitioning_rebucket(spark, warehouse):
+    """rewrite_partitioning: re-bucketing re-stages every live row under
+    the new routing in ONE row-preserving rewrite snapshot — rows are
+    byte-identical, every file's rows hash to its manifest partition
+    under the NEW spec, the spec flips atomically with the commit, and
+    time travel to the pre-rewrite snapshot sees the old layout."""
+    t = make_table(spark, warehouse, "rebucket",
+                   spec={"kind": "bucket", "column": "k", "num_buckets": 2})
+    s1 = t.append(kdf(spark, 0, 200), max_records_per_file=25)
+    before = t.scan()
+
+    snap = t.rewrite_partitioning(
+        {"kind": "bucket", "column": "k", "num_buckets": 8},
+        max_records_per_file=50)
+    assert snap.operation == "rewrite"  # consumers ride through it
+    assert t.meta.partition_spec["num_buckets"] == 8
+
+    after = t.scan()
+    assert after.count() == 200
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+    # every live file's rows route to its recorded partition under n=8
+    for f in t.live_files():
+        bad = (
+            spark.read.parquet(os.path.join(t.location, f.file_path))
+            .filter(F.pmod(F.xxhash64("k"), F.lit(8)) != int(f.partition))
+            .count())
+        assert bad == 0, f.file_path
+    assert len({f.partition for f in t.live_files()}) == 8
+
+    # old snapshot still reads the old 2-bucket layout
+    assert t.scan(snapshot_id=s1.snapshot_id).count() == 200
+    assert len({f.partition for f in t.live_files(s1.snapshot_id)}) == 2
+
+
+def test_rewrite_partitioning_unpartition_and_refusals(spark, warehouse):
+    t = make_table(spark, warehouse, "unpart",
+                   spec={"kind": "bucket", "column": "k", "num_buckets": 4})
+    t.append(kdf(spark, 0, 60))
+
+    with pytest.raises(ValueError, match="equals the current"):
+        t.rewrite_partitioning(
+            {"kind": "bucket", "column": "k", "num_buckets": 4})
+    with pytest.raises(ValueError, match="not in the schema"):
+        t.rewrite_partitioning(
+            {"kind": "bucket", "column": "nope", "num_buckets": 2})
+    with pytest.raises(ValueError, match="num_buckets"):
+        t.rewrite_partitioning(
+            {"kind": "bucket", "column": "k", "num_buckets": 0})
+
+    t.rewrite_partitioning(None)
+    assert t.meta.partition_spec is None
+    assert t.scan().count() == 60
+    assert {f.partition for f in t.live_files()} == {"0"}
+    # and back: un-partitioned -> bucketed works too
+    t.rewrite_partitioning(
+        {"kind": "bucket", "column": "cat", "num_buckets": 3})
+    assert t.scan().count() == 60
+    # 3 cat values may hash-collide into fewer buckets; routing itself is
+    # checked per-row in the rebucket test — here just assert bucket range
+    assert {f.partition for f in t.live_files()} <= {"0", "1", "2"}
+
+
 def test_timestamp_as_of_travel(spark, warehouse):
     """snapshot_id_as_of(ts): TIMESTAMP AS OF resolves along the CURRENT
     ancestry — the newest commit at-or-before ts; pre-table timestamps
