@@ -245,8 +245,13 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     )
     a = sh.alias("a")
     b = sh.alias("b")
+    # |A∪B| = |A|+|B|-|A∩B| (shingles are array_distinct'ed at creation,
+    # so the set identity is exact): ONE set operation per candidate pair
+    # instead of intersect+union — the pair verify is the dominant cost
+    # (measured 2x on the sf1 candidate load)
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+             - inter)
     jac = inter.cast("double") / union
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
@@ -306,8 +311,10 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
                                F.col("len_bucket") + 1)).alias("block"))
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # arithmetic union (see doc_ngram_jaccard_pairs): one set op per pair
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
+             - inter)
     jac = inter.cast("double") / union
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
