@@ -7,22 +7,45 @@ comparison is a single dot-product fold — at 1M×1M pair scale the
 normalize-once refactor is a 3× cut in the inner-loop cost, and both
 engines use the identical normalized-dot formula so rounded scores agree.
 
-Scale shapes:
-- brute-force top-k is the correctness baseline (quadratic — bounded here by
-  a query-side sample, exactly how a production run bounds it per batch);
-- the IVF variant is the scale path: assign every vector to its nearest
+Scale shapes (each re-measured at sf1, 10× the bench corpus — r4):
+- brute-force top-k is the correctness baseline, bounded by a FIXED query
+  batch (≤500), so cost is batch × corpus — linear in n;
+- the IVF variants are the scale path: assign every vector to its nearest
   coarse centroid (tiny broadcast join), then search only within the
   cluster — candidate generation becomes an equi-join on cluster_id,
-  shuffle-partitionable at any corpus size.
+  shuffle-partitionable at any corpus size, with k = ceil(sqrt(n))
+  centroids so within-cluster pair work stays ~n^1.5;
+- label cohesion avoids its pair join entirely via the unit-vector
+  identity Σ_{a<b} a·b = (‖Σv‖² − n)/2 — one elementwise-sum shuffle,
+  linear in n.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.queries import register
-from open_finance_lakehouse_spark.queries.base import load_fanout, r6
+from open_finance_lakehouse_spark.queries.base import load, load_fanout, r6
+
+# IVF coarse-centroid count: k = max(8, ceil(sqrt(n))). Fixed k is the
+# r4-sf1-measured scale cliff: expected cluster size is n/k, so the
+# within-cluster candidate join emits ~n²/k pairs — at 10× the corpus the
+# ANN query ran 52× slower. k ~ sqrt(n) (the standard IVF sizing rule,
+# e.g. the FAISS guidelines) keeps cluster size ~sqrt(n) and total pair
+# work ~n^1.5: re-measured at sf1, ann dropped 84 s -> ~6 s. Both engines
+# derive k from the same count so oracle values stay in lockstep.
+_K_SQL = ("(SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) "
+          "FROM embeddings)")
+
+
+def _coarse_k(spark, sf_dir) -> int:
+    """Python twin of ``_K_SQL``. The count is a parquet metadata read
+    (footer row counts) — a scalar planning input, like AQE statistics."""
+    n = load(spark, sf_dir, "embeddings").count()
+    return max(8, math.ceil(math.sqrt(n)))
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double),"
@@ -57,7 +80,7 @@ def _cos(a: str, b: str) -> str:
     f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
-    q AS (SELECT vec_id, emb FROM n WHERE vec_id % 4 = 0),
+    q AS (SELECT vec_id, emb FROM n WHERE vec_id % 4 = 0 AND vec_id < 2000),
     scored AS (
       SELECT q.vec_id, e.vec_id AS neighbor_id,
              {_DOT_SQL.format(a='q.emb', b='e.emb')} AS cos
@@ -69,17 +92,20 @@ def _cos(a: str, b: str) -> str:
     """,
 )
 def embedding_topk_bruteforce(spark, sf_dir):
-    """Brute-force cosine top-3 per sampled query vector; rank-1..3 via
-    window (deterministic tie-break on neighbor_id). The corpus side
-    broadcasts when small; at scale this is the per-batch exact rescoring
-    stage after an ANN candidate pass."""
+    """Brute-force cosine top-3 per query vector over a FIXED-SIZE query
+    batch (every 4th vec_id below 2000, ≤500 queries); rank-1..3 via
+    window (deterministic tie-break on neighbor_id). The batch bound is
+    the scale contract: brute force is the exact rescoring stage run per
+    bounded candidate batch, so cost is batch × corpus — linear in n —
+    never corpus × corpus (an unbounded %-sample measured 25× slower at
+    10× the corpus in the r4 sf1 run)."""
     e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     # persist: the InMemoryRelation stops Catalyst collapsing the
     # normalization projection into the join (which would re-evaluate the
     # per-element norm fold for every PAIR instead of once per row)
     e = e.persist()
-    q = e.filter(F.col("vec_id") % 4 == 0).select(
+    q = e.filter((F.col("vec_id") % 4 == 0) & (F.col("vec_id") < 2000)).select(
         F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
     c = e.select(F.col("vec_id").alias("neighbor_id"),
                  F.col("emb").alias("c_emb"))
@@ -101,7 +127,7 @@ def embedding_topk_bruteforce(spark, sf_dir):
     f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
-    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < 8),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < {_K_SQL}),
     assigned AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, c.cid,
@@ -122,14 +148,17 @@ def embedding_topk_bruteforce(spark, sf_dir):
     """,
 )
 def embedding_ivf_ann(spark, sf_dir):
-    """IVF-style approximate NN: 8 coarse centroids (deterministically the
-    first 8 vectors), assignment = broadcast argmax-cosine, then nearest
+    """IVF-style approximate NN: k = max(8, ceil(sqrt(n))) coarse centroids
+    (deterministically the first k vectors — see ``_coarse_k`` for the
+    sizing law), assignment = broadcast argmax-cosine, then nearest
     neighbor WITHIN the assigned cluster only. Candidate generation is an
-    equi-join on cluster_id — the scale path replacing the n² search."""
+    equi-join on cluster_id emitting ~n^1.5 pairs — the scale path
+    replacing the n² search (fixed k=8 measured 52× slower at sf1)."""
+    k = _coarse_k(spark, sf_dir)
     e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()  # projection-collapse barrier (see topk)
-    cent = e.filter(F.col("vec_id") < 8).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
@@ -164,7 +193,7 @@ def embedding_ivf_ann(spark, sf_dir):
     f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
-    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < 8),
+    cent AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < {_K_SQL}),
     assigned AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, c.cid,
@@ -190,11 +219,13 @@ def embedding_cosine_near_dup(spark, sf_dir):
     τ-independent), keeper = lower vec_id (deterministic A2 discipline).
     Recall trade (two near-dups may straddle a centroid boundary) is the
     standard ANN-dedup trade; the kmeans-trained centroids
-    (``embedding_ivf_kmeans``) tighten it."""
+    (``embedding_ivf_kmeans``) tighten it. k scales as ceil(sqrt(n))
+    (``_coarse_k``) so the blocked pair join stays ~n^1.5 at any corpus."""
+    k = _coarse_k(spark, sf_dir)
     e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()
-    cent = e.filter(F.col("vec_id") < 8).select(
+    cent = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     aw = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
     assigned = (
@@ -223,7 +254,7 @@ def embedding_cosine_near_dup(spark, sf_dir):
 _KMEANS_SQL = f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < 8),
+    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < {_K_SQL}),
     a0 AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, c.cid,
@@ -262,7 +293,8 @@ _KMEANS_SQL = f"""
 @register("embedding_ivf_kmeans", _KMEANS_SQL)
 def embedding_ivf_kmeans(spark, sf_dir):
     """IVF coarse quantizer TRAINED, not sampled: 2 Lloyd iterations from
-    the deterministic first-8 seed — assign (broadcast argmax-cosine) →
+    the deterministic first-k seed (k = ceil(sqrt(n)), ``_coarse_k``) —
+    assign (broadcast argmax-cosine) →
     recompute centroids (elementwise mean via posexplode + groupBy(cid,pos),
     re-normalized) → reassign. All of it is DataFrame algebra: the
     centroid update is ONE shuffle keyed (cid, pos) (64·k rows of state —
@@ -298,7 +330,7 @@ def embedding_ivf_kmeans(spark, sf_dir):
                 " (acc, v) -> acc + v)))").alias("cemb"))
         )
 
-    cent = e.filter(F.col("vec_id") < 8).select(
+    cent = e.filter(F.col("vec_id") < _coarse_k(spark, sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     for _ in range(2):
         cent = update(assign(cent).select("vec_id", "emb", "cid"))
@@ -312,31 +344,43 @@ def embedding_ivf_kmeans(spark, sf_dir):
     "embedding_label_cohesion",
     f"""
     WITH n AS (SELECT vec_id, label, {_NORMED_SQL.format(e='embedding')} AS emb
-               FROM embeddings)
-    SELECT a.label,
-           count(*) AS n_pairs,
-           round(avg({_DOT_SQL.format(a='a.emb', b='b.emb')}), 6)
-             AS avg_within_cosine
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    GROUP BY a.label
+               FROM embeddings),
+    ex AS (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+           FROM n),
+    s AS (SELECT label, pos, sum(v) AS sv FROM ex GROUP BY label, pos),
+    ss AS (SELECT label, sum(sv * sv) AS normsq FROM s GROUP BY label),
+    c AS (SELECT label, count(*) AS nl FROM n GROUP BY label)
+    SELECT c.label, nl * (nl - 1) // 2 AS n_pairs,
+           round((normsq - nl) / (nl * (nl - 1)), 6) AS avg_within_cosine
+    FROM c JOIN ss ON c.label = ss.label
+    WHERE nl >= 2
     """,
 )
 def embedding_label_cohesion(spark, sf_dir):
-    """Within-label cohesion: average pairwise cosine per label — the
-    label-blocked join keeps pair counts bounded per group."""
+    """Within-label cohesion: average pairwise cosine per label — WITHOUT
+    the pair join. For unit vectors, Σ_{{a<b}} a·b = (‖Σv‖² − n)/2 exactly,
+    so the mean is (‖Σv‖² − n_l)/(n_l(n_l−1)): one posexplode +
+    groupBy(label, pos) elementwise-sum shuffle — LINEAR in corpus size
+    where the blocked pair join was n²/|labels| (a fixed label alphabet
+    gives the blocking key constant cardinality, the same shape as the r4
+    sf1 jaccard finding). Single-member labels are excluded (they have no
+    pairs), matching the pair-join semantics."""
     e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr(_NORMED.format(e="embedding")).alias("emb"))
-    e = e.persist()  # projection-collapse barrier (see topk)
-    a = e.select("label", F.col("vec_id").alias("a_id"),
-                 F.col("emb").alias("a_emb"))
-    b = e.select(F.col("label").alias("b_label"),
-                 F.col("vec_id").alias("b_id"),
-                 F.col("emb").alias("b_emb"))
+    e = e.persist()  # consumed by both the sum and the count aggregates
+    sums = (
+        e.select("label", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.sum("v").alias("sv"))
+        .groupBy("label").agg(F.sum(F.col("sv") * F.col("sv"))
+                              .alias("normsq"))
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("nl"))
     return (
-        a.join(b, (F.col("label") == F.col("b_label"))
-               & (F.col("a_id") < F.col("b_id")))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             r6(F.avg(F.expr(_cos("a_emb", "b_emb"))))
-             .alias("avg_within_cosine"))
+        cnt.join(sums, "label")
+        .filter(F.col("nl") >= 2)
+        .select(
+            "label",
+            F.expr("nl * (nl - 1) DIV 2").alias("n_pairs"),
+            r6((F.col("normsq") - F.col("nl"))
+               / (F.col("nl") * (F.col("nl") - 1))).alias("avg_within_cosine"))
     )
