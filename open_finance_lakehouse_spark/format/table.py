@@ -408,7 +408,8 @@ class LakeTable:
                     time.sleep(0.01 + random.random() * 0.04)
             raise CommitConflict("gave up after 50 commit attempts")
 
-    def commit_append(self, added: list[mf.DataFile], summary: dict | None = None
+    def commit_append(self, added: list[mf.DataFile], summary: dict | None = None,
+                      expect_partition_spec: "dict | None | object" = "__any__"
                       ) -> md.Snapshot:
         # a marker-only append (e.g. a txn marker for a zero-row batch)
         # carries NO manifest: long-running streams would otherwise grow
@@ -417,6 +418,13 @@ class LakeTable:
         manifest = mf.write_manifest(self.location, added) if added else None
 
         def build(meta: md.TableMetadata):
+            # files were ROUTED under the spec the writer captured at
+            # staging time; if rewrite_partitioning (or a bucket-column
+            # rename) committed since, their partition values are stale —
+            # landing them would silently break every per-bucket
+            # co-location assumption downstream (MERGE upserts, compaction
+            # groups). Conflict loudly; the writer restages.
+            self._check_spec_unchanged(meta, expect_partition_spec)
             parent = meta.snapshot()
             manifests = [*(parent.manifests if parent else [])]
             if manifest is not None:
@@ -576,10 +584,15 @@ class LakeTable:
         # just on contract tables): a misnamed column would otherwise
         # commit fine and read back as all-NULL under the table schema
         qc.check_schema(df, self._empty_df().schema)
+        # the spec the rows are ROUTED under while staging; the commit is
+        # conditional on it (rewrite_partitioning racing this append must
+        # conflict, not land stale-routed files)
+        staged_spec = self.meta.partition_spec
         contract = qc.Contract.from_properties(self.meta.properties)
         if contract is None:
             return self.commit_append(
-                self.stage_dataframe(df, max_records_per_file), summary)
+                self.stage_dataframe(df, max_records_per_file), summary,
+                expect_partition_spec=staged_spec)
 
         tagged = qc.tag_violations(df, contract).persist()
         try:
@@ -609,14 +622,26 @@ class LakeTable:
                          .drop(qc.VIOLATION_COL)
             return self.commit_append(
                 self.stage_dataframe(good, max_records_per_file),
-                {**(summary or {}), "contract_violations": n_bad})
+                {**(summary or {}), "contract_violations": n_bad},
+                expect_partition_spec=staged_spec)
         finally:
             tagged.unpersist()
+
+    def _check_spec_unchanged(self, meta: "md.TableMetadata",
+                              expect: "dict | None | object") -> None:
+        if expect != "__any__" and meta.partition_spec != expect:
+            raise CommitConflict(
+                f"partition spec changed ({expect} -> "
+                f"{meta.partition_spec}) since these files were staged — "
+                "their partition routing is stale; restage against the "
+                "current spec")
 
     def commit_replace(self, added: list[mf.DataFile],
                        summary: dict | None = None,
                        operation: str = "replace",
                        expect_current_snapshot_id: "int | None | object"
+                       = "__any__",
+                       expect_partition_spec: "dict | None | object"
                        = "__any__") -> md.Snapshot:
         """Full-rebuild publish: the new snapshot references ONLY ``added``
         — every prior file becomes unreachable from the new current
@@ -643,6 +668,7 @@ class LakeTable:
                     f"table head moved ({expect_current_snapshot_id} -> "
                     f"{meta.current_snapshot_id}) since this rewrite was "
                     "planned")
+            self._check_spec_unchanged(meta, expect_partition_spec)
             snap = meta.next_snapshot(
                 operation, manifests,
                 {"added_files": len(added),
@@ -655,8 +681,10 @@ class LakeTable:
 
     def replace(self, df: DataFrame, max_records_per_file: int | None = None,
                 summary: dict | None = None) -> md.Snapshot:
+        staged_spec = self.meta.partition_spec
         return self.commit_replace(
-            self.stage_dataframe(df, max_records_per_file), summary)
+            self.stage_dataframe(df, max_records_per_file), summary,
+            expect_partition_spec=staged_spec)
 
     # ------------------------------------------------------- transactions
 

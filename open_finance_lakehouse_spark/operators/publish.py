@@ -43,6 +43,7 @@ def publish_overwrite(
        "violations": {check_name: [row dicts]}, "rows": int, "engine_ms": int}``
     """
     t0 = time.monotonic()
+    staged_spec = table.meta.partition_spec  # commit is conditional on it
     added = table.stage_dataframe(candidate,
                                   max_records_per_file=max_records_per_file)
     staged_paths = [os.path.join(table.location, a.file_path) for a in added]
@@ -66,7 +67,8 @@ def publish_overwrite(
             "rows": sum(a.record_count for a in added),
             "engine_ms": int((time.monotonic() - t0) * 1000),
         }
-    snap = table.commit_replace(added, summary=summary)
+    snap = table.commit_replace(added, summary=summary,
+                                expect_partition_spec=staged_spec)
     return {
         "published": True, "snapshot_id": snap.snapshot_id, "violations": {},
         "rows": sum(a.record_count for a in added),

@@ -549,6 +549,17 @@ def _write_task_file(location: str, batches,
     return FrostCommitMessage(entries=entries)
 
 
+def _spec_of(routing: tuple[str, str, int] | None) -> dict | None:
+    """The partition spec the writer's rows were routed under — the
+    commit is conditional on it still being the table's spec (a
+    rewrite_partitioning racing the stream must conflict, not land
+    stale-routed files)."""
+    if routing is None:
+        return None
+    col, _dtype, n = routing
+    return {"kind": "bucket", "column": col, "num_buckets": n}
+
+
 def _abort_files(location: str, messages) -> None:
     for m in messages:
         for e in getattr(m, "entries", []) or []:
@@ -594,14 +605,16 @@ class FrostStreamWriter(DataSourceStreamArrowWriter):
         if self.overwrite:
             # outputMode("complete"): every micro-batch REPLACES the table
             # with the recomputed result (truncate-then-write semantics)
-            t.commit_replace(entries, summary=txn)
+            t.commit_replace(entries, summary=txn,
+                             expect_partition_spec=_spec_of(self.routing))
             return
         if not entries:
             # empty micro-batch (watermark-advance triggers): nothing to
             # commit and nothing a replay could double-apply — committing
             # a marker-only snapshot per trigger would bloat the log
             return
-        t.commit_append(entries, summary=txn)
+        t.commit_append(entries, summary=txn,
+                        expect_partition_spec=_spec_of(self.routing))
 
     def abort(self, messages, batchId: int) -> None:
         _abort_files(self.location, messages)
@@ -625,9 +638,11 @@ class FrostBatchWriter(DataSourceArrowWriter):
         t = LakeTable.load(None, self.location)
         entries = [e for m in messages if m for e in m.entries]
         if self.overwrite:
-            t.commit_replace(entries)
+            t.commit_replace(entries,
+                             expect_partition_spec=_spec_of(self.routing))
         else:
-            t.commit_append(entries)
+            t.commit_append(entries,
+                            expect_partition_spec=_spec_of(self.routing))
 
     def abort(self, messages) -> None:
         _abort_files(self.location, messages)

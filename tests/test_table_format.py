@@ -253,6 +253,36 @@ def test_rewrite_partitioning_unpartition_and_refusals(spark, warehouse):
     assert {f.partition for f in t.live_files()} <= {"0", "1", "2"}
 
 
+def test_append_conflicts_with_concurrent_rebucket(spark, warehouse):
+    """A rewrite_partitioning landing BETWEEN an append's staging and its
+    commit must conflict: the staged files were routed under the old
+    bucket spec, and landing them would silently break per-bucket
+    co-location (MERGE upserts, compaction groups). The append path
+    captures the staging-time spec and the commit checks it."""
+    t = make_table(spark, warehouse, "race_spec",
+                   spec={"kind": "bucket", "column": "k", "num_buckets": 2})
+    t.append(kdf(spark, 0, 40))
+
+    staged_spec = t.meta.partition_spec
+    entries = t.stage_dataframe(kdf(spark, 40, 80))
+    t.rewrite_partitioning(
+        {"kind": "bucket", "column": "k", "num_buckets": 8})
+
+    with pytest.raises(CommitConflict, match="partition spec changed"):
+        t.commit_append(entries, expect_partition_spec=staged_spec)
+    assert t.scan().count() == 40  # nothing stale landed
+
+    # retrying the logical write routes under the NEW spec and lands
+    t.append(kdf(spark, 40, 80))
+    assert t.scan().count() == 80
+    for f in t.live_files():
+        bad = (
+            spark.read.parquet(os.path.join(t.location, f.file_path))
+            .filter(F.pmod(F.xxhash64("k"), F.lit(8)) != int(f.partition))
+            .count())
+        assert bad == 0
+
+
 def test_timestamp_as_of_travel(spark, warehouse):
     """snapshot_id_as_of(ts): TIMESTAMP AS OF resolves along the CURRENT
     ancestry — the newest commit at-or-before ts; pre-table timestamps
