@@ -223,13 +223,15 @@ def doc_fingerprint(spark, sf_dir):
       FROM documents)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
              AS jaccard
     FROM sh a JOIN sh b
       ON a.lang = b.lang AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.05
     """,
 )
 def doc_ngram_jaccard_pairs(spark, sf_dir):
@@ -277,13 +279,15 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
       FROM sh)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
              AS jaccard
     FROM keyed a JOIN keyed b
       ON a.lang = b.lang AND a.block = b.block AND a.doc_id < b.doc_id
      AND a.block = greatest(a.len_bucket, b.len_bucket)
     WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.05
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.05
     """,
 )
 def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):

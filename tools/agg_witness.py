@@ -50,8 +50,9 @@ def main():
     import __spark_entry__ as entrymod
     from open_finance_lakehouse_spark.session import build_session
 
-    spark = build_session("agg_witness", master="local[8]",
-                          shuffle_partitions=8)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    spark = build_session("agg_witness", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -67,6 +67,15 @@ def main():
         try:
             df = fn(spark, sf_dir)
             s_cols = df.columns
+            # huge pair-listing outputs (e.g. ~97M rows at sf1) cannot be
+            # collected and multiset-compared in Python — that's a harness
+            # limit, not an engine one; tools/agg_witness.py compares them
+            # engine-side instead
+            n_est = df.count()
+            if n_est > 5_000_000:
+                print(f"skip {name}: {n_est} rows is beyond the multiset "
+                      "harness — verify with tools/agg_witness.py")
+                continue
             s_rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")

@@ -40,6 +40,16 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 
+# one row group per ~64k rows: BOTH engines parallelize parquet scans at
+# row-group granularity — the pyarrow default (1M rows) packs a 50k-row
+# table into ONE group, pinning every DuckDB oracle scan (and the
+# upstream half of each Spark stage) to a single thread
+ROW_GROUP = 65536
+# documents/embeddings are small-row-count but heavy per row (shingle
+# explosion / d=64 lists downstream): finer groups so a 50k-row table
+# still fans out to ~12 scan tasks
+DOC_ROW_GROUP = 4096
+
 # replicated tables: {table: [(column, stride_table)]}; stride = base row
 # count of the table whose key space the column lives in
 KEYED = {
@@ -85,7 +95,8 @@ def replicate(table: str, mult: int, strides: dict[str, int], out: str):
             arr = t.column(col).to_numpy() + r * strides[space]
             cols[col] = pa.array(arr, type=t.schema.field(col).type)
         reps.append(pa.table(cols, schema=t.schema))
-    pq.write_table(pa.concat_tables(reps), f"{out}/{table}.parquet")
+    pq.write_table(pa.concat_tables(reps), f"{out}/{table}.parquet",
+                   row_group_size=ROW_GROUP)
 
 
 def gen_documents(n: int, rng: np.random.Generator, out: str):
@@ -119,7 +130,8 @@ def gen_documents(n: int, rng: np.random.Generator, out: str):
             "n_chars": pa.array([len(s) for s in texts], type=pa.int64()),
         }
     )
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    pq.write_table(tbl, f"{out}/documents.parquet",
+               row_group_size=DOC_ROW_GROUP)
 
 
 def gen_embeddings(n: int, rng: np.random.Generator, out: str, d: int = 64):
@@ -132,7 +144,8 @@ def gen_embeddings(n: int, rng: np.random.Generator, out: str, d: int = 64):
             "label": pa.array(rng.integers(0, 10, size=n), type=pa.int32()),
         }
     )
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    pq.write_table(tbl, f"{out}/embeddings.parquet",
+               row_group_size=DOC_ROW_GROUP)
 
 
 def main():
