@@ -363,6 +363,9 @@ class FrostDataSource(DataSource):
     ``startingSnapshotId`` — stream start: unset = beginning of the table,
     ``"latest"`` = only commits after the query starts, an id = just
     after that snapshot;
+    ``startingTimestampMs`` — stream start by wall time (Delta's
+    startingTimestamp): commits with timestamp >= the given epoch-ms are
+    delivered; mutually exclusive with ``startingSnapshotId``;
     ``snapshotId`` — batch TIME TRAVEL: read the table as of that
     snapshot, with its commit-time schema (scan(snapshot_id=...) parity);
     ``asOfTimestampMs`` — TIMESTAMP AS OF travel: resolve an epoch-ms
@@ -411,8 +414,24 @@ class FrostDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> FrostStreamReader:
         skip = str(self.options.get("skipRewrites", "true")).lower() != "false"
-        return FrostStreamReader(schema, self._location(), skip,
-                                 self.options.get("startingSnapshotId"))
+        starting = self.options.get("startingSnapshotId")
+        ts = self.options.get("startingTimestampMs")
+        if ts is not None:
+            if starting is not None:
+                raise ValueError(
+                    "startingSnapshotId and startingTimestampMs are "
+                    "mutually exclusive")
+            # Delta startingTimestamp semantics: deliver commits with
+            # timestamp >= ts. The cursor must sit on the latest ancestor
+            # STRICTLY BEFORE ts; if the whole lineage is newer (or the
+            # pre-ts ancestry expired), start from the beginning — the
+            # initial load covers it.
+            meta = _load_meta(self._location())
+            try:
+                starting = str(meta.snapshot_as_of(int(ts) - 1).snapshot_id)
+            except ValueError:
+                starting = None
+        return FrostStreamReader(schema, self._location(), skip, starting)
 
     def _check_writable(self, schema: StructType) -> tuple[str, str, int] | None:
         """Validate the write target; return the bucket routing triple

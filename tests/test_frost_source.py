@@ -182,6 +182,42 @@ def test_frost_stream_starting_snapshot_latest(spark, bronze, tmp_path):
     assert spark.read.parquet(out).count() == 1
 
 
+def test_frost_stream_starting_timestamp(spark, bronze, tmp_path):
+    """startingTimestampMs: commits with timestamp >= ts flow, older ones
+    don't (Delta startingTimestamp semantics); a pre-table timestamp
+    falls back to delivering everything."""
+    import time as _time
+
+    out, ckpt = str(tmp_path / "out_ts"), str(tmp_path / "ckpt_ts")
+    s1 = bronze.append(_rows(spark, [_event("BTC", i, BASE_MS + i * 1000)
+                                     for i in range(4)]))
+    while int(_time.time() * 1000) <= s1.timestamp_ms:
+        _time.sleep(0.002)
+    s2 = bronze.append(_rows(spark, [_event("ETH", 50, BASE_MS + 50_000)]))
+
+    q = (spark.readStream.format("frost")
+         .option("location", bronze.location)
+         .option("startingTimestampMs", str(s2.timestamp_ms)).load()
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1  # only the commit AT/after ts
+
+    # pre-table timestamp => everything (initial-load fallback)
+    out2, ckpt2 = str(tmp_path / "out_ts2"), str(tmp_path / "ckpt_ts2")
+    q = (spark.readStream.format("frost")
+         .option("location", bronze.location)
+         .option("startingTimestampMs", str(s1.timestamp_ms - 10_000))
+         .load()
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out2).option("checkpointLocation", ckpt2)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out2).count() == 5
+
+
 def test_frost_fresh_stream_after_expire_delivers_full_table(
         spark, bronze, tmp_path):
     """A NEW stream on a table whose pre-maintenance history was expired
