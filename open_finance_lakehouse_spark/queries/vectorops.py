@@ -265,6 +265,7 @@ def embedding_cosine_near_dup(spark, sf_dir):
 _KMEANS_SQL = f"""
     WITH n AS (SELECT vec_id, {_NORMED_SQL.format(e='embedding')} AS emb
                FROM embeddings),
+    tr AS (SELECT vec_id, emb FROM n WHERE vec_id % 4 = 0),
     c0 AS (SELECT vec_id AS cid, emb AS cemb FROM n WHERE vec_id < {_K_SQL}),
     a0 AS (
       SELECT vec_id, emb, cid FROM (
@@ -272,7 +273,7 @@ _KMEANS_SQL = f"""
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  {_DOT_SQL.format(a='e.emb', b='c.cemb')} DESC, c.cid ASC)
                  AS rn
-        FROM n e CROSS JOIN c0 c) WHERE rn = 1),
+        FROM tr e CROSS JOIN c0 c) WHERE rn = 1),
     x0 AS (SELECT cid, generate_subscripts(emb, 1) AS pos,
                   unnest(emb) AS v FROM a0),
     m0 AS (SELECT cid, pos, avg(v) AS v FROM x0 GROUP BY cid, pos),
@@ -285,7 +286,7 @@ _KMEANS_SQL = f"""
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  {_DOT_SQL.format(a='e.emb', b='c.cemb')} DESC, c.cid ASC)
                  AS rn
-        FROM n e CROSS JOIN c1 c) WHERE rn = 1),
+        FROM tr e CROSS JOIN c1 c) WHERE rn = 1),
     x1 AS (SELECT cid, generate_subscripts(emb, 1) AS pos,
                   unnest(emb) AS v FROM a1),
     m1 AS (SELECT cid, pos, avg(v) AS v FROM x1 GROUP BY cid, pos),
@@ -303,8 +304,9 @@ _KMEANS_SQL = f"""
 
 @register("embedding_ivf_kmeans", _KMEANS_SQL)
 def embedding_ivf_kmeans(spark, sf_dir):
-    """IVF coarse quantizer TRAINED, not sampled: 2 Lloyd iterations from
-    the deterministic first-k seed (k = ceil(sqrt(n)), ``_coarse_k``) —
+    """IVF coarse quantizer TRAINED: 2 Lloyd iterations from the
+    deterministic first-k seed (k = ceil(sqrt(n)), ``_coarse_k``) over a
+    deterministic 25% training sample, then a full-corpus assignment —
     assign (broadcast argmax-cosine) →
     recompute centroids (elementwise mean via posexplode + groupBy(cid,pos),
     re-normalized) → reassign. All of it is DataFrame algebra: the
@@ -315,9 +317,15 @@ def embedding_ivf_kmeans(spark, sf_dir):
     e = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr(_NORMED.format(e="embedding")).alias("emb"))
     e = e.persist()  # consumed once per assignment round
+    # Lloyd rounds TRAIN on a deterministic 25% sample (vec_id % 4 = 0;
+    # classic sample-then-assign k-means): training cost drops from
+    # iterations × n × k dots to iterations × n/4 × k, while the FINAL
+    # assignment still covers the full corpus. At k = ceil(sqrt(n)) the
+    # training pass is the dominant cost, so this is a direct 4× cut.
+    train = e.filter(F.col("vec_id") % 4 == 0)
 
     def assign(cent):
-        return _assign(e, cent)
+        return _assign(train, cent)
 
     def update(assigned):
         mean = (
@@ -339,7 +347,7 @@ def embedding_ivf_kmeans(spark, sf_dir):
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
     for _ in range(2):
         cent = update(assign(cent).select("vec_id", "emb", "cid"))
-    final = assign(cent)
+    final = _assign(e, cent)  # final assignment covers the FULL corpus
     return final.select(
         "vec_id", F.col("cid").alias("cluster_id"),
         r6(F.col("ccos")).alias("centroid_cosine"))
