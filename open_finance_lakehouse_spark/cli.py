@@ -222,6 +222,10 @@ def _execute(spark, args) -> dict:
                "metadata_version": t.meta.version}
     elif args.cmd == "rewrite-schema":
         t = LakeTable.load(spark, args.table)
+        bad = [kv for kv in args.rename if "=" not in kv]
+        if bad:
+            raise SystemExit(
+                f"--rename expects new=old mappings; got {bad}")
         mapping = dict(kv.split("=", 1) for kv in args.rename)
         snap = t.rewrite_schema(args.ddl, mapping=mapping,
                                 max_records_per_file=args.records_per_file)

@@ -62,16 +62,29 @@ def _widenable(old: str, new: str) -> bool:
 
 @dataclass
 class ColumnRange:
-    """Conjunctive range predicate used for manifest-level file pruning."""
+    """Conjunctive predicate used for manifest-level file pruning: either a
+    [lo, hi] range or an explicit IN-list (``values``).  An IN-list on the
+    table's bucket-partition column additionally drives bucket-value
+    pruning (``plan_files``) — the hash router maps each literal straight
+    to its partition, which stats never can."""
 
     column: str
     lo: object | None = None  # inclusive
     hi: object | None = None  # inclusive
+    values: tuple | None = None  # IN-list; takes precedence over lo/hi
 
     def overlaps(self, bounds) -> bool:
         if bounds is None:
             return True  # no stats -> cannot prune
         fmin, fmax = bounds
+        if self.values is not None:
+            try:
+                return any(
+                    (fmin is None or self._canon(v) >= fmin)
+                    and (fmax is None or self._canon(v) <= fmax)
+                    for v in self.values)
+            except TypeError:
+                return True  # incomparable stat/value domain: never prune
         lo, hi = self._canon(self.lo), self._canon(self.hi)
         try:
             if lo is not None and fmax is not None and fmax < lo:
@@ -94,6 +107,8 @@ class ColumnRange:
         return v
 
     def to_spark_filter(self):
+        if self.values is not None:
+            return F.col(self.column).isin(list(self.values))
         cond = F.lit(True)
         if self.lo is not None:
             cond = cond & (F.col(self.column) >= F.lit(self.lo))
@@ -208,16 +223,64 @@ class LakeTable:
         snapshot_id: int | None = None,
         predicates: list[ColumnRange] | None = None,
     ) -> tuple[list[mf.DataFile], int]:
-        """Stats-pruned file planning. Returns (selected, total_live)."""
+        """Stats-pruned file planning. Returns (selected, total_live).
+
+        Equality/IN predicates on the bucket-partition column additionally
+        prune by PARTITION VALUE before stats run: ``pmod(xxhash64(v),
+        num_buckets)`` (numpy twin, ``functions/xxh64.py`` — bit-exact
+        with the routing writer) maps each literal to its bucket, cutting
+        a point lookup to 1/num_buckets of the live files.  Min/max stats
+        can't express this — hashing scatters the keyspace, so within any
+        one bucket the column's range spans ~everything.  Matches the
+        partition pruning the reference gets free from Delta's
+        ``partitionBy("source")``
+        (/root/reference/ofl/transform/spark/silver.py:91)."""
         files = self.live_files(snapshot_id)
+        total = len(files)
         if not predicates:
-            return files, len(files)
+            return files, total
+        # bucket pruning is CURRENT-snapshot only: rewrite_partitioning is
+        # copy-on-write, so the head's files are always routed under the
+        # current spec — but a time-traveled snapshot may predate a spec
+        # flip and its files' routing is unknowable from current metadata
+        if snapshot_id is None or snapshot_id == self.meta.current_snapshot_id:
+            files = self._prune_buckets(files, predicates)
         kept = [
             f
             for f in files
             if all(p.overlaps(f.bounds(p.column)) for p in predicates)
         ]
-        return kept, len(files)
+        return kept, total
+
+    def _prune_buckets(self, files: list, predicates: list[ColumnRange]
+                       ) -> list:
+        spec = self.meta.partition_spec
+        if not spec or spec.get("kind") != "bucket" or not files:
+            return files
+        col = spec["column"]
+        cand: set | None = None  # conjunctive: intersect across predicates
+        for p in predicates:
+            if p.column != col:
+                continue
+            if p.values is not None:
+                vals = {v for v in p.values if v is not None}
+            elif p.lo is not None and p.lo == p.hi:
+                vals = {p.lo}
+            else:
+                continue
+            cand = vals if cand is None else cand & vals
+        if cand is None:
+            return files
+        from open_finance_lakehouse_spark.functions.xxh64 import buckets_for
+
+        dtype = dict(
+            (f.name, f.dataType.simpleString())
+            for f in self._empty_df().schema.fields
+        ).get(col)
+        buckets = buckets_for(cand, dtype, int(spec["num_buckets"]))
+        if buckets is None:  # mis-typed literal: hashing would mis-prune
+            return files
+        return [f for f in files if f.partition in buckets]
 
     # ---------------------------------------------------------------- scans
 
@@ -627,6 +690,19 @@ class LakeTable:
         finally:
             tagged.unpersist()
 
+    def _discard_staged(self, entries: "list[mf.DataFile]",
+                        manifests: "list[str]") -> None:
+        """Best-effort delete of a failed copy-on-write's staged data files
+        and manifest(s) — a conflicted rewrite_schema / rewrite_partitioning
+        would otherwise orphan a full table copy until GC's grace window
+        expires (publish_overwrite's withheld stage relies on GC because its
+        stage is a normal-sized candidate; a whole-table copy is not)."""
+        for rel in [e.file_path for e in entries] + list(manifests):
+            try:
+                os.remove(os.path.join(self.location, rel))
+            except OSError:
+                pass
+
     def _check_spec_unchanged(self, meta: "md.TableMetadata",
                               expect: "dict | None | object") -> None:
         if expect != "__any__" and meta.partition_spec != expect:
@@ -1026,7 +1102,11 @@ class LakeTable:
                  "schema_rewrite": "true"})
             return snap, evolved.with_snapshot(snap)
 
-        return self._try_commit(build)
+        try:
+            return self._try_commit(build)
+        except CommitConflict:
+            self._discard_staged(entries, manifests)
+            raise
 
     def rewrite_partitioning(self, new_spec: dict | None,
                              max_records_per_file: int | None = None
@@ -1086,7 +1166,11 @@ class LakeTable:
                  "partition_rewrite": "true"})
             return snap, evolved.with_snapshot(snap)
 
-        return self._try_commit(build)
+        try:
+            return self._try_commit(build)
+        except CommitConflict:
+            self._discard_staged(entries, manifests)
+            raise
 
     # ------------------------------------------------------------- metadata
 

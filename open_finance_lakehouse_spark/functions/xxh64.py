@@ -187,3 +187,40 @@ def bucket_of(values, dtype: str, num_buckets: int) -> np.ndarray:
     (``LakeTable.partition_value_col``), JVM-free.  numpy's ``%`` is
     floored like Spark's ``pmod``, so one op suffices."""
     return xxh64_spark_column(values, dtype) % np.int64(num_buckets)
+
+
+_INT32_TYPES = ("int", "integer", "smallint", "tinyint", "short", "byte")
+
+
+def buckets_for(values, dtype: str, num_buckets: int) -> set[str] | None:
+    """Partition values (stringified bucket ids, as manifests store them)
+    hit by an equality/IN predicate value set — the point-lookup pruning
+    primitive: hash each literal with the table's own router and keep only
+    those buckets' files (min/max stats CANNOT do this — the hash scatters
+    the keyspace, so within any one bucket the column's min/max spans
+    nearly everything).
+
+    Returns ``None`` when a value's Python type doesn't match the column
+    dtype (hashing a mis-typed literal would prune the WRONG files — the
+    caller must skip pruning, never guess).  Literals outside the dtype's
+    domain match no row, so they contribute no buckets; an empty return
+    set legitimately prunes every file."""
+    vals = list(values)
+    for v in vals:
+        if dtype in ("string", "varchar", "char"):
+            ok = isinstance(v, str)
+        elif dtype == "boolean":
+            ok = isinstance(v, bool)
+        elif dtype in _INT32_TYPES or dtype in ("bigint", "long"):
+            ok = isinstance(v, int) and not isinstance(v, bool)
+        else:
+            return None  # un-routable dtype: no bucket pruning
+        if not ok:
+            return None
+    if dtype in _INT32_TYPES:
+        vals = [v for v in vals if -(2 ** 31) <= v < 2 ** 31]
+    elif dtype in ("bigint", "long"):
+        vals = [v for v in vals if -(2 ** 63) <= v < 2 ** 63]
+    if not vals:
+        return set()
+    return {str(int(b)) for b in bucket_of(vals, dtype, num_buckets)}

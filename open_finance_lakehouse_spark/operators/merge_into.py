@@ -250,6 +250,11 @@ def merge_into(
     data_cols = [c for c in table._empty_df().columns]
     src = dedup_latest_salted(source, key=key, n_salts=n_salts)
 
+    # the spec the rows are ROUTED under while planning/staging; insert-only
+    # commits are conditional on it (a rewrite_partitioning landing between
+    # staging and commit must conflict, not land stale-routed files — the
+    # rewrite branch is already protected by removed-file validation)
+    plan_spec = table.meta.partition_spec
     # route each source row to its target partition (same function the
     # writer uses, so inserts land in the right bucket)
     src = src.withColumn("__part", table.partition_value_col())
@@ -329,7 +334,8 @@ def merge_into(
             else:
                 snap = table.commit_append(
                     added, summary={"job_id": job_id, "partition": part,
-                                    "operation": "merge"})
+                                    "operation": "merge"},
+                    expect_partition_spec=plan_spec)
             engine_ms = int((time.monotonic() - t0) * 1000)
 
             ledger.append_lineage(job_id, part_id, files,

@@ -345,8 +345,15 @@ def embedding_ivf_kmeans(spark, sf_dir):
 
     cent = e.filter(F.col("vec_id") < _coarse_k(spark, sf_dir)).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
-    for _ in range(2):
-        cent = update(assign(cent).select("vec_id", "emb", "cid"))
+    for rnd in range(2):
+        # persist each round's centroids (k×64 doubles — tiny): without the
+        # barrier the final assignment's plan re-derives EVERY prior round's
+        # assignments, recomputing geometrically in the round count
+        nxt = update(assign(cent).select("vec_id", "emb", "cid")).persist()
+        nxt.count()  # materialize before dropping the parent plan
+        if rnd > 0:
+            cent.unpersist()  # previous round's barrier is now dead
+        cent = nxt
     final = _assign(e, cent)  # final assignment covers the FULL corpus
     return final.select(
         "vec_id", F.col("cid").alias("cluster_id"),

@@ -267,6 +267,7 @@ class FrostBatchReader(DataSourceReader):
         self.snapshot_id = snapshot_id  # None = current (time travel)
         self.arrow_schema = to_arrow_schema(schema)
         self._ranges: dict[str, list] = {}  # col -> [lo, hi] (None = open)
+        self._eq: dict[str, set] = {}  # col -> equality/IN value set
 
     def pushFilters(self, filters):
         """Comparison filters on top-level columns become manifest-stats
@@ -312,8 +313,17 @@ class FrostBatchReader(DataSourceReader):
                 if hi is not None and (rng[1] is None or hi < rng[1]):
                     rng[1] = hi
 
+            def narrow_eq(vals: set):
+                # conjunctive across filters: intersect the value sets —
+                # drives BUCKET-VALUE pruning in partitions() when col is
+                # the table's bucket-partition column
+                prev = self._eq.get(col)
+                self._eq[col] = vals if prev is None else prev & vals
+
             if isinstance(f, EqualTo):
                 tighten(lo=canon(f.value), hi=canon(f.value))
+                if f.value is not None:
+                    narrow_eq({f.value})
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 tighten(lo=canon(f.value))
             elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -323,6 +333,9 @@ class FrostBatchReader(DataSourceReader):
                     tighten(lo=canon(min(f.value)), hi=canon(max(f.value)))
                 except TypeError:
                     pass
+                vals = {v for v in f.value if v is not None}
+                if vals:
+                    narrow_eq(vals)
         return filters  # all re-applied by Spark post-scan
 
     def partitions(self):
@@ -334,7 +347,29 @@ class FrostBatchReader(DataSourceReader):
         preds = [ColumnRange(c, lo=r[0], hi=r[1])
                  for c, r in self._ranges.items()]
 
+        # bucket-value pruning: equality/IN on the bucket column hashes
+        # each literal to its partition (numpy XXH64 twin — bit-exact with
+        # the routing writer); a point lookup plans 1/num_buckets of the
+        # files before stats even run. Current-snapshot only: a
+        # time-traveled snapshot may predate a partition-spec flip.
+        allowed: set | None = None
+        spec = meta.partition_spec
+        if (spec and spec.get("kind") == "bucket"
+                and (self.snapshot_id is None
+                     or self.snapshot_id == meta.current_snapshot_id)):
+            vals = self._eq.get(spec["column"])
+            if vals is not None:
+                from open_finance_lakehouse_spark.functions.xxh64 import (
+                    buckets_for,
+                )
+                dtype = dict(_ddl_columns(meta.schema_ddl)).get(
+                    spec["column"])
+                allowed = buckets_for(vals, dtype,
+                                      int(spec["num_buckets"]))
+
         def survives(entry) -> bool:
+            if allowed is not None and entry.partition not in allowed:
+                return False
             try:
                 return all(p.overlaps(entry.bounds(p.column))
                            for p in preds)
@@ -423,13 +458,26 @@ class FrostDataSource(DataSource):
                     "mutually exclusive")
             # Delta startingTimestamp semantics: deliver commits with
             # timestamp >= ts. The cursor must sit on the latest ancestor
-            # STRICTLY BEFORE ts; if the whole lineage is newer (or the
-            # pre-ts ancestry expired), start from the beginning — the
-            # initial load covers it.
+            # STRICTLY BEFORE ts. Two distinct miss cases (snapshot_as_of
+            # raises differently for each): the whole retained lineage is
+            # newer AND reaches back to the table's first commit — start
+            # from the beginning, the initial load is exactly 'everything
+            # committed >= ts'; but if the pre-ts ancestry has EXPIRED,
+            # starting from the oldest retained state would deliver rows
+            # committed before ts — broader than the contract — so refuse,
+            # like Delta does for a timestamp before the earliest
+            # reproducible state.
             meta = _load_meta(self._location())
             try:
                 starting = str(meta.snapshot_as_of(int(ts) - 1).snapshot_id)
-            except ValueError:
+            except ValueError as e:
+                if "truncated" in str(e):
+                    raise ValueError(
+                        f"startingTimestampMs={ts}: the ancestry before "
+                        "that timestamp has been expired — the stream "
+                        "cannot reproduce 'commits with timestamp >= ts' "
+                        "exactly; start from a snapshot id or omit the "
+                        "option to load current state") from e
                 starting = None
         return FrostStreamReader(schema, self._location(), skip, starting)
 

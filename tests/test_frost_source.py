@@ -682,3 +682,79 @@ def test_ddl_columns_handles_escaped_backticks():
 
     cols = _ddl_columns("`a``b` int, `c,d` string, plain bigint")
     assert cols == [("a`b", "int"), ("c,d", "string"), ("plain", "bigint")]
+
+
+def test_frost_batch_pushdown_bucket_value_pruning(spark, tmp_path):
+    """Pushed EqualTo/In on the bucket-partition column prunes by bucket
+    VALUE (numpy XXH64 twin of the routing writer): a point lookup plans
+    only the key's own bucket's files, before stats pruning even runs."""
+    from pyspark.sql.datasource import EqualTo, In
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostBatchReader,
+    )
+
+    register_frost_source(spark)
+    t = LakeTable.create(
+        spark, str(tmp_path / "bvp"), "bvp", "cat STRING, v DOUBLE",
+        partition_spec={"kind": "bucket", "column": "cat",
+                        "num_buckets": 32})
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("c"), F.pmod("id", F.lit(100))).alias("cat"),
+        (F.col("id") * 1.0).alias("v"))
+    t.append(df)
+    t.append(df)
+
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("c7")), F.lit(32)).cast("string")).first()[0]
+    in_bucket = sum(1 for f in t.live_files() if f.partition == bucket)
+    n_files = len(t.live_files())
+
+    rd = FrostBatchReader(t._empty_df().schema, t.location)
+    assert len(rd.partitions()) == n_files  # no filters: every file scans
+
+    rd_eq = FrostBatchReader(t._empty_df().schema, t.location)
+    leftover = rd_eq.pushFilters([EqualTo(("cat",), "c7")])
+    assert len(list(leftover)) == 1  # re-applied row-level by Spark
+    assert len(rd_eq.partitions()) == in_bucket
+    assert in_bucket * 8 <= n_files
+
+    rd_in = FrostBatchReader(t._empty_df().schema, t.location)
+    rd_in.pushFilters([In(("cat",), ("c7", "c9"))])
+    allowed = {
+        spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(v)), F.lit(32)).cast("string"))
+        .first()[0] for v in ("c7", "c9")}
+    expected = sum(1 for f in t.live_files() if f.partition in allowed)
+    assert len(rd_in.partitions()) == expected
+
+    # end-to-end through the DataFrame API: results exact under pruning
+    frost = spark.read.format("frost").option("location", t.location).load()
+    assert frost.filter(F.col("cat") == "c7").count() == 40
+    assert frost.filter(F.col("cat").isin("c7", "c9")).count() == 80
+
+
+def test_frost_stream_starting_timestamp_expired_ancestry_raises(
+        spark, bronze, tmp_path):
+    """startingTimestampMs pointing into EXPIRED history must refuse:
+    the oldest retained state already contains rows committed before ts,
+    so 'commits with timestamp >= ts' is no longer reproducible (Delta
+    raises the same way for a timestamp before the earliest reproducible
+    state). A pre-GENESIS timestamp still falls back to the initial load
+    — that case is exactly 'everything', tested above."""
+    import time as _time
+
+    s1 = bronze.append(_rows(spark, [_event("BTC", 1, BASE_MS)]))
+    while int(_time.time() * 1000) <= s1.timestamp_ms:
+        _time.sleep(0.002)
+    bronze.append(_rows(spark, [_event("BTC", 2, BASE_MS + 1000)]))
+    bronze.append(_rows(spark, [_event("BTC", 3, BASE_MS + 2000)]))
+    bronze.expire_snapshots(retain_last=1)  # s1's ancestry is gone
+
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostDataSource,
+    )
+
+    ds = FrostDataSource({"location": bronze.location,
+                          "startingTimestampMs": str(s1.timestamp_ms)})
+    with pytest.raises(ValueError, match="expired"):
+        ds.streamReader(bronze._empty_df().schema)

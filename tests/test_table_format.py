@@ -725,3 +725,74 @@ def test_commit_rewrite_manifests_semantics(spark, warehouse):
     # now the old manifests are gone — removing them again must conflict
     with pytest.raises(CommitConflict, match="no longer referenced"):
         t.commit_rewrite_manifests(pre, [], operation="cluster")
+
+
+def test_bucket_value_pruning_point_lookup(spark, warehouse):
+    """Equality/IN on the bucket-partition column prunes by PARTITION
+    VALUE: the hash router maps each literal to its bucket, so a point
+    lookup plans only that bucket's files — min/max stats can't do this
+    (the hash scatters the keyspace across every bucket)."""
+    t = make_table(
+        spark, warehouse, "bv",
+        spec={"kind": "bucket", "column": "cat", "num_buckets": 32})
+    big = (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("k"),
+                F.concat(F.lit("c"), F.pmod("id", F.lit(100))).alias("cat"),
+                (F.col("id") * 1.5).alias("v")))
+    t.append(big)
+    t.append(big.withColumn("k", F.col("k") + 2000))
+
+    bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("c7")), F.lit(32)).cast("string")).first()[0]
+    in_bucket = sum(1 for f in t.live_files() if f.partition == bucket)
+
+    sel, total = t.plan_files(
+        predicates=[ColumnRange("cat", lo="c7", hi="c7")])
+    assert total == len(t.live_files())
+    assert len(sel) == in_bucket           # exactly the key's own bucket
+    assert len(sel) * 8 <= total           # point lookup plans ≤1/8 files
+    assert all(f.partition == bucket for f in sel)
+
+    got = t.scan(predicates=[ColumnRange("cat", lo="c7", hi="c7")])
+    assert got.count() == 40               # 20 ids x 2 appends
+    assert got.select("cat").distinct().collect() == [("c7",)]
+
+    # IN-list: union of the named values' buckets only
+    sel_in, _ = t.plan_files(
+        predicates=[ColumnRange("cat", values=("c7", "c9"))])
+    allowed = {
+        spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(v)), F.lit(32)).cast("string"))
+        .first()[0] for v in ("c7", "c9")}
+    assert all(f.partition in allowed for f in sel_in)
+    got_in = t.scan(predicates=[ColumnRange("cat", values=("c7", "c9"))])
+    assert got_in.count() == 80
+
+    # a mis-typed literal must NOT mis-prune: hashing an int against a
+    # string column would route to the wrong bucket — pruning is skipped
+    # and the (vacuous) stats check keeps every file a string can't match
+    sel_bad, _ = t.plan_files(predicates=[ColumnRange("cat", lo=7, hi=7)])
+    assert len(sel_bad) == total
+
+
+def test_bucket_value_pruning_skips_time_travel(spark, warehouse):
+    """Bucket-value pruning is CURRENT-snapshot only: files in a snapshot
+    that predates a partition-spec flip were routed under the OLD spec, so
+    hashing with the current one would prune the wrong files."""
+    t = make_table(
+        spark, warehouse, "bvtt",
+        spec={"kind": "bucket", "column": "cat", "num_buckets": 4})
+    t.append(kdf(spark, 0, 300))
+    old = t.current_snapshot_id()
+    t.rewrite_partitioning(
+        {"kind": "bucket", "column": "cat", "num_buckets": 32})
+
+    # time-traveled scan with an equality predicate stays exact (no
+    # pruning under the new spec against old-spec routed files)
+    got = t.scan(snapshot_id=old,
+                 predicates=[ColumnRange("cat", lo="c1", hi="c1")])
+    assert got.count() == 100
+    # current-head scan prunes under the new 32-bucket spec and stays exact
+    got_now = t.scan(predicates=[ColumnRange("cat", lo="c1", hi="c1")])
+    assert got_now.count() == 100

@@ -71,9 +71,11 @@ def main():
             # collected and multiset-compared in Python — that's a harness
             # limit, not an engine one; tools/agg_witness.py compares them
             # engine-side instead
-            n_est = df.count()
+            # limit-bounded probe: detects the rare >5M-row output without
+            # executing the full query twice (count + collect)
+            n_est = df.limit(5_000_001).count()
             if n_est > 5_000_000:
-                print(f"skip {name}: {n_est} rows is beyond the multiset "
+                print(f"skip {name}: >5M rows is beyond the multiset "
                       "harness — verify with tools/agg_witness.py")
                 continue
             s_rows = [tuple(r) for r in df.collect()]
