@@ -388,14 +388,22 @@ def cluster(
 ) -> dict:
     """Rewrite every partition sorted by the space-filling-curve key.
 
-    Planning runs off ``files_df`` (bounds as a Spark aggregate, the bin
-    inventory as one collect of path/size/count rows) — same discipline as
-    ``cluster_global``/``plan_compaction``."""
-    by_part: dict[str, list] = {}
-    for r in table.files_df().select(
-            "file_path", "partition", "file_size_bytes",
-            "record_count").collect():
-        by_part.setdefault(r["partition"], []).append(r)
+    Planning runs off ``files_df`` Spark-side: the per-partition work
+    lists are GROUPED AGGREGATES over the manifest relation — one
+    O(partitions) driver collect (each row carries its partition's sorted
+    path list + size/record totals), the same discipline as
+    ``merge_plan_df`` — never a per-file driver materialization."""
+    by_part: dict[str, dict] = {
+        r["partition"]: r.asDict()
+        for r in (
+            table.files_df()
+            .groupBy("partition")
+            .agg(F.sort_array(F.collect_set("file_path")).alias("files"),
+                 F.sum("file_size_bytes").alias("bytes_in"),
+                 F.sum("record_count").alias("records_in"))
+            .collect()
+        )
+    }
     bounds = {**CLIP_DIM_BOUNDS, **observed_bounds_df(table)}
 
     totals = {
@@ -415,20 +423,20 @@ def cluster(
         return totals
 
     def work(part):
-        files = by_part[part]
-        paths_rel = [f.file_path for f in files]
-        fingerprint = file_set_hash([f"{curve}:{p}" for p in paths_rel])
+        p = by_part[part]
+        paths_rel = list(p["files"])
+        fingerprint = file_set_hash([f"{curve}:{x}" for x in paths_rel])
         part_id = f"part={part}"
         if ledger.is_committed(job_id, part_id, fingerprint):
             return None
 
         t0 = time.monotonic()
-        bytes_in = sum(f.file_size_bytes for f in files)
-        records_in = sum(f.record_count for f in files)
+        bytes_in = int(p["bytes_in"])
+        records_in = int(p["records_in"])
         ledger.upsert(CheckpointRecord(
             job_id=job_id, table=table.meta.name, partition_id=part_id,
             file_set_hash=fingerprint, status=STATUS_REWRITING,
-            files_in=len(files), bytes_in=bytes_in,
+            files_in=len(paths_rel), bytes_in=bytes_in,
         ))
 
         paths = [os.path.join(table.location, p) for p in paths_rel]
@@ -464,7 +472,7 @@ def cluster(
             rows=sum(a.record_count for a in added),
             bytes_in=bytes_in,
             bytes_out=sum(a.file_size_bytes for a in added),
-            files_in=len(files), files_out=len(added),
+            files_in=len(paths_rel), files_out=len(added),
             engine_ms=engine_ms, committed_snapshot_id=snap.snapshot_id,
             # output fingerprint: a re-run whose input IS this output is a
             # no-op (the partition is already clustered on this curve)
@@ -472,7 +480,7 @@ def cluster(
                 [f"{curve}:{a.file_path}" for a in added]),
         ))
         return {
-            "files_in": len(files), "files_out": len(added),
+            "files_in": len(paths_rel), "files_out": len(added),
             "bytes_in": bytes_in,
             "bytes_out": sum(a.file_size_bytes for a in added),
             "rows": sum(a.record_count for a in added),

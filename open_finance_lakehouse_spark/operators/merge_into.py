@@ -77,7 +77,15 @@ DEFAULT_PARTITION_CONCURRENCY = 8
 BROADCAST_FILE_LIMIT = 100_000
 
 
-def choose_salt_count(source: DataFrame, key: str = "clip_id",
+def _key_list(key) -> list[str]:
+    """Normalize a natural key to a column list — the reference's keystone
+    merges on composite keys like ``(series_id, date)`` / ``(symbol, date)``
+    (/root/reference/ofl/transform/spark/silver.py:94-101,154-161), so the
+    whole operator is ``str | list[str]``-generic."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def choose_salt_count(source: DataFrame, key="clip_id",
                       rows_per_reducer: int = 1_000_000,
                       sample_fraction: float | None = None) -> int:
     """Planner-chosen salt count from the observed hottest key (SURVEY.md
@@ -91,34 +99,38 @@ def choose_salt_count(source: DataFrame, key: str = "clip_id",
         probe = source.sample(fraction=sample_fraction, seed=42)
         scale = 1.0 / sample_fraction
     hottest = (
-        probe.groupBy(key).count().agg(F.max("count").alias("m")).first()["m"]
+        probe.groupBy(*_key_list(key)).count()
+        .agg(F.max("count").alias("m")).first()["m"]
     )
     if not hottest:
         return 1
     return max(1, min(64, -(-int(int(hottest) * scale) // rows_per_reducer)))
 
 
-def dedup_latest_salted(source: DataFrame, key: str = "clip_id",
+def dedup_latest_salted(source: DataFrame, key="clip_id",
                         n_salts: int | None = None) -> DataFrame:
-    """Two-phase salted latest-per-key reduction of the merge source."""
+    """Two-phase salted latest-per-key reduction of the merge source.
+    ``key`` may be a composite column list — the salt rides on the whole
+    key tuple's groupBy, so a hot composite key splits the same way."""
+    keys = _key_list(key)
     data_cols = [c for c in source.columns]
     if n_salts is None:
-        n_salts = choose_salt_count(source, key, sample_fraction=0.1)
+        n_salts = choose_salt_count(source, keys, sample_fraction=0.1)
     payload = F.struct(*[F.col(c) for c in data_cols]).alias("payload")
     rank = F.struct(F.col("seq"), F.col("op")).alias("rank")
     salted = source.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.pmod(F.xxhash64(F.col("seq").cast("string")), F.lit(n_salts))
          .alias("__salt"),
         payload, rank,
     )
     partial = (
-        salted.groupBy(key, "__salt")
+        salted.groupBy(*keys, "__salt")
         .agg(F.expr("max_by(payload, rank)").alias("payload"),
              F.max("rank").alias("rank"))
     )
     final = (
-        partial.groupBy(key)
+        partial.groupBy(*keys)
         .agg(F.expr("max_by(payload, rank)").alias("payload"))
         .select("payload.*")
     )
@@ -143,10 +155,16 @@ def _stats_map_for(table: LakeTable, key: str) -> str:
 
 
 def merge_plan_df(table: LakeTable, src: DataFrame,
-                  key: str = "clip_id") -> DataFrame:
+                  key="clip_id") -> DataFrame:
     """The merge plan as an uncollected DataFrame: for every source
     partition, the touched target files (key-range overlap with any source
     key) plus their total bytes/records for output sizing.
+
+    Composite keys plan by RANGE OVERLAP ON THE LEADING KEY (the bucket
+    column when partitioned): file stats carry the leading key's min/max,
+    so a file is touched iff some source row's leading key falls in range —
+    a superset of the true touch set; the residual key columns resolve
+    row-level in the copy-on-write join.
 
     The file-bounds side comes from ``files_df`` — the manifest parquet read
     as a Spark relation — so planning never driver-materializes the file
@@ -156,16 +174,17 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
     ``BROADCAST_FILE_LIMIT`` the bounds relation is hinted broadcastable;
     above it the join runs as a shuffle join so a huge inventory can never
     OOM the driver's broadcast build."""
-    kind = _stats_map_for(table, key)
+    lead = _lead_key(table, key)
+    kind = _stats_map_for(table, lead)
     bounds = table.files_df().select(
         "file_path", "partition", "record_count", "file_size_bytes",
-        F.element_at(f"min_{kind}", F.lit(key)).alias("lo"),
-        F.element_at(f"max_{kind}", F.lit(key)).alias("hi"),
+        F.element_at(f"min_{kind}", F.lit(lead)).alias("lo"),
+        F.element_at(f"max_{kind}", F.lit(lead)).alias("hi"),
     )
     n_files = table.live_file_count()  # exact, from manifest footers
     bounds_rel = (F.broadcast(bounds) if n_files < BROADCAST_FILE_LIMIT
                   else bounds)
-    keys = src.select(key, "__part")
+    keys = src.select(lead, "__part")
     # a key can only match rows in ITS OWN bucket partition's files, so the
     # partition equality is part of the join — it also guarantees two
     # concurrent partition workers never claim the same file (disjoint
@@ -174,8 +193,8 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
         bounds_rel,
         (F.col("__part") == bounds.partition)
         & (bounds.lo.isNull()
-           | ((F.col(key) >= bounds.lo)
-              & (F.col(key) <= bounds.hi))),
+           | ((F.col(lead) >= bounds.lo)
+              & (F.col(lead) <= bounds.hi))),
         "left",
     )
     return (
@@ -190,8 +209,17 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
     )
 
 
+def _lead_key(table: LakeTable, key) -> str:
+    """The key column that drives file-level range planning: the bucket
+    column when the table is partitioned (each bucket's files carry its
+    min/max), else the first key column."""
+    keys = _key_list(key)
+    part_col = (table.meta.partition_spec or {}).get("column")
+    return part_col if part_col in keys else keys[0]
+
+
 def plan_merge_partitions(table: LakeTable, src: DataFrame,
-                          key: str = "clip_id") -> list[dict]:
+                          key="clip_id") -> list[dict]:
     """``merge_plan_df`` collected: ONE Spark job + ONE driver collect
     returns the whole merge plan in an O(partitions) round-trip."""
     rows = merge_plan_df(table, src, key).collect()
@@ -207,11 +235,17 @@ def merge_into(
     n_salts: int | None = None,
     target_bytes: int | None = None,
     concurrency: int = DEFAULT_PARTITION_CONCURRENCY,
-    key: str | None = None,
+    key: "str | list[str] | None" = None,
 ) -> dict:
-    """Execute the salted MERGE on natural key ``key`` (defaults to the
-    table's bucket-partition column — the reference merges every fact on
-    its own natural key, so the operator is key-generic).
+    """Execute the salted MERGE on natural key ``key`` — a single column
+    or a COMPOSITE column list (defaults to the table's bucket-partition
+    column; the reference merges composite-keyed facts like
+    ``(series_id, date)``, /root/reference/ofl/transform/spark/silver.py:
+    94-101, so the operator is key-generic in both arity and name).
+    Partitioned tables require the bucket column to be ONE of the key
+    columns: planning prunes to each key's own bucket, range-plans files
+    on the bucket column, and resolves the residual key columns row-level
+    in the copy-on-write join.
     ``source_token`` fingerprints the source
     batch (e.g. its input-file hash) and is REQUIRED: the per-partition
     replay-skip key is (job_id, partition, source_token), so an empty token
@@ -236,19 +270,24 @@ def merge_into(
     if key is None:
         spec = table.meta.partition_spec or {}
         key = spec.get("column", "clip_id")
+    keys = _key_list(key)
     part_col = (table.meta.partition_spec or {}).get("column")
-    if part_col is not None and key != part_col:
+    if part_col is not None and part_col not in keys:
         # the plan joins on file.partition == source __part AND routes each
-        # rewrite to one bucket — both assume the merge key IS the
-        # bucket-partition column. A different key would leave matching
-        # target rows in other buckets unjoined: the upsert would silently
-        # insert a duplicate instead of updating. Fail loudly instead.
+        # rewrite to one bucket — both assume the bucket-partition column
+        # is part of the merge key. Otherwise matching target rows in
+        # other buckets stay unjoined: the upsert would silently insert a
+        # duplicate instead of updating. Fail loudly instead.
         raise ValueError(
-            f"merge key {key!r} must equal the table's bucket-partition "
+            f"merge key {keys!r} must include the table's bucket-partition "
             f"column {part_col!r}: the partition-pruned merge plan only "
             "visits the key's own bucket")
     data_cols = [c for c in table._empty_df().columns]
-    src = dedup_latest_salted(source, key=key, n_salts=n_salts)
+    missing = [k for k in keys if k not in data_cols]
+    if missing:
+        raise ValueError(f"merge key columns {missing} not in the table "
+                         f"schema {data_cols}")
+    src = dedup_latest_salted(source, key=keys, n_salts=n_salts)
 
     # the spec the rows are ROUTED under while planning/staging; insert-only
     # commits are conditional on it (a rewrite_partitioning landing between
@@ -260,7 +299,7 @@ def merge_into(
     src = src.withColumn("__part", table.partition_value_col())
     src.persist()
     try:
-        plan = plan_merge_partitions(table, src, key=key)
+        plan = plan_merge_partitions(table, src, key=keys)
 
         totals = {
             "job_id": job_id, "operation": "merge",
@@ -291,10 +330,10 @@ def merge_into(
 
             src_p = src.filter(F.col("__part") == part)
             s = src_p.select(
-                F.col(key),
+                *[F.col(k) for k in keys],
                 F.col("op").alias("__s_op"),
                 *[F.col(c).alias(f"__s_{c}")
-                  for c in data_cols if c != key],
+                  for c in data_cols if c not in keys],
             )
             if files:
                 paths = [os.path.join(table.location, f) for f in files]
@@ -303,15 +342,17 @@ def merge_into(
             else:
                 tgt = table._empty_df()
 
-            j = tgt.join(s, key, "full_outer")
+            # list-of-names join: Spark coalesces the key columns, so
+            # insert rows (target side null) carry the source key values
+            j = tgt.join(s, keys, "full_outer")
             survives = j.filter(
                 F.col("__s_op").isNull() | (F.col("__s_op") == "U"))
             merged = survives.select(
-                key,
+                *keys,
                 *[
                     F.when(F.col("__s_op") == "U", F.col(f"__s_{c}"))
                     .otherwise(F.col(c)).alias(c)
-                    for c in data_cols if c != key
+                    for c in data_cols if c not in keys
                 ],
             )
             # size the rewrite like compact does: ~target_bytes files, row

@@ -625,6 +625,67 @@ def merge_semantics(spark, sf_dir):
     )
 
 
+@register(
+    "merge_semantics_composite",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderdate,
+             round(sum(o_totalprice), 2) AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    source AS (
+      SELECT o_custkey, o_orderdate,
+             round(day_total + 1000.0, 2) AS new_total,
+             CASE WHEN (o_custkey + extract(day FROM o_orderdate)) % 11 = 0
+                  THEN 'D' ELSE 'U' END AS op
+      FROM t WHERE o_custkey % 5 = 0)
+    SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+           coalesce(t.o_orderdate, s.o_orderdate) AS o_orderdate,
+           round(CASE WHEN s.op = 'U' THEN s.new_total
+                      ELSE t.day_total END, 2) AS final_total
+    FROM t FULL OUTER JOIN source s
+      ON t.o_custkey = s.o_custkey AND t.o_orderdate = s.o_orderdate
+    WHERE s.op IS NULL OR s.op = 'U'
+    """,
+)
+def merge_semantics_composite(spark, sf_dir):
+    """COMPOSITE-key MERGE semantics on (o_custkey, o_orderdate) — the
+    reference's keystone merges composite natural keys like (series_id,
+    date) (/root/reference/ofl/transform/spark/silver.py:94-101); this is
+    the same full-outer-join upsert/delete algebra ``operators.merge_into``
+    executes for ``key=[...]``, parity-checked against a pure SQL oracle.
+    The target is pre-aggregated to make the composite key unique — the
+    operator's own dedup guarantees the same before its join."""
+    t = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(r2(F.sum("o_totalprice")).alias("day_total"))
+    )
+    src = (
+        t.filter(F.col("o_custkey") % 5 == 0)
+        .select(
+            F.col("o_custkey").alias("s_custkey"),
+            F.col("o_orderdate").alias("s_orderdate"),
+            r2(F.col("day_total") + 1000.0).alias("new_total"),
+            F.when((F.col("o_custkey") + F.dayofmonth("o_orderdate")) % 11
+                   == 0, "D").otherwise("U").alias("op"),
+        )
+    )
+    j = t.join(
+        src,
+        (t.o_custkey == src.s_custkey) & (t.o_orderdate == src.s_orderdate),
+        "full_outer",
+    )
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") == "U"))
+        .select(
+            F.coalesce("o_custkey", "s_custkey").alias("o_custkey"),
+            F.coalesce("o_orderdate", "s_orderdate").alias("o_orderdate"),
+            r2(F.when(F.col("op") == "U", F.col("new_total"))
+               .otherwise(F.col("day_total"))).alias("final_total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 set operations
 # ---------------------------------------------------------------------------

@@ -28,6 +28,48 @@ from open_finance_lakehouse_spark.queries.base import (
 MH_PRIME = 2_147_483_647
 MH_PARAMS = [(2 * i + 3, 7 * i + 11) for i in range(8)]  # (a, b)
 
+# ---------------------------------------------------------------------------
+# candidate-budget guard for the EXACT pair-listing family
+# ---------------------------------------------------------------------------
+
+JACCARD_BUDGET_CONF = "spark.ofl.jaccard.candidateBudget"
+DEFAULT_JACCARD_BUDGET = 500_000_000  # sf1 measured 108M (pm1); sf10 ~10B
+
+
+class CandidateBudgetExceeded(RuntimeError):
+    """The exact Jaccard blocking key (lang, len_bucket) has FIXED
+    cardinality, so its candidate-pair mass grows quadratically with
+    corpus size (measured ~97× at 10× docs, BENCH/sf1.md) — past the
+    budget the verify join is an n² shuffle on a skewed key and must
+    fail loudly, never be silently absorbed."""
+
+
+def _enforce_candidate_budget(spark, blocks_df, block_cols, query: str):
+    """One tiny aggregation (groupBy over the block keys — O(|blocks|)
+    rows, computed WITHOUT materializing shingles) upper-bounds the
+    blocked self-join's candidate count as Σ_b c_b·(c_b−1)/2. Exceeding
+    ``spark.ofl.jaccard.candidateBudget`` (default 5e8; ≤0 disables)
+    raises with the documented scale path: the banded MinHash-LSH variant
+    (``doc_minhash_lsh_pairs``), whose candidate mass tracks the
+    true-similar pair mass instead of corpus size."""
+    budget = int(spark.conf.get(JACCARD_BUDGET_CONF,
+                                str(DEFAULT_JACCARD_BUDGET)))
+    if budget <= 0:
+        return
+    est = (
+        blocks_df.groupBy(*block_cols).count()
+        .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+        .first()["p"]
+    ) or 0
+    if est > budget:
+        raise CandidateBudgetExceeded(
+            f"{query}: blocked self-join would generate ~{int(est):,} "
+            f"candidate pairs (> budget {budget:,}; conf "
+            f"{JACCARD_BUDGET_CONF}). The exact length-blocked variant is "
+            "quadratic in corpus size on a fixed-cardinality key — use "
+            "doc_minhash_lsh_pairs (banded LSH prefilter) at this scale, "
+            "or raise/disable the budget explicitly.")
+
 _TOKENS = "split(text, ' ')"
 _TOKENS_SQL = "string_split(text, ' ')"
 
@@ -238,8 +280,15 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     """Trigram-shingle Jaccard near-dup with blocking: candidates must share
     (lang, length bucket) — an equi-join — before any set comparison. The
     blocked join is the scale story: pairwise work is confined to buckets,
-    never n² over the corpus."""
+    never n² over the corpus — and a candidate-budget guard fails loudly
+    when the fixed-cardinality blocking key makes even that quadratic
+    (the scale path is doc_minhash_lsh_pairs)."""
     d = load_fanout(spark, sf_dir, "documents")
+    _enforce_candidate_budget(
+        spark,
+        d.select("lang",
+                 (F.col("n_chars") / 64).cast("long").alias("len_bucket")),
+        ["lang", "len_bucket"], "doc_ngram_jaccard_pairs")
     sh = d.select(
         "doc_id", "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
@@ -305,6 +354,14 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
     shingle arrays measured 3.5× SLOWER than recomputing them once per
     keyed row (17 s vs 4.8 s at sf0.1 local[32], min-of-3)."""
     d = load_fanout(spark, sf_dir, "documents")
+    _enforce_candidate_budget(
+        spark,
+        d.select(
+            "lang",
+            F.explode(F.array(
+                (F.col("n_chars") / 64).cast("long"),
+                (F.col("n_chars") / 64).cast("long") + 1)).alias("block")),
+        ["lang", "block"], "doc_ngram_jaccard_pairs_pm1")
     sh = d.select(
         "doc_id", "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),

@@ -1047,3 +1047,114 @@ def test_ledger_resolves_and_migrates_legacy_hidden_names(tmp_path):
     assert led.get(job, part).file_set_hash == "h-new"
     recs = [r for r in led.records() if r.partition_id == part]
     assert len(recs) == 1  # no double record after migration
+
+
+def test_merge_composite_natural_key(spark, tmp_path):
+    """MERGE on a composite natural key (series_id, day) — the reference's
+    keystone shape (ofl/transform/spark/silver.py:94-101 merges on
+    (series_id, date)). The bucket column is one key component; the
+    residual key resolves row-level: updating (s1, d2) must NOT touch
+    (s1, d1) even though both live in the same bucket's files."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "fact"), "fact",
+        "series_id STRING, day DATE, value DOUBLE",
+        partition_spec={"kind": "bucket", "column": "series_id",
+                        "num_buckets": 2},
+    )
+    t.append(spark.sql("""
+        SELECT concat('s', cast(id % 10 AS STRING)) AS series_id,
+               date_add(date'2026-01-01', cast(id / 10 AS INT)) AS day,
+               cast(id AS DOUBLE) AS value
+        FROM range(100)"""), max_records_per_file=10)
+    led = CheckpointLedger(str(tmp_path / "led_fact"))
+
+    src = spark.createDataFrame(
+        [
+            ("s1", "2026-01-01", 111.0, "U", 2),   # update one day...
+            ("s1", "2026-01-01", -1.0, "U", 1),    # ...hot stale duplicate
+            ("s1", "2026-01-02", None, "D", 2),    # delete another day
+            ("s7", "2026-02-01", 777.0, "U", 1),   # insert a new day
+        ],
+        "series_id STRING, day STRING, value DOUBLE, op STRING, seq LONG",
+    ).withColumn("day", F.col("day").cast("date"))
+
+    res = merge_into(t, src, led, "fact-merge", source_token="b1",
+                     key=["series_id", "day"])
+    assert res["partitions_planned"] >= 1
+
+    after = {(r["series_id"], str(r["day"])): r["value"]
+             for r in t.scan().collect()}
+    assert len(after) == 100  # 100 - 1 delete + 1 insert
+    assert after[("s1", "2026-01-01")] == 111.0      # latest seq won
+    assert ("s1", "2026-01-02") not in after          # deleted
+    assert after[("s7", "2026-02-01")] == 777.0       # inserted
+    assert after[("s1", "2026-01-03")] == 21.0        # same-series day intact
+    assert after[("s2", "2026-01-01")] == 2.0         # same-bucket-ish intact
+
+    # replay of the same batch is a no-op
+    res2 = merge_into(t, src, led, "fact-merge", source_token="b1",
+                      key=["series_id", "day"])
+    assert res2["partitions_rewritten"] == 0
+
+    # the bucket column must be part of a composite key
+    with pytest.raises(ValueError, match="bucket-partition"):
+        merge_into(t, src, led, "fact-bad", source_token="b2",
+                   key=["day"])
+
+
+def test_merge_composite_key_crash_resume(spark, tmp_path, monkeypatch):
+    """Composite-key merge resumes at file granularity after a mid-job
+    crash, exactly like the single-key path (salted dedup included)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "factcr"), "factcr",
+        "series_id STRING, day DATE, value DOUBLE",
+        partition_spec={"kind": "bucket", "column": "series_id",
+                        "num_buckets": 3},
+    )
+    t.append(spark.sql("""
+        SELECT concat('s', cast(id % 9 AS STRING)) AS series_id,
+               date_add(date'2026-01-01', cast(id / 9 AS INT)) AS day,
+               cast(id AS DOUBLE) AS value
+        FROM range(90)"""), max_records_per_file=10)
+    led = CheckpointLedger(str(tmp_path / "led_factcr"))
+    src = (t.scan().withColumn("value", F.col("value") + 1000.0)
+           .withColumn("op", F.lit("U"))
+           .withColumn("seq", F.lit(5).cast("long")))
+
+    # salted dedup handles a composite hot key: churn on ONE (series, day)
+    hot = (spark.range(40).crossJoin(
+        t.scan().filter((F.col("series_id") == "s0")
+                        & (F.col("day") == F.lit("2026-01-01").cast("date")))
+        .drop("id"))
+        .withColumn("value", F.lit(-5.0))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", (F.col("id") % 3).cast("long")).drop("id"))
+    src = src.unionByName(hot.select(src.columns))
+    assert dedup_latest_salted(
+        src, key=["series_id", "day"], n_salts=4).count() == 90
+
+    calls = {"n": 0}
+    real = LakeTable.commit_rewrite
+
+    def crash_after_first(self, *a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", crash_after_first)
+    try:
+        merge_into(t, src, led, "factcr-job", source_token="cr-1",
+                   key=["series_id", "day"], concurrency=1, n_salts=4)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(LakeTable, "commit_rewrite", real)
+    done = sum(1 for r in led.records("factcr-job")
+               if r.status == STATUS_COMMITTED)
+    assert done == 1
+
+    res = merge_into(t, src, led, "factcr-job", source_token="cr-1",
+                     key=["series_id", "day"], n_salts=4)
+    assert res["partitions_skipped"] == done
+    assert t.scan().filter(F.col("value") < 1000.0).count() == 0
+    assert t.scan().count() == 90  # exactly-once: no double apply

@@ -100,3 +100,26 @@ def test_maintenance_scan_prunes_with_manifest_stats(spark, tmp_path):
     assert "GreaterThanOrEqual(k,250)" in plan, plan  # residual pushed down
     sel, total = t.plan_files(predicates=[ColumnRange("k", lo=250, hi=260)])
     assert (len(sel), total) == (1, 5)  # 4 of 5 files skipped by stats
+
+
+def test_jaccard_candidate_budget_trips_loudly(spark):
+    """The exact Jaccard family must never silently absorb an n² blocked
+    self-join: past the candidate budget it raises with the LSH scale
+    path named; ≤0 disables the guard explicitly."""
+    from open_finance_lakehouse_spark.queries import textops
+
+    spark.conf.set(textops.JACCARD_BUDGET_CONF, "10")
+    try:
+        for q in ("doc_ngram_jaccard_pairs", "doc_ngram_jaccard_pairs_pm1"):
+            with pytest.raises(textops.CandidateBudgetExceeded,
+                               match="doc_minhash_lsh_pairs"):
+                REGISTRY[q].fn(spark, SF_DIR)
+        # explicit opt-out: guard off, the plan builds
+        spark.conf.set(textops.JACCARD_BUDGET_CONF, "0")
+        assert REGISTRY["doc_ngram_jaccard_pairs"].fn(spark, SF_DIR) \
+            .limit(1).count() >= 0
+    finally:
+        spark.conf.unset(textops.JACCARD_BUDGET_CONF)
+    # default budget: sf-scale corpora pass untouched
+    assert REGISTRY["doc_ngram_jaccard_pairs_pm1"].fn(spark, SF_DIR) \
+        .limit(1).count() >= 0

@@ -208,3 +208,100 @@ def test_streaming_silver_watermarked_window(spark, tmp_path):
     # trades, then 6 per full minute; the duplicate event_key is suppressed
     # by dropDuplicatesWithinWatermark; later windows stay open (append)
     assert sorted(emitted.values()) == [4, 6, 6]
+
+
+# ------------------------------------------------------ streaming upsert
+
+
+def test_streaming_upsert_foreachbatch_merge(spark, tmp_path):
+    """The frost sink's update-mode recipe: foreachBatch + merge_into with
+    source_token=f"batch-{batch_id}". A REAL stream (file source, flat
+    landing files, maxFilesPerTrigger=1 → one merge per micro-batch)
+    applies out-of-order duplicate rows; the final table equals the
+    batch-MERGE oracle, and a replayed micro-batch is a metadata no-op."""
+    import shutil
+
+    from open_finance_lakehouse_spark.format.table import LakeTable
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+    from open_finance_lakehouse_spark.streaming.upsert import streaming_upsert
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "fact"), "fact",
+        "series_id STRING, day DATE, value DOUBLE",
+        partition_spec={"kind": "bucket", "column": "series_id",
+                        "num_buckets": 2})
+    t.append(spark.sql("""
+        SELECT concat('s', cast(id % 8 AS STRING)) AS series_id,
+               date_add(date'2026-01-01', cast(id / 8 AS INT)) AS day,
+               cast(id AS DOUBLE) AS value FROM range(40)"""),
+        max_records_per_file=8)
+    base = {(r["series_id"], str(r["day"])): r["value"]
+            for r in t.scan().collect()}
+
+    src_ddl = ("series_id STRING, day DATE, value DOUBLE, "
+               "op STRING, seq LONG")
+    # batch A: update (s1, 01-01) — winner seq 3 sandwiched between stale
+    # seq 1/2 duplicates (out-of-order WITHIN the batch; salted dedup
+    # resolves) + insert a brand-new key. batch B: delete + update.
+    # Key-disjoint batches: final state is batch-order independent.
+    batches = [
+        [("s1", "2026-01-01", -1.0, "U", 1),
+         ("s1", "2026-01-01", 111.0, "U", 3),
+         ("s1", "2026-01-01", -2.0, "U", 2),
+         ("s9", "2026-03-01", 900.0, "U", 1)],
+        [("s2", "2026-01-01", None, "D", 5),
+         ("s3", "2026-01-02", 333.0, "U", 5)],
+    ]
+    # land as FLAT files (the parquet file source does not recurse into
+    # subdirectories) with increasing mtimes so batch order is stable
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, src_ddl.replace("DATE", "STRING")
+        ).withColumn("day", F.col("day").cast("date"))
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        dst = str(landing / f"b{i}.parquet")
+        shutil.copyfile(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    led = CheckpointLedger(str(tmp_path / "led"))
+    inner = streaming_upsert(t, led, "stream-upsert",
+                             key=["series_id", "day"], n_salts=2)
+    seen = []  # (batch_id, rows) — replayed verbatim below
+
+    def sink(df, bid):
+        seen.append((bid, df.collect()))
+        inner(df, bid)
+
+    q = (spark.readStream.schema(src_ddl).option("maxFilesPerTrigger", "1")
+         .parquet(str(landing))
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert q.exception() is None
+    assert len(seen) == 2  # maxFilesPerTrigger=1 → one merge per file
+
+    after = {(r["series_id"], str(r["day"])): r["value"]
+             for r in t.scan().collect()}
+    # batch-MERGE oracle: base minus delete, plus update winners + insert
+    expected = dict(base)
+    expected[("s1", "2026-01-01")] = 111.0
+    expected[("s3", "2026-01-02")] = 333.0
+    expected[("s9", "2026-03-01")] = 900.0
+    del expected[("s2", "2026-01-01")]
+    assert after == expected
+
+    # replay the FIRST recorded micro-batch verbatim (same batch_id, same
+    # rows — what Spark's checkpoint does after a crash): metadata no-op
+    snaps = len(t.snapshots())
+    bid, rows = seen[0]
+    inner(spark.createDataFrame(rows,
+                                t._empty_df().schema.add("op", "string")
+                                .add("seq", "long")), bid)
+    assert len(t.snapshots()) == snaps
+    assert {(r["series_id"], str(r["day"])): r["value"]
+            for r in t.scan().collect()} == expected
