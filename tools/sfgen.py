@@ -152,9 +152,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/ofl_sf1")
     ap.add_argument("--mult", type=int, default=10,
-                    help="row multiplier vs sf0.1 (10 => sf1)")
+                    help="row multiplier vs sf0.1 (10 => sf1, 100 => sf10)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to generate (default all) "
+                         "— the sf10 maintenance/LSH run needs only "
+                         "documents[,embeddings], not 60M lineitem rows")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    want = set(args.tables.split(",")) if args.tables else None
+
+    def wanted(t):
+        return want is None or t in want
 
     strides = {
         t: pq.ParquetFile(f"{SRC}/{t}.parquet").metadata.num_rows
@@ -163,14 +171,24 @@ def main():
     strides["_users"] = 1500  # events.user_id space at sf0.1
 
     for t in COPIED:
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
-                       f"{args.out}/{t}.parquet")
+        if wanted(t):
+            pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
+                           f"{args.out}/{t}.parquet")
     for t in KEYED:
-        replicate(t, args.mult, strides, args.out)
+        if wanted(t):
+            replicate(t, args.mult, strides, args.out)
 
     rng = np.random.default_rng(20260817)
-    gen_documents(5000 * args.mult, rng, args.out)
-    gen_embeddings(2000 * args.mult, rng, args.out)
+    # documents draws FIRST from the shared stream: a documents-only subset
+    # run is byte-identical to a full run; an embeddings-only run is not
+    # (it would skip documents' draws) — generate both in that case
+    if wanted("documents"):
+        gen_documents(5000 * args.mult, rng, args.out)
+    if wanted("embeddings"):
+        if want is not None and "documents" not in want:
+            raise SystemExit("embeddings requires documents in --tables "
+                             "(shared rng stream; see comment)")
+        gen_embeddings(2000 * args.mult, rng, args.out)
     print(f"wrote sf{args.mult / 10:g} dataset to {args.out}")
 
 
