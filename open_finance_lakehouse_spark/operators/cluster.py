@@ -186,12 +186,24 @@ def cluster_global(
         return totals
     if exchange == "auto":
         per_part = int(agg["bytes"]) / max(1, int(agg["parts"]))
+        oversized = (int(agg["max_part_bytes"])
+                     > LOCAL_SORT_MAX_PARTITION_BYTES)
         exchange = ("local"
-                    if (int(agg["parts"]) > 1
-                        and int(agg["max_part_bytes"])
-                        <= LOCAL_SORT_MAX_PARTITION_BYTES
+                    if (int(agg["parts"]) > 1 and not oversized
                         and per_part >= LOCAL_MIN_BYTES_PER_PARTITION)
                     else "range")
+        if oversized and int(agg["parts"]) > 1:
+            # the sf10 finding (BENCH/sf10.md): a fixed bucket count lets
+            # partitions outgrow the single-task sort bound, flipping auto
+            # to the range exchange — every byte then transits shuffle
+            # storage (measured 1.68x slower at sf10). The durable remedy
+            # is the engine's own partition-spec evolution; surface it.
+            totals["advisory"] = (
+                f"largest partition {int(agg['max_part_bytes']) >> 20} MB "
+                f"exceeds the single-task sort bound "
+                f"({LOCAL_SORT_MAX_PARTITION_BYTES >> 20} MB); auto chose "
+                "the range exchange (bytes transit shuffle storage) — "
+                "consider rewrite_partitioning to a higher bucket count")
     totals["operation"] = f"cluster_global[{curve},{exchange}]"
     pre_snap = table.meta.snapshot()  # plan-time head (CAS guard)
     pre_snapshot = pre_snap.snapshot_id

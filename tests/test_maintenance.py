@@ -1158,3 +1158,27 @@ def test_merge_composite_key_crash_resume(spark, tmp_path, monkeypatch):
     assert res["partitions_skipped"] == done
     assert t.scan().filter(F.col("value") < 1000.0).count() == 0
     assert t.scan().count() == 90  # exactly-once: no double apply
+
+
+def test_cluster_global_oversize_partition_advisory(spark, tmp_path,
+                                                    monkeypatch):
+    """When the largest partition outgrows the single-task sort bound,
+    auto mode must fall to the range exchange AND surface the re-bucket
+    advisory (the sf10 finding, BENCH/sf10.md) — while staying correct."""
+    import importlib
+    cl = importlib.import_module(
+        "open_finance_lakehouse_spark.operators.cluster")
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "adv"), "adv", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 40, dur_max_ms=500), max_records_per_file=8)
+    led = CheckpointLedger(str(tmp_path / "led_adv"))
+
+    monkeypatch.setattr(cl, "LOCAL_SORT_MAX_PARTITION_BYTES", 1)
+    res = cl.cluster_global(t, led, "adv-job", curve="zorder",
+                            target_bytes=1 << 20, exchange="auto")
+    assert res["operation"] == "cluster_global[zorder,range]"
+    assert "rewrite_partitioning" in res.get("advisory", "")
+    assert t.scan().count() == 40
