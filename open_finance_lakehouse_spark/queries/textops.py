@@ -24,9 +24,11 @@ from open_finance_lakehouse_spark.queries.base import (
     r6,
 )
 
-# deterministic MinHash parameters: k=8 affine hash functions mod a prime
+# deterministic MinHash parameters: up to 16 affine hash functions mod a
+# prime (the default shape uses the first 8; the r=4 rows/band shape that
+# suppresses chance band collisions at web scale uses all 16 — BENCH/sf10.md)
 MH_PRIME = 2_147_483_647
-MH_PARAMS = [(2 * i + 3, 7 * i + 11) for i in range(8)]  # (a, b)
+MH_PARAMS = [(2 * i + 3, 7 * i + 11) for i in range(16)]  # (a, b)
 
 # ---------------------------------------------------------------------------
 # candidate-budget guard for the EXACT pair-listing family
@@ -390,63 +392,72 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
     )
 
 
-def _minhash_expr_spark() -> str:
+def _minhash_expr_spark(k: int = 8) -> str:
     """array<long> signature: for each (a,b) param, min over shingles of
     (a * h32(s) + b) % prime. Hashes each shingle ONCE (column ``sh32``,
     projected upstream), then applies the k affine maps to the hash array —
     k× cheaper than re-hashing per function."""
     parts = ", ".join(
         f"array_min(transform(sh32, h -> pmod({a}L * h + {b}L, {MH_PRIME}L)))"
-        for a, b in MH_PARAMS
+        for a, b in MH_PARAMS[:k]
     )
     return f"array({parts})"
 
 
-def _minhash_expr_sql() -> str:
+def _minhash_expr_sql(k: int = 8) -> str:
     parts = ", ".join(
         f"list_min(list_transform({_SHINGLES_SQL}, s -> "
         f"({a} * {H32_SQL.format(x='s')} + {b}) % {MH_PRIME}))"
-        for a, b in MH_PARAMS
+        for a, b in MH_PARAMS[:k]
     )
     return f"[{parts}]"
 
 
-@register(
-    "doc_minhash_lsh_pairs",
-    f"""
-    WITH sig AS (
-      SELECT doc_id, {_minhash_expr_sql()} AS sig FROM documents
-      WHERE len({_SHINGLES_SQL}) > 0),
-    bands AS (
-      SELECT doc_id, sig,
-             unnest(range(4)) AS band,
-             unnest([sig[1] * 4000000037 + sig[2],
-                     sig[3] * 4000000037 + sig[4],
-                     sig[5] * 4000000037 + sig[6],
-                     sig[7] * 4000000037 + sig[8]]) AS band_key
-      FROM sig),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id)
-    SELECT c.doc_a, c.doc_b,
-           round(len(list_filter(range(8),
-                 i -> sa.sig[i + 1] = sb.sig[i + 1]))::DOUBLE / 8, 6)
-             AS est_similarity
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.doc_a
-    JOIN sig sb ON sb.doc_id = c.doc_b
-    """,
-)
-def doc_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash + LSH near-dup: shingle → k=8 affine min-hashes → 4 bands of
-    2 rows → candidates = docs sharing a band key (EQUI-join on the band
-    key: the LSH trick that makes near-dup shuffle-partitionable at 100 TB)
-    → estimated similarity = fraction of matching signature slots."""
-    d = load_fanout(spark, sf_dir, "documents")
+# band-key fold: an overflow-safe modular polynomial over the band's r
+# signature slots. Every intermediate stays < (MOD-1)*PRIME + MH_PRIME
+# ≈ 8.6e18 < 2^63-1, so the SAME arithmetic is exact in Spark (BIGINT
+# wraparound never reached) and DuckDB (which RAISES on BIGINT overflow —
+# the naive s0*P + s1 chain from r=2 cannot extend to r=4).
+BAND_KEY_PRIME = 4_000_000_037
+BAND_KEY_MOD = 2_147_483_647
+
+
+def _band_key_exprs(bands: int, rows_per_band: int,
+                    one_indexed: bool) -> list[str]:
+    """One expression per band over ``sig`` (0-indexed for Spark,
+    1-indexed for DuckDB): fold k = (k * PRIME + slot) % MOD."""
+    keys = []
+    for b in range(bands):
+        expr = "0"
+        for j in range(rows_per_band):
+            idx = b * rows_per_band + j + (1 if one_indexed else 0)
+            expr = (f"(({expr}) * {BAND_KEY_PRIME} + sig[{idx}])"
+                    f" % {BAND_KEY_MOD}")
+        keys.append(expr)
+    return keys
+
+
+def minhash_lsh_near_pairs(docs, *, bands: int = 4, rows_per_band: int = 2):
+    """Parameterized MinHash-LSH near-dup over a ``documents``-shaped
+    DataFrame: shingle → k = bands·rows_per_band affine min-hashes →
+    candidates = docs sharing a band key (EQUI-join on the band key: the
+    LSH trick that makes near-dup shuffle-partitionable at 100 TB) →
+    estimated similarity = fraction of matching signature slots.
+
+    The band SHAPE is the scale lever (BENCH/sf10.md): a pair with true
+    Jaccard j collides by chance in one band with probability ~j^r, so on
+    a low-diversity corpus where unrelated pairs share shingles
+    (j ≈ 0.02–0.05), r=4 rows/band suppresses the O(n²·j^r) chance-candidate
+    floor ~j²-fold vs r=2 for the same banded-equi-join plan shape, while
+    true near-dups (j → 1) still collide with probability → 1.
+    """
+    k = bands * rows_per_band
+    if k > len(MH_PARAMS):
+        raise ValueError(
+            f"bands*rows_per_band = {k} exceeds the {len(MH_PARAMS)} "
+            "deterministic MinHash parameter pairs")
     sig = (
-        d.select(
+        docs.select(
             "doc_id",
             F.expr(
                 f"transform({_SHINGLES}, s -> "
@@ -454,24 +465,21 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
             ).alias("sh32"),
         )
         .filter(F.size("sh32") > 0)
-        .select("doc_id", F.expr(_minhash_expr_spark()).alias("sig"))
+        .select("doc_id", F.expr(_minhash_expr_spark(k)).alias("sig"))
     )
     # persist: the signature subplan feeds THREE consumers (bands, sa, sb);
     # without the InMemoryRelation barrier Catalyst re-runs the shingle +
-    # 8-fold min-hash per consumer (measured 3x the bench cost — VERDICT r1)
+    # k-fold min-hash per consumer (measured 3x the bench cost — VERDICT r1)
     sig = sig.persist()
 
-    bands = sig.select(
+    key_list = ", ".join(_band_key_exprs(bands, rows_per_band,
+                                         one_indexed=False))
+    bands_df = sig.select(
         "doc_id", "sig",
-        F.posexplode(F.expr(
-            "array(sig[0] * 4000000037L + sig[1],"
-            " sig[2] * 4000000037L + sig[3],"
-            " sig[4] * 4000000037L + sig[5],"
-            " sig[6] * 4000000037L + sig[7])"
-        )).alias("band", "band_key"),
+        F.posexplode(F.expr(f"array({key_list})")).alias("band", "band_key"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_key") == F.col("b.band_key"))
@@ -485,12 +493,54 @@ def doc_minhash_lsh_pairs(spark, sf_dir):
     sb = sig.select(F.col("doc_id").alias("doc_b"),
                     F.col("sig").alias("sig_b"))
     matches = F.size(F.expr(
-        "filter(sequence(0, 7), i -> sig_a[i] = sig_b[i])"))
+        f"filter(sequence(0, {k - 1}), i -> sig_a[i] = sig_b[i])"))
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b",
-                r6(matches.cast("double") / 8).alias("est_similarity"))
+                r6(matches.cast("double") / k).alias("est_similarity"))
     )
+
+
+def minhash_lsh_near_pairs_sql(bands: int = 4,
+                               rows_per_band: int = 2) -> str:
+    """DuckDB twin of :func:`minhash_lsh_near_pairs` for the same band
+    shape — the two-code-path reconciliation discipline."""
+    k = bands * rows_per_band
+    key_list = ", ".join(_band_key_exprs(bands, rows_per_band,
+                                         one_indexed=True))
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, {_minhash_expr_sql(k)} AS sig FROM documents
+      WHERE len({_SHINGLES_SQL}) > 0),
+    bands AS (
+      SELECT doc_id, sig,
+             unnest(range({bands})) AS band,
+             unnest([{key_list}]) AS band_key
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_filter(range({k}),
+                 i -> sa.sig[i + 1] = sb.sig[i + 1]))::DOUBLE / {k}, 6)
+             AS est_similarity
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register("doc_minhash_lsh_pairs", minhash_lsh_near_pairs_sql(4, 2))
+def doc_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH near-dup at the default shape (k=8, 4 bands × 2 rows):
+    the oracled entry of :func:`minhash_lsh_near_pairs` — the r=4 shape
+    (k=16, 4×4) that suppresses the chance-collision floor at web scale is
+    the same code path, parity-tested against its own DuckDB twin in
+    ``tests/test_lsh_shapes.py``."""
+    d = load_fanout(spark, sf_dir, "documents")
+    return minhash_lsh_near_pairs(d, bands=4, rows_per_band=2)
 
 
 def _simhash_cols(h_expr: str, n_expr: str, bits: int = 32):
