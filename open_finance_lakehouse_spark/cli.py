@@ -129,6 +129,17 @@ def main(argv=None):
     hi.add_argument("--table", required=True)
     hi.add_argument("--master", default=None)
 
+    cg = sub.add_parser("changes",
+                        help="row-level change capture (CDC): per-commit "
+                             "insert/delete counts between two snapshots; "
+                             "maintenance commits are invisible")
+    cg.add_argument("--table", required=True)
+    cg.add_argument("--from-snapshot", type=int, default=None,
+                    help="exclusive start cursor (omit = since genesis)")
+    cg.add_argument("--to-snapshot", type=int, default=None,
+                    help="inclusive end (omit = current snapshot)")
+    cg.add_argument("--master", default=None)
+
     ru = sub.add_parser("runs", help="list run-level lineage (START/"
                                      "COMPLETE/FAIL pairs from runs.jsonl)")
     ru.add_argument("--root", required=True,
@@ -251,6 +262,23 @@ def _execute(spark, args) -> dict:
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",
                "snapshots": [r.asDict() for r in t.history().collect()]}
+    elif args.cmd == "changes":
+        from open_finance_lakehouse_spark.operators.changelog import (
+            changes_summary,
+            table_changes,
+        )
+
+        t = LakeTable.load(spark, args.table)
+        ch = table_changes(t, args.from_snapshot, args.to_snapshot)
+        commits = [r.asDict() for r in changes_summary(ch).collect()]
+        out = {"operation": "changes",
+               "from_snapshot": args.from_snapshot,
+               "to_snapshot": (args.to_snapshot
+                               if args.to_snapshot is not None
+                               else t.current_snapshot_id()),
+               "inserts": sum(c["inserts"] for c in commits),
+               "deletes": sum(c["deletes"] for c in commits),
+               "commits": commits}
     elif args.cmd == "runs":
         from open_finance_lakehouse_spark.plans.lineage import RunLog
 

@@ -199,3 +199,16 @@ def test_cli_cluster_respects_declared_curve_none(spark, tmp_path, capsys):
     out = _run(capsys, ["cluster", "--table", loc, "--curve", "zorder",
                         "--ledger", str(tmp_path / "led")])
     assert out.get("skipped") is not True
+
+
+def test_cli_changes_reports_cdc_counts(spark, tmp_path, capsys):
+    loc = str(tmp_path / "clips_cdc")
+    _run(capsys, ["synth", "--table", loc, "--rows", "15", "--buckets", "2"])
+    t = LakeTable.load(spark, loc)
+    s1 = t.current_snapshot_id()
+    t.replace(t.scan().limit(10))  # row-changing rebuild: 5 net deletes
+    out = _run(capsys, ["changes", "--table", loc,
+                        "--from-snapshot", str(s1)])
+    assert out["inserts"] == 0 and out["deletes"] == 5
+    out = _run(capsys, ["changes", "--table", loc])  # since genesis
+    assert out["inserts"] == 15 and out["deletes"] == 5
