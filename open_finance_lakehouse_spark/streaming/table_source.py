@@ -15,7 +15,10 @@ position record lands only after the derived table's publish commits.
 
 Incremental reads require an append-only interval (Iceberg's incremental
 read makes the same demand); a rewrite/replace snapshot in the interval
-raises — the caller falls back to a full recompute.
+raises. ``incremental_changes`` is the CDC drain for exactly that case:
+it returns the interval's row-level changes (``operators.changelog``) so
+``IncrementalSilver`` recomputes only the groups a MERGE or replace
+touched instead of falling back to a full rebuild.
 """
 
 from __future__ import annotations
@@ -140,6 +143,48 @@ def incremental_scan(
                       "records": sum(f.record_count for f in files)}
 
 
+def incremental_changes(
+    table: LakeTable, since_snapshot_id: int | None
+) -> tuple[DataFrame, int | None, dict]:
+    """(row-level CHANGES since the cursor, new cursor, info) — the CDC
+    drain. Same contract as :func:`incremental_scan` except the returned
+    DataFrame carries the changelog columns (``_change_type`` et al.) and
+    row-CHANGING commits (merge / replace) are handled instead of raising:
+    their exact delta comes from ``operators.changelog.table_changes``,
+    whose cost is bounded by the files those commits touched. Consumers
+    that only need the affected-group keys may project the table columns
+    and treat inserts and deletes alike (both mark a group dirty)."""
+    # local import: changelog imports this module's ancestry helpers
+    from open_finance_lakehouse_spark.operators.changelog import (
+        _is_row_preserving,
+        table_changes,
+    )
+
+    table.refresh()
+    head = table.current_snapshot_id()
+
+    def empty() -> DataFrame:
+        return table_changes(table, head, head)
+
+    if head == since_snapshot_id:
+        return empty(), since_snapshot_id, {"files": 0, "snapshots": 0}
+    delta = snapshots_since(table, since_snapshot_id)
+    changed = [s for s in delta if not _is_row_preserving(s)]
+    n_files = 0
+    for s in changed:
+        if s.operation == "append":
+            n_files += len(added_files(table, s))
+        else:
+            prev = ({f.file_path for f in table.live_files(s.parent_id)}
+                    if s.parent_id is not None else set())
+            cur = {f.file_path for f in table.live_files(s.snapshot_id)}
+            n_files += len(prev ^ cur)
+    if not changed or not n_files:
+        return empty(), head, {"files": 0, "snapshots": len(delta)}
+    return (table_changes(table, since_snapshot_id, head), head,
+            {"files": n_files, "snapshots": len(delta), "mode": "cdc"})
+
+
 class IncrementalSilver:
     """Ledger-checkpointed incremental maintenance of the minute rollup.
 
@@ -196,7 +241,18 @@ class IncrementalSilver:
 
         t0 = time.monotonic()
         cursor = self._cursor()
-        delta, head, info = incremental_scan(self.bronze, cursor)
+        try:
+            delta, head, info = incremental_scan(self.bronze, cursor)
+        except NonAppendInterval:
+            # a row-CHANGING commit (merge/replace) landed on bronze: the
+            # interval has no pure append delta, but the CDC drain returns
+            # its exact row-level changes — inserts AND deletes both mark
+            # their (window, symbol) group dirty, and the recompute below
+            # re-reads those groups from bronze's CURRENT state, so
+            # upstream updates and deletes propagate without the full
+            # recompute this path used to force
+            changes, head, info = incremental_changes(self.bronze, cursor)
+            delta = changes.select(self.bronze._empty_df().columns)
         if head == cursor:
             return {"query_id": self.query_id, "processed_rows": 0,
                     "delta_files": 0, "windows_recomputed": 0,
@@ -220,6 +276,15 @@ class IncrementalSilver:
         delta = delta.persist()
         try:
             n_delta = delta.count()
+            if n_delta == 0:
+                # touched files but no net row change (e.g. a replace that
+                # rebuilt identical rows — the CDC diff cancels exactly):
+                # nothing to recompute, but the cursor must still advance
+                self._record(head, 0, 0)
+                return {"query_id": self.query_id, "processed_rows": 0,
+                        "delta_files": info["files"],
+                        "windows_recomputed": 0, "cursor": head,
+                        "engine_ms": int((time.monotonic() - t0) * 1000)}
             # the groups the delta touches; window() is the same algebra the
             # rollup uses, so group keys line up exactly
             affected = (
@@ -284,6 +349,7 @@ class IncrementalSilver:
             self._record(head, n_delta, n_windows)
             return {
                 "query_id": self.query_id, "processed_rows": n_delta,
+                **({"mode": info["mode"]} if "mode" in info else {}),
                 "delta_files": info["files"],
                 "source_files_pruned": total - len(files),
                 "windows_recomputed": n_windows, "cursor": head,

@@ -127,6 +127,75 @@ def test_incremental_silver_two_drains_process_only_deltas(
     assert silver2.drain()["processed_rows"] == 0
 
 
+def test_incremental_silver_cdc_drain_after_row_changing_commit(
+        spark, bronze, tmp_path):
+    """A MERGE/replace on bronze no longer forces a full recompute: the
+    CDC drain (operators.changelog) yields the exact row-level delta, so
+    the drain recomputes ONLY the groups the correction touched."""
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="cdc-silver")
+    b1 = [_event("BTC", i, BASE_MS + i * 20_000, p=str(10 + i))
+          for i in range(5)]  # windows [0,60) and [60,120)
+    b2 = [_event("ETH", 100 + i, BASE_MS + 200_000 + i * 1000)
+          for i in range(3)]  # window [180,240)
+    bronze.append(_bronze_rows(spark, b1))
+    bronze.append(_bronze_rows(spark, b2))
+    assert silver.drain()["windows_recomputed"] == 3
+
+    # upstream correction: one trade's price restated via a replace — the
+    # row-CHANGING commit incremental_scan refuses
+    fixed = [_event("BTC", 0, BASE_MS, p="99")] + b1[1:] + b2
+    bronze.replace(_bronze_rows(spark, fixed))
+    m = silver.drain()
+    assert m.get("mode") == "cdc"
+    # the change feed is delete(old row) + insert(new row) — 2 rows, and
+    # both land in the same (window, symbol) group
+    assert m["processed_rows"] == 2
+    assert m["windows_recomputed"] == 1
+
+    # the corrected price propagated, and the incremental result still
+    # equals a full batch recompute over bronze's current state
+    expect = {(r["window_start"].isoformat(), r["symbol"]):
+              (r["n_trades"], r["high"])
+              for r in build_minute_rollup(bronze.scan()).collect()}
+    got = {(r["window_start"].isoformat(), r["symbol"]):
+           (r["n_trades"], r["high"])
+           for r in silver.silver.scan().collect()}
+    assert got == expect
+    w0 = [v for (ws, sym), v in got.items() if sym == "BTC"]
+    assert any(float(hi) == 99.0 for _n, hi in w0)
+
+    # caught up again
+    assert silver.drain()["processed_rows"] == 0
+
+
+def test_incremental_silver_cdc_identity_replace_advances_cursor(
+        spark, bronze, tmp_path):
+    """A replace that rebuilds byte-identical rows cancels exactly in the
+    CDC diff — nothing recomputes, but the cursor MUST advance past the
+    replace snapshot (else every later drain re-diffs the same interval)."""
+    ledger = CheckpointLedger(str(tmp_path / "ledger"))
+    silver = IncrementalSilver(spark, bronze, str(tmp_path / "silver"),
+                               ledger, query_id="cdc-noop")
+    rows = [_event("BTC", i, BASE_MS + i * 1000) for i in range(4)]
+    bronze.append(_bronze_rows(spark, rows))
+    silver.drain()
+    before = {(r["window_start"].isoformat(), r["symbol"], r["n_trades"])
+              for r in silver.silver.scan().collect()}
+
+    bronze.replace(_bronze_rows(spark, rows))  # same logical rows
+    m = silver.drain()
+    assert m["processed_rows"] == 0 and m["windows_recomputed"] == 0
+    assert m["cursor"] == bronze.current_snapshot_id()
+    # silver untouched; next drain is a measured no-op from the new cursor
+    after = {(r["window_start"].isoformat(), r["symbol"], r["n_trades"])
+             for r in silver.silver.scan().collect()}
+    assert after == before
+    m2 = silver.drain()
+    assert m2["processed_rows"] == 0 and m2["delta_files"] == 0
+
+
 # -------------------------------------------------------------- T5 report
 
 
