@@ -258,6 +258,286 @@ class FrostStreamReader(DataSourceStreamReader):
         pass  # Spark's checkpoint owns the offset; nothing table-side
 
 
+# ------------------------------------------------------- change feed (CDC)
+
+# must stay name-identical with operators.changelog's stamp columns — the
+# streamed feed and the Spark-side batch changelog are two code paths over
+# one contract (tests assert multiset equality between them)
+CHANGE_COLS = ("_change_type", "_commit_snapshot_id", "_commit_timestamp_ms")
+CHANGE_COLS_DDL = (", _change_type string, _commit_snapshot_id bigint,"
+                   " _commit_timestamp_ms bigint")
+DEFAULT_CHANGE_SHARD_BYTES = 512 * 1024 * 1024
+
+
+@dataclass
+class FrostChangePartition(InputPartition):
+    """One unit of change-feed work.
+
+    ``kind="insert"``: one ADDED file of an append commit — reads scale
+    with the delta and parallelize per file, no comparison work.
+    ``kind="diff"``: shard ``shard`` of ``n_shards`` over ONE row-changing
+    commit's touched files (added ∪ removed read together; rows are
+    routed to shards by a deterministic hash of their canonical value
+    tuple, so each task's multiset diff sees every copy of the rows it
+    owns and memory is bounded by touched_bytes / n_shards, not by the
+    commit)."""
+    kind: str
+    added: tuple
+    removed: tuple
+    snapshot_id: int
+    timestamp_ms: int
+    shard: int
+    n_shards: int
+    table_schema: object   # pyarrow schema of the requested TABLE columns
+    arrow_schema: object   # full requested output schema (incl. change cols)
+
+
+def _canon_val(v):
+    """Canonical comparison value: floats by repr (NaN == NaN, the multiset
+    semantics ``exceptAll`` uses), containers recursively hashable."""
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, list):
+        return tuple(_canon_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon_val(x)) for k, x in v.items()))
+    return v
+
+
+def _live_entries(location: str, meta, snapshot_id) -> dict:
+    """path -> file_size_bytes of a snapshot's live files (meta-side)."""
+    from open_finance_lakehouse_spark.format import manifests as mf
+
+    snap = meta.snapshot(snapshot_id) if snapshot_id is not None else None
+    out: dict = {}
+    for m in (snap.manifests if snap else []):
+        for e in mf.read_manifest(location, m):
+            out[e.file_path] = e.file_size_bytes
+    return out
+
+
+def _plan_change_partitions(location: str, meta, start_id, end_id: int,
+                            req_schema, shard_bytes: int,
+                            initial_live_load: bool) -> list:
+    """Driver-side CDC planning over the snapshot log — the exact
+    ancestry/skip algebra of ``operators.changelog.table_changes``, but
+    emitting InputPartitions instead of DataFrame branches. Appends emit
+    one insert partition per added file; row-changing commits emit
+    ⌈touched_bytes / shard_bytes⌉ diff shards; row-preserving maintenance
+    emits nothing and reads nothing. ``initial_live_load`` (stream start
+    from 'beginning'): the END snapshot's LIVE files as inserts — the
+    table's materialized state, the same first batch the plain frost
+    stream (and Delta's readStream) delivers, robust to expired history;
+    batch CDC from genesis replays the log instead (table_changes
+    parity)."""
+    import math
+
+    import pyarrow as pa
+
+    from open_finance_lakehouse_spark.operators.changelog import (
+        _is_row_preserving,
+    )
+    from open_finance_lakehouse_spark.streaming.table_source import (
+        added_entries,
+        ancestry_interval,
+    )
+
+    tschema = pa.schema([f for f in req_schema if f.name not in CHANGE_COLS])
+    parts: list[FrostChangePartition] = []
+
+    def insert_parts(rel_paths, snap):
+        for p in sorted(rel_paths):
+            parts.append(FrostChangePartition(
+                "insert", (os.path.join(location, p),), (),
+                snap.snapshot_id, snap.timestamp_ms, 0, 1,
+                tschema, req_schema))
+
+    if initial_live_load:
+        snap = meta.snapshot(end_id) if end_id else None
+        if snap is not None:
+            insert_parts(_live_entries(location, meta, end_id), snap)
+        return parts
+
+    for snap in ancestry_interval(meta, start_id, end_id):
+        if _is_row_preserving(snap):
+            continue
+        if snap.operation == "append":
+            insert_parts([e.file_path
+                          for e in added_entries(location, meta, snap)],
+                         snap)
+            continue
+        prev = _live_entries(location, meta, snap.parent_id)
+        cur = _live_entries(location, meta, snap.snapshot_id)
+        added = sorted(set(cur) - set(prev))
+        removed = sorted(set(prev) - set(cur))
+        if not added and not removed:
+            continue
+        touched = (sum(cur[p] for p in added)
+                   + sum(prev[p] for p in removed))
+        n_shards = max(1, math.ceil(touched / max(1, shard_bytes)))
+        a_abs = tuple(os.path.join(location, p) for p in added)
+        r_abs = tuple(os.path.join(location, p) for p in removed)
+        for i in range(n_shards):
+            parts.append(FrostChangePartition(
+                "diff", a_abs, r_abs, snap.snapshot_id, snap.timestamp_ms,
+                i, n_shards, tschema, req_schema))
+    return parts
+
+
+def _shard_side(paths, tschema, shard: int, n_shards: int):
+    """Executor-side: read one side of a diff, keep only this shard's rows.
+    Returns (pa.Table of kept rows, aligned canonical keys). Streaming
+    batch-at-a-time: peak memory is the kept shard + one record batch."""
+    import hashlib
+
+    import pyarrow as pa
+
+    names = tschema.names
+    pieces, keys = [], []
+    for p in paths:
+        for batch in _read_file_batches(FrostFilePartition(p, tschema)):
+            rows = batch.to_pylist()
+            if n_shards == 1:
+                keys.extend(tuple(_canon_val(r[n]) for n in names)
+                            for r in rows)
+                pieces.append(batch)
+                continue
+            keep = []
+            for i, r in enumerate(rows):
+                key = tuple(_canon_val(r[n]) for n in names)
+                h = int.from_bytes(
+                    hashlib.blake2b(repr(key).encode(),
+                                    digest_size=8).digest(), "big")
+                if h % n_shards == shard:
+                    keep.append(i)
+                    keys.append(key)
+            if keep:
+                pieces.append(batch.take(pa.array(keep, pa.int64())))
+    if pieces:
+        return pa.Table.from_batches(pieces, schema=tschema), keys
+    empty = pa.table({f.name: pa.nulls(0, f.type) for f in tschema},
+                     schema=tschema)
+    return empty, keys
+
+
+def _stamp_batch(batch, change: str, part: FrostChangePartition):
+    """Project a table-columns batch to the full requested output schema,
+    filling the change columns with this partition's constants."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    cols = []
+    for f in part.arrow_schema:
+        if f.name == CHANGE_COLS[0]:
+            cols.append(pa.array([change] * n, f.type))
+        elif f.name == CHANGE_COLS[1]:
+            cols.append(pa.array([part.snapshot_id] * n, f.type))
+        elif f.name == CHANGE_COLS[2]:
+            cols.append(pa.array([part.timestamp_ms] * n, f.type))
+        else:
+            cols.append(batch.column(batch.schema.get_field_index(f.name)))
+    yield pa.RecordBatch.from_arrays(cols, schema=part.arrow_schema)
+
+
+def _read_change_partition(part: FrostChangePartition):
+    """Executor-side CDC read (pyarrow + stdlib only).
+
+    insert: stream the file's batches stamped 'insert'. diff: exact
+    multiset diff of this shard's rows — surplus occurrences are selected
+    by INDEX and ``take``n from the original Arrow data, so values pass
+    through byte-exact (never rebuilt from Python objects); an update
+    surfaces as delete(old)+insert(new), duplicate rows cancel copy for
+    copy (``exceptAll`` parity with operators.changelog)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    if part.kind == "insert":
+        for batch in _read_file_batches(
+                FrostFilePartition(part.added[0], part.table_schema)):
+            yield from _stamp_batch(batch, "insert", part)
+        return
+    atab, akeys = _shard_side(part.added, part.table_schema,
+                              part.shard, part.n_shards)
+    rtab, rkeys = _shard_side(part.removed, part.table_schema,
+                              part.shard, part.n_shards)
+    ca, cr = Counter(akeys), Counter(rkeys)
+    for tab, keys, surplus, change in (
+            (atab, akeys, ca - cr, "insert"),
+            (rtab, rkeys, cr - ca, "delete")):
+        need = dict(surplus)
+        idx = []
+        for i, k in enumerate(keys):
+            c = need.get(k, 0)
+            if c:
+                need[k] = c - 1
+                idx.append(i)
+        if idx:
+            for b in tab.take(pa.array(idx, pa.int64())).to_batches():
+                yield from _stamp_batch(b, change, part)
+
+
+class FrostChangeFeedStreamReader(FrostStreamReader):
+    """``readStream.format("frost").option("readChangeFeed", "true")`` —
+    the Delta-CDF-shaped streaming read. Offsets are snapshot ids (same
+    checkpoint discipline as the plain stream); each micro-batch delivers
+    the interval's row-level changes, so row-changing commits no longer
+    kill the stream — they arrive as delete+insert pairs."""
+
+    def __init__(self, schema: StructType, location: str,
+                 starting: str | None, shard_bytes: int):
+        super().__init__(schema, location, True, starting)
+        self.shard_bytes = shard_bytes
+
+    def partitions(self, start: dict, end: dict):
+        meta = _load_meta(self.location)
+        s, e = int(start["snapshot_id"]), int(end["snapshot_id"])
+        if s == e:
+            return [FrostFilePartition("", self.arrow_schema)]
+        parts = _plan_change_partitions(
+            self.location, meta, s or None, e, self.arrow_schema,
+            self.shard_bytes, initial_live_load=(s == 0))
+        return parts or [FrostFilePartition("", self.arrow_schema)]
+
+    def read(self, partition):
+        if isinstance(partition, FrostChangePartition):
+            return _read_change_partition(partition)
+        return iter(())  # empty micro-batch placeholder
+
+
+class FrostChangeFeedBatchReader(DataSourceReader):
+    """Batch CDC: ``read.format("frost").option("readChangeFeed", "true")``
+    with ``startingSnapshotId`` (exclusive; omit = since genesis, a full
+    log replay — ``table_changes(None)`` parity) and optional
+    ``endingSnapshotId`` (inclusive; default current)."""
+
+    def __init__(self, schema: StructType, location: str,
+                 from_id: int | None, to_id: int | None, shard_bytes: int):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self.location = location
+        self.from_id = from_id
+        self.to_id = to_id
+        self.shard_bytes = shard_bytes
+        self.arrow_schema = to_arrow_schema(schema)
+
+    def partitions(self):
+        meta = _load_meta(self.location)
+        end = (self.to_id if self.to_id is not None
+               else meta.current_snapshot_id or 0)
+        if not end:
+            return [FrostFilePartition("", self.arrow_schema)]
+        parts = _plan_change_partitions(
+            self.location, meta, self.from_id, end, self.arrow_schema,
+            self.shard_bytes, initial_live_load=False)
+        return parts or [FrostFilePartition("", self.arrow_schema)]
+
+    def read(self, partition):
+        if isinstance(partition, FrostChangePartition):
+            return _read_change_partition(partition)
+        return iter(())
+
+
 class FrostBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, location: str,
                  snapshot_id: int | None = None):
@@ -406,7 +686,15 @@ class FrostDataSource(DataSource):
     ``asOfTimestampMs`` — TIMESTAMP AS OF travel: resolve an epoch-ms
     wall time to the snapshot current then (current-ancestry walk,
     ``TableMetadata.snapshot_as_of``); mutually exclusive with
-    ``snapshotId``.
+    ``snapshotId``;
+    ``readChangeFeed`` — CDC mode (Delta CDF shape): rows are the
+    interval's row-level changes with ``_change_type`` /
+    ``_commit_snapshot_id`` / ``_commit_timestamp_ms`` appended. Batch:
+    ``startingSnapshotId`` (exclusive; omit = genesis log replay) +
+    optional ``endingSnapshotId``. Streaming: same starting options as
+    the plain stream; row-changing commits arrive as delete+insert pairs
+    instead of killing the query. ``changeShardBytes`` bounds per-task
+    memory of a row-changing commit's diff (default 512 MiB).
     """
 
     @classmethod
@@ -418,6 +706,14 @@ class FrostDataSource(DataSource):
         if not loc:
             raise ValueError("frost source requires option('location', ...)")
         return loc
+
+    def _cdc(self) -> bool:
+        return (str(self.options.get("readChangeFeed", "false")).lower()
+                in ("true", "1", "yes"))
+
+    def _change_shard_bytes(self) -> int:
+        return int(self.options.get("changeShardBytes",
+                                    DEFAULT_CHANGE_SHARD_BYTES))
 
     def _snapshot_id(self) -> int | None:
         sid = self.options.get("snapshotId")
@@ -435,6 +731,13 @@ class FrostDataSource(DataSource):
 
     def schema(self) -> str:
         meta = _load_meta(self._location())
+        if self._cdc():
+            if self._snapshot_id() is not None:
+                raise ValueError(
+                    "readChangeFeed and snapshotId/asOfTimestampMs are "
+                    "mutually exclusive: the change feed is an interval, "
+                    "not a point-in-time state")
+            return meta.schema_ddl + CHANGE_COLS_DDL
         sid = self._snapshot_id()
         if sid is not None:
             # schema-per-snapshot time travel, same rule as LakeTable.scan
@@ -443,12 +746,33 @@ class FrostDataSource(DataSource):
                 return snap.schema_ddl
         return meta.schema_ddl
 
-    def reader(self, schema: StructType) -> FrostBatchReader:
+    def reader(self, schema: StructType):
+        if self._cdc():
+            start = self.options.get("startingSnapshotId")
+            if start is not None and str(start).lower() == "latest":
+                raise ValueError(
+                    "startingSnapshotId='latest' is a STREAM start; a "
+                    "batch change feed needs a concrete id (or omit for "
+                    "a genesis replay)")
+            end = self.options.get("endingSnapshotId")
+            return FrostChangeFeedBatchReader(
+                schema, self._location(),
+                int(start) if start is not None else None,
+                int(end) if end is not None else None,
+                self._change_shard_bytes())
         return FrostBatchReader(schema, self._location(),
                                 self._snapshot_id())
 
     def streamReader(self, schema: StructType) -> FrostStreamReader:
         skip = str(self.options.get("skipRewrites", "true")).lower() != "false"
+        starting = self._resolve_starting()
+        if self._cdc():
+            return FrostChangeFeedStreamReader(
+                schema, self._location(), starting,
+                self._change_shard_bytes())
+        return FrostStreamReader(schema, self._location(), skip, starting)
+
+    def _resolve_starting(self) -> str | None:
         starting = self.options.get("startingSnapshotId")
         ts = self.options.get("startingTimestampMs")
         if ts is not None:
@@ -479,7 +803,7 @@ class FrostDataSource(DataSource):
                         "exactly; start from a snapshot id or omit the "
                         "option to load current state") from e
                 starting = None
-        return FrostStreamReader(schema, self._location(), skip, starting)
+        return starting
 
     def _check_writable(self, schema: StructType) -> tuple[str, str, int] | None:
         """Validate the write target; return the bucket routing triple
