@@ -189,6 +189,45 @@ def test_stream_cdc_delivers_changes_and_skips_maintenance(
     assert spark.read.parquet(out).count() == n
 
 
+def test_cdc_multiset_gauntlet(spark, tmp_path):
+    """Edge cases that break naive set-based diffs: duplicate rows cancel
+    COPY FOR COPY (removing one of two identical rows is exactly one
+    delete), an identity replace emits nothing, and consecutive
+    row-changing commits each stamp their own changes — asserted for the
+    unsharded path, a forced many-shard path, and the table_changes
+    oracle, which must all agree."""
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "g"), "g", "k int, v string")
+    rows = lambda data: spark.createDataFrame(data, "k int, v string")  # noqa: E731
+    t.append(rows([(1, "a"), (1, "a"), (2, "b")]))  # duplicate row
+    s1 = t.current_snapshot_id()
+    t.replace(rows([(1, "a"), (2, "b")]))     # drops ONE of the two copies
+    t.replace(rows([(1, "a"), (2, "b")]))     # identity replace: no changes
+    t.replace(rows([(1, "a"), (2, "B"), (2, "B")]))  # update + duplicate ins
+    s4 = t.current_snapshot_id()
+
+    oracle = cl.table_changes(t, s1, s4)
+    # shard size chosen to force a handful of shards per commit (not one
+    # per byte — thousands of micro-tasks would dominate the test's time)
+    for opts in ({}, {"changeShardBytes": "400"}):
+        got = _cdc_read(spark, t, start=s1, end=s4, **opts)
+        assert _multiset_equal(got, oracle), f"diverged with {opts}"
+    per = {(r["k"], r["v"], r[cl.CHANGE_TYPE_COL]): r["n"]
+           for r in oracle.groupBy("k", "v", cl.CHANGE_TYPE_COL)
+           .agg(F.count("*").alias("n")).collect()}
+    assert per == {(1, "a", cl.DELETE): 1,        # one copy, one delete
+                   (2, "b", cl.DELETE): 1,
+                   (2, "B", cl.INSERT): 2}        # duplicate insert kept x2
+    # net-state reconstruction: live table == state-at-s1 + feed
+    base = t.scan(snapshot_id=s1)
+    net = base.unionByName(
+        oracle.filter(F.col(cl.CHANGE_TYPE_COL) == cl.INSERT)
+        .select("k", "v")).exceptAll(
+        oracle.filter(F.col(cl.CHANGE_TYPE_COL) == cl.DELETE)
+        .select("k", "v"))
+    assert _multiset_equal(net, t.scan())
+
+
 def test_stream_cdc_initial_load_is_live_state(spark, history, tmp_path):
     """No starting option: the first micro-batch is the table's LIVE rows
     as inserts (Delta readStream semantics — robust to expired history),
