@@ -230,32 +230,49 @@ def doc_lang_id(spark, sf_dir):
                     pred.alias("lang_pred"))
 
 
-@register(
-    "doc_fingerprint",
-    f"""
-    SELECT doc_id, bit_xor(h * i) AS fingerprint FROM (
+def _doc_fingerprint_sql():
+    # deferred: _simhash_cols is defined below with the SimHash family
+    return f"""
+    WITH fp AS (
+      SELECT doc_id, bit_xor(h * i) AS fingerprint FROM (
+        SELECT doc_id,
+               {H32_SQL.format(x='tok')} AS h,
+               i + 1 AS i
+        FROM (SELECT doc_id,
+                     unnest({_TOKENS_SQL}) AS tok,
+                     unnest(range(len({_TOKENS_SQL}))) AS i
+              FROM documents))
+      GROUP BY doc_id),
+    sh AS (
       SELECT doc_id,
-             {H32_SQL.format(x='tok')} AS h,
-             i + 1 AS i
-      FROM (SELECT doc_id,
-                   unnest({_TOKENS_SQL}) AS tok,
-                   unnest(range(len({_TOKENS_SQL}))) AS i
-            FROM documents))
-    GROUP BY doc_id
-    """,
-)
+             CAST({_simhash_cols(H32_SQL.format(x='tok'), 'count(*)')}
+               AS BIGINT) AS simhash
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
+            FROM documents)
+      GROUP BY doc_id)
+    SELECT fp.doc_id, fp.fingerprint, sh.simhash
+    FROM fp JOIN sh ON fp.doc_id = sh.doc_id
+    """
+
+
 def doc_fingerprint(spark, sf_dir):
-    """Order-sensitive document fingerprint: XOR-fold of position-weighted
-    token hashes — pure array algebra in Spark, recomputed by the oracle via
-    unnest + bit_xor aggregation (two code paths, reference discipline
-    /root/reference/ofl/streaming/schema.py:57-73)."""
+    """Per-document signature pair over one `documents` scan family:
+    (a) order-sensitive fingerprint — XOR-fold of position-weighted token
+    hashes, pure array algebra (no shuffle); (b) the 32-bit SimHash from
+    :func:`doc_simhash` (majority vote per bit over distinct-token hashes).
+    Both recomputed independently by the oracle via unnest + aggregation
+    (two code paths, reference discipline
+    /root/reference/ofl/streaming/schema.py:57-73).  One oracled entry
+    covers both signature families; ``doc_simhash`` stays the reusable
+    building block for the near-pair join."""
     d = load_fanout(spark, sf_dir, "documents")
     fp = F.expr(
         "aggregate(zip_with(split(text,' '), sequence(1, size(split(text,' '))), "
         "(t, i) -> cast(conv(substring(md5(t),1,8),16,10) as bigint) * i), "
         "0L, (acc, x) -> acc ^ x)"
     )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    fpd = d.select("doc_id", fp.alias("fingerprint"))
+    return fpd.join(doc_simhash(spark, sf_dir), "doc_id")
 
 
 @register(
@@ -554,17 +571,6 @@ def _simhash_cols(h_expr: str, n_expr: str, bits: int = 32):
     return terms
 
 
-@register(
-    "doc_simhash",
-    f"""
-    SELECT doc_id,
-           CAST({_simhash_cols(H32_SQL.format(x='tok'), 'count(*)')} AS BIGINT)
-             AS simhash
-    FROM (SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS tok
-          FROM documents)
-    GROUP BY doc_id
-    """,
-)
 def doc_simhash(spark, sf_dir):
     """SimHash: per bit j, majority vote of distinct-token hash bits.
     Formulated as explode → 32 conditional sums → bit reassembly, so the
@@ -582,6 +588,11 @@ def doc_simhash(spark, sf_dir):
         ).otherwise(0)
         sim = bit if sim is None else sim + bit
     return tok.groupBy("doc_id").agg(sim.cast("bigint").alias("simhash"))
+
+
+# registered here (not at the def site): the oracle SQL reuses
+# _simhash_cols, which is defined with the SimHash family above
+register("doc_fingerprint", _doc_fingerprint_sql())(doc_fingerprint)
 
 
 @register(
