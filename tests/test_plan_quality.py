@@ -123,3 +123,19 @@ def test_jaccard_candidate_budget_trips_loudly(spark):
     # default budget: sf-scale corpora pass untouched
     assert REGISTRY["doc_ngram_jaccard_pairs_pm1"].fn(spark, SF_DIR) \
         .limit(1).count() >= 0
+
+
+def test_registry_fits_driver_snapshot_cap():
+    """The driver's correctness snapshot records only the FIRST 50
+    registry entries. Two invariants keep every SQL-oracled query inside
+    that window: oracled entries sort ahead of rows-only ones, and there
+    are at most 50 of them (r5: doc_simhash folded into doc_fingerprint
+    when the count hit 51 — this pin stops the next silent overflow)."""
+    names = list(REGISTRY)
+    oracled = [n for n in names if REGISTRY[n].oracle_sql is not None]
+    assert len(oracled) <= 50, (
+        f"{len(oracled)} oracled queries > driver snapshot cap (50): "
+        "consolidate before an oracled entry falls off the record")
+    assert names[: len(oracled)] == oracled, (
+        "rows-only entries interleaved ahead of oracled ones — the "
+        "registry must order oracled queries first")
