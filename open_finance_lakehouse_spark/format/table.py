@@ -501,7 +501,14 @@ class LakeTable:
             )
             return snap, meta.with_snapshot(snap)
 
-        return self._try_commit(build)
+        try:
+            return self._try_commit(build)
+        except CommitConflict:
+            # spec-changed conflict: this append's manifest is litter (the
+            # caller discards/restages the data files themselves)
+            if manifest is not None:
+                self._discard_staged([], [manifest])
+            raise
 
     def commit_rewrite(
         self,
@@ -565,7 +572,19 @@ class LakeTable:
             )
             return snap, meta.with_snapshot(snap)
 
-        return self._try_commit(build)
+        try:
+            return self._try_commit(build)
+        except CommitConflict:
+            # a real conflict (removed file no longer live): the added
+            # manifest and any survivor rewrites staged above are litter —
+            # delete them now instead of waiting for GC's grace window
+            # (the caller separately discards the staged DATA files;
+            # rewrite_schema/rewrite_partitioning discipline)
+            litter = [added_manifest] if added_manifest else []
+            litter += [p for m, (p, _h) in survivor_cache.items()
+                       if p is not None and p != m]
+            self._discard_staged([], litter)
+            raise
 
     def commit_rewrite_manifests(
         self,

@@ -33,7 +33,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import functions as F
 
-from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.format.table import CommitConflict, LakeTable
 from open_finance_lakehouse_spark.functions.curves import (
     CLIP_DIM_BOUNDS,
     curve_key_col,
@@ -41,6 +41,7 @@ from open_finance_lakehouse_spark.functions.curves import (
 from open_finance_lakehouse_spark.operators import binpack
 from open_finance_lakehouse_spark.plans.ledger import (
     STATUS_COMMITTED,
+    STATUS_CONFLICTED,
     STATUS_REWRITING,
     CheckpointLedger,
     CheckpointRecord,
@@ -160,6 +161,10 @@ def cluster_global(
     - ``"auto"`` (default) — ``local`` when every partition fits a
       single-task sort (≤ ``LOCAL_SORT_MAX_PARTITION_BYTES`` and >1
       partition), else ``range``."""
+    # plan against the CURRENT head, not whatever snapshot this handle
+    # last saw: a stale plan's removal set conflicts on commit (correct but
+    # wasted work), and a retried run would re-conflict forever
+    table.refresh()
     inv = table.files_df().select(
         "file_path", "partition", "file_size_bytes", "record_count")
     agg = (
@@ -405,6 +410,7 @@ def cluster(
     O(partitions) driver collect (each row carries its partition's sorted
     path list + size/record totals), the same discipline as
     ``merge_plan_df`` — never a per-file driver materialization."""
+    table.refresh()  # plan against the current head (see cluster_global)
     by_part: dict[str, dict] = {
         r["partition"]: r.asDict()
         for r in (
@@ -424,6 +430,7 @@ def cluster(
         "partitions_planned": len(by_part),
         "partitions_rewritten": 0,
         "partitions_skipped": 0,
+        "partitions_conflicted": 0,
         "files_in": 0,
         "files_out": 0,
         "bytes_in": 0,
@@ -470,10 +477,25 @@ def cluster(
             repartition_by_partition=False,
             fixed_partition=part,
         )
-        snap = table.commit_rewrite(
-            set(paths_rel), added, operation="cluster",
-            summary={"job_id": job_id, "curve": curve, "partition": part},
-        )
+        try:
+            snap = table.commit_rewrite(
+                set(paths_rel), added, operation="cluster",
+                summary={"job_id": job_id, "curve": curve,
+                         "partition": part},
+            )
+        except CommitConflict:
+            # concurrent writer took a planned file out of the live set
+            # between planning and commit — surrender this partition
+            # (discard staged output, record, keep other partitions'
+            # progress); the next run replans it against the new head
+            # (operators.compact discipline)
+            table._discard_staged(added, [])
+            ledger.upsert(CheckpointRecord(
+                job_id=job_id, table=table.meta.name, partition_id=part_id,
+                file_set_hash=fingerprint, status=STATUS_CONFLICTED,
+                files_in=len(paths_rel), bytes_in=bytes_in,
+            ))
+            return {"conflicted": True}
         engine_ms = int((time.monotonic() - t0) * 1000)
 
         ledger.append_lineage(job_id, part_id, paths_rel,
@@ -509,6 +531,9 @@ def cluster(
     for res in results:
         if res is None:
             totals["partitions_skipped"] += 1
+            continue
+        if res.get("conflicted"):
+            totals["partitions_conflicted"] += 1
             continue
         totals["partitions_rewritten"] += 1
         for k, v in res.items():

@@ -37,10 +37,11 @@ from pyspark.sql import functions as F
 DEFAULT_PARTITION_CONCURRENCY = 8
 
 from open_finance_lakehouse_spark.format import manifests as mf
-from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.format.table import CommitConflict, LakeTable
 from open_finance_lakehouse_spark.operators import binpack
 from open_finance_lakehouse_spark.plans.ledger import (
     STATUS_COMMITTED,
+    STATUS_CONFLICTED,
     STATUS_REWRITING,
     CheckpointLedger,
     CheckpointRecord,
@@ -134,10 +135,27 @@ def _compact_partition(table, ledger, job_id, part, bins, target_bytes):
         repartition_by_partition=False,
         fixed_partition=part,  # rows already in this partition: plain write
     )
-    snap = table.commit_rewrite(
-        set(all_paths), added, operation="compact",
-        summary={"job_id": job_id, "partition": part},
-    )
+    try:
+        snap = table.commit_rewrite(
+            set(all_paths), added, operation="compact",
+            summary={"job_id": job_id, "partition": part},
+        )
+    except CommitConflict:
+        # a concurrent writer (MERGE, another compact job, a replace) took
+        # some of this bin's files out of the live set between planning and
+        # commit. Snapshot isolation held — the table is untouched — so
+        # surrender THIS partition (partial progress, Iceberg
+        # RewriteDataFiles discipline): discard its staged output instead
+        # of orphaning it until GC, record the conflict, and let the other
+        # partitions proceed. The next run replans against the new head
+        # (the file-set fingerprint changed, so resume never skips it).
+        table._discard_staged(added, [])
+        ledger.upsert(CheckpointRecord(
+            job_id=job_id, table=table.meta.name, partition_id=part_id,
+            file_set_hash=fingerprint, status=STATUS_CONFLICTED,
+            files_in=len(all_paths), bytes_in=bytes_in,
+        ))
+        return {"conflicted": True}
     engine_ms = int((time.monotonic() - t0) * 1000)
 
     ledger.append_lineage(job_id, part_id, all_paths,
@@ -178,12 +196,18 @@ def compact(
     individual partitions are small. ``engine_ms`` is the wall time of the
     execute phase (JVM/session startup excluded — the reference's
     trigger-time discipline, /root/reference/ofl/streaming/metrics.py:53-62)."""
+    # plan against the CURRENT head: a stale handle's plan would remove
+    # files a concurrent writer already rewrote — the commit conflicts
+    # (correctly), but a replay from the same stale handle re-conflicts
+    # forever; refreshing makes run-after-conflict converge
+    table.refresh()
     plan = plan_compaction(table, target_bytes, small_file_ratio,
                            min_files_per_bin)
     totals = {
         "job_id": job_id, "operation": "compact",
         "partitions_planned": len(plan), "partitions_rewritten": 0,
-        "partitions_skipped": 0, "files_in": 0, "files_out": 0,
+        "partitions_skipped": 0, "partitions_conflicted": 0,
+        "files_in": 0, "files_out": 0,
         "bytes_in": 0, "bytes_out": 0, "rows": 0, "engine_ms": 0,
     }
     if not plan:
@@ -208,6 +232,9 @@ def compact(
     for res in results:
         if res is None:
             totals["partitions_skipped"] += 1
+            continue
+        if res.get("conflicted"):
+            totals["partitions_conflicted"] += 1
             continue
         totals["partitions_rewritten"] += 1
         for k, v in res.items():

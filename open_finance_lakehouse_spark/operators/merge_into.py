@@ -56,10 +56,11 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.format.table import CommitConflict, LakeTable
 from open_finance_lakehouse_spark.operators import binpack
 from open_finance_lakehouse_spark.plans.ledger import (
     STATUS_COMMITTED,
+    STATUS_CONFLICTED,
     STATUS_REWRITING,
     CheckpointLedger,
     CheckpointRecord,
@@ -256,6 +257,10 @@ def merge_into(
             "merge_into requires a non-empty source_token identifying the "
             "source batch (it keys idempotent replay; an empty token would "
             "no-op every later batch under the same job_id)")
+    # plan against the CURRENT head: replaying a batch after a partition
+    # surrendered to a concurrent rewrite must re-plan that partition's
+    # touched files from the new snapshot, not the stale handle's
+    table.refresh()
     from open_finance_lakehouse_spark.operators.config import (
         maintenance_config,
     )
@@ -304,7 +309,8 @@ def merge_into(
         totals = {
             "job_id": job_id, "operation": "merge",
             "partitions_planned": len(plan), "partitions_rewritten": 0,
-            "partitions_skipped": 0, "files_in": 0, "files_out": 0,
+            "partitions_skipped": 0, "partitions_conflicted": 0,
+            "files_in": 0, "files_out": 0,
             "bytes_in": 0, "bytes_out": 0, "rows": 0, "engine_ms": 0,
         }
 
@@ -368,15 +374,32 @@ def merge_into(
                 repartition_by_partition=False,
                 fixed_partition=part,  # the whole rewrite targets one bucket
             )
-            if files:
-                snap = table.commit_rewrite(
-                    set(files), added, operation="merge",
-                    summary={"job_id": job_id, "partition": part})
-            else:
-                snap = table.commit_append(
-                    added, summary={"job_id": job_id, "partition": part,
-                                    "operation": "merge"},
-                    expect_partition_spec=plan_spec)
+            try:
+                if files:
+                    snap = table.commit_rewrite(
+                        set(files), added, operation="merge",
+                        summary={"job_id": job_id, "partition": part})
+                else:
+                    snap = table.commit_append(
+                        added, summary={"job_id": job_id, "partition": part,
+                                        "operation": "merge"},
+                        expect_partition_spec=plan_spec)
+            except CommitConflict:
+                # a concurrent rewrite took a touched file out of the live
+                # set (or the partition spec moved) between planning and
+                # commit. Surrender THIS partition: discard its staged
+                # output, record the conflict, keep the other partitions'
+                # progress. Replaying the same source batch reprocesses
+                # exactly the surrendered partitions against the new head —
+                # the ledger only skips STATUS_COMMITTED records.
+                table._discard_staged(added, [])
+                ledger.upsert(CheckpointRecord(
+                    job_id=job_id, table=table.meta.name,
+                    partition_id=part_id, file_set_hash=fingerprint,
+                    status=STATUS_CONFLICTED,
+                    files_in=len(files), bytes_in=p["bytes_in"],
+                ))
+                return {"conflicted": True}
             engine_ms = int((time.monotonic() - t0) * 1000)
 
             ledger.append_lineage(job_id, part_id, files,
@@ -412,6 +435,9 @@ def merge_into(
         for res in results:
             if res is None:
                 totals["partitions_skipped"] += 1
+                continue
+            if res.get("conflicted"):
+                totals["partitions_conflicted"] += 1
                 continue
             totals["partitions_rewritten"] += 1
             for k, v in res.items():

@@ -53,6 +53,12 @@ LINEAGE_DDL = (
 STATUS_PLANNED = "planned"
 STATUS_REWRITING = "rewriting"
 STATUS_COMMITTED = "committed"
+# a concurrent writer took this partition's planned files out of the live
+# set between planning and commit; the partition's staged output was
+# discarded and the next run replans it against the new head (resume
+# treats it exactly like an interrupted rewrite — only STATUS_COMMITTED
+# with a matching fingerprint skips)
+STATUS_CONFLICTED = "conflicted"
 
 
 def file_set_hash(paths: list[str]) -> str:

@@ -1182,3 +1182,148 @@ def test_cluster_global_oversize_partition_advisory(spark, tmp_path,
     assert res["operation"] == "cluster_global[zorder,range]"
     assert "rewrite_partitioning" in res.get("advisory", "")
     assert t.scan().count() == 40
+
+
+# ------------------------------------------- concurrent-writer conflicts
+
+
+def test_compact_surrenders_conflicted_partition_and_resumes(
+        spark, tmp_path, monkeypatch):
+    """A concurrent rewrite landing between compact's plan and one
+    partition's commit must not abort the job, lose rows, or orphan the
+    surrendered partition's staged output: that partition counts as
+    conflicted, the others commit (partial progress — Iceberg
+    RewriteDataFiles discipline), and a re-run replans it against the new
+    head and converges."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "race1"), "race1", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 60, dur_max_ms=400), max_records_per_file=6)
+    n0 = t.scan().count()
+
+    plan = plan_compaction(t)
+    parts = sorted(plan)
+    assert len(parts) == 2
+    victim_part = parts[1]  # planned but not yet committed at injection
+    victim = plan[victim_part][0].paths[0]
+
+    real_commit = LakeTable.commit_rewrite
+    state = {"injected": False}
+
+    def inject(self, removed, added, *a, **kw):
+        # first commit (partition parts[0]): sneak a concurrent rewrite of
+        # one of parts[1]'s planned files through ANOTHER handle first
+        if not state["injected"]:
+            state["injected"] = True
+            other = LakeTable.load(spark, t.location)
+            df = spark.read.schema(other._empty_df().schema).parquet(
+                os.path.join(other.location, victim))
+            staged = other.stage_dataframe(
+                df, repartition_by_partition=False,
+                fixed_partition=victim_part)
+            real_commit(other, {victim}, staged, operation="rewrite")
+        return real_commit(self, removed, added, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", inject)
+    led = CheckpointLedger(str(tmp_path / "led_race1"))
+    res = compact(t, led, "race1-job", concurrency=1)
+    assert state["injected"]
+    assert res["partitions_conflicted"] == 1
+    assert res["partitions_rewritten"] == 1
+    assert t.refresh().scan().count() == n0  # row-preserving throughout
+    # surrendered staging (data files AND manifest litter) was actively
+    # discarded, not left for GC's grace window
+    assert t.delete_orphans(grace_ms=0, dry_run=True) == []
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", real_commit)
+    res2 = compact(t, led, "race1-job", concurrency=1)
+    assert res2["partitions_conflicted"] == 0
+    assert res2["partitions_rewritten"] >= 1  # the surrendered partition
+    assert t.refresh().scan().count() == n0
+
+
+def test_merge_surrenders_to_concurrent_compact_then_replay_converges(
+        spark, tmp_path, monkeypatch):
+    """MERGE racing compaction — the real-world concurrent-maintenance
+    shape: compact lands first and rewrites every file the merge planned,
+    so the merge surrenders each partition instead of landing a stale
+    copy-on-write; replaying the SAME batch (same job_id + source_token)
+    replans against the compacted head and converges to exactly the
+    upsert/delete oracle state."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "race2"), "race2", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 60, dur_max_ms=400), max_records_per_file=6)
+    n0 = t.scan().count()
+    ids = [r["clip_id"] for r in
+           t.scan().select("clip_id").orderBy("clip_id").limit(4).collect()]
+    upd_ids, del_ids = ids[:2], ids[2:]
+    src = _merge_source(spark, t, upd_ids, del_ids, hot_dup=4)
+
+    real_commit = LakeTable.commit_rewrite
+    state = {"compacted": False}
+
+    def inject(self, *a, **kw):
+        if not state["compacted"]:
+            state["compacted"] = True
+            other = LakeTable.load(spark, t.location)
+            res_c = compact(other, CheckpointLedger(str(tmp_path / "led_c")),
+                            "race2-compact", concurrency=1)
+            assert res_c["partitions_rewritten"] == 2
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", inject)
+    led = CheckpointLedger(str(tmp_path / "led_race2"))
+    res = merge_into(t, src, led, "race2-merge", source_token="rb-1",
+                     concurrency=1)
+    assert state["compacted"]
+    # compact took every touched file out of the live set first
+    assert res["partitions_conflicted"] == res["partitions_planned"] > 0
+    assert res["partitions_rewritten"] == 0
+    # snapshot isolation held: the merge changed NOTHING
+    assert t.refresh().scan().count() == n0
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", real_commit)
+    res2 = merge_into(t, src, led, "race2-merge", source_token="rb-1",
+                      concurrency=1)
+    assert res2["partitions_conflicted"] == 0
+    assert res2["partitions_rewritten"] == res["partitions_conflicted"]
+    after = t.refresh().scan()
+    assert after.count() == n0 - len(del_ids)
+    assert after.filter(F.col("clip_id").isin(del_ids)).count() == 0
+    got = [r["transcript"] for r in
+           after.filter(F.col("clip_id").isin(upd_ids)).collect()]
+    assert got and all(v.startswith("UPDATED ") for v in got)
+    assert t.delete_orphans(grace_ms=0, dry_run=True) == []
+
+
+def test_cluster_surrenders_conflicted_partition(spark, tmp_path,
+                                                 monkeypatch):
+    """Per-partition cluster mode: a commit-time conflict surrenders only
+    that partition (staged output discarded, counted, others proceed)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "race3"), "race3", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 40, dur_max_ms=400), max_records_per_file=5)
+    n0 = t.scan().count()
+
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+    real_commit = LakeTable.commit_rewrite
+    state = {"raised": False}
+
+    def flaky(self, *a, **kw):
+        if not state["raised"] and kw.get("operation") == "cluster":
+            state["raised"] = True
+            raise CommitConflict("synthetic: file no longer live")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit_rewrite", flaky)
+    led = CheckpointLedger(str(tmp_path / "led_race3"))
+    res = cluster(t, led, "race3-job", curve="zorder", concurrency=1)
+    assert state["raised"]
+    assert res["partitions_conflicted"] == 1
+    assert res["partitions_rewritten"] == 1
+    assert t.refresh().scan().count() == n0
