@@ -3,9 +3,9 @@ every maintenance job (north_rule M5: "maintenance implemented and
 callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
-Subcommands: synth | compact | cluster | expire | merge | pipeline |
-publish | silver-drain | rollback | history | runs | evolve-schema |
-rewrite-schema | rewrite-partitioning | sql.
+Subcommands: synth | compact | cluster | expire | merge | delete |
+pipeline | publish | silver-drain | rollback | history | runs |
+evolve-schema | rewrite-schema | rewrite-partitioning | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -37,6 +37,46 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--target-mb", type=int, default=None)
 
 
+def _parse_where(exprs: list[str]):
+    """``--where`` grammar → ColumnRange conjuncts.
+
+    Accepted: ``col<=v`` ``col>=v`` ``col=v`` ``col in v1,v2``.  Values
+    parse as int, then float, else string — the manifest stat domains."""
+    from open_finance_lakehouse_spark.format.table import ColumnRange
+
+    def val(s: str):
+        s = s.strip()
+        for cast in (int, float):
+            try:
+                return cast(s)
+            except ValueError:
+                pass
+        return s
+
+    preds = []
+    for e in exprs:
+        low = e.lower()
+        if " in " in low:
+            col, _, rest = e.partition(" in " if " in " in e else " IN ")
+            preds.append(ColumnRange(col.strip(),
+                                     values=tuple(val(v) for v in
+                                                  rest.split(","))))
+        elif "<=" in e:
+            col, _, v = e.partition("<=")
+            preds.append(ColumnRange(col.strip(), hi=val(v)))
+        elif ">=" in e:
+            col, _, v = e.partition(">=")
+            preds.append(ColumnRange(col.strip(), lo=val(v)))
+        elif "=" in e:
+            col, _, v = e.partition("=")
+            preds.append(ColumnRange(col.strip(), lo=val(v), hi=val(v)))
+        else:
+            raise SystemExit(
+                f"--where {e!r}: expected COL=V, COL<=V, COL>=V, "
+                "or 'COL in V1,V2'")
+    return preds
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("ofl-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -61,6 +101,20 @@ def main(argv=None):
         if name == "pipeline":
             p.add_argument("--cluster-mode", default=None,
                            choices=["global", "per-partition"])
+
+    dl = sub.add_parser("delete",
+                        help="predicate DELETE: stats-pruned three-tier "
+                             "plan (untouched / metadata-only drop / "
+                             "copy-on-write), one atomic snapshot")
+    _common(dl)
+    dl.add_argument("--where", action="append", default=[],
+                    metavar="COL{=|<=|>=}VALUE or COL in V1,V2",
+                    help="repeatable conjunct; numbers parsed as numbers, "
+                         "everything else as string. Equality/IN on the "
+                         "bucket column additionally prunes partitions")
+    dl.add_argument("--residual", default=None,
+                    help="arbitrary SQL condition ANDed row-level (regex, "
+                         "arithmetic); disables metadata-only drops")
 
     mp = sub.add_parser("merge", help="MERGE a parquet source (op/seq cols)")
     _common(mp)
@@ -354,6 +408,14 @@ def _execute(spark, args) -> dict:
             retain = (args.retain_last if args.retain_last is not None
                       else cfg["retain_last"])
             out = expire(t, ledger, job_id, retain_last=retain)
+        elif args.cmd == "delete":
+            from open_finance_lakehouse_spark.operators.delete_where import (
+                delete_where,
+            )
+
+            out = delete_where(t, ledger, job_id,
+                               predicates=_parse_where(args.where),
+                               residual=args.residual)
         elif args.cmd == "merge":
             from open_finance_lakehouse_spark.operators.merge_into import (
                 merge_into,

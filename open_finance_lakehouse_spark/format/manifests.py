@@ -37,6 +37,12 @@ MANIFEST_SCHEMA = pa.schema(
         ("max_double", pa.map_(pa.string(), pa.float64())),
         ("min_string", pa.map_(pa.string(), pa.string())),
         ("max_string", pa.map_(pa.string(), pa.string())),
+        # per-column null counts (Iceberg null_value_counts): min/max prune
+        # files a predicate can't match, but PROVING a predicate matches
+        # every row — the metadata-only DELETE path — additionally needs
+        # null_count == 0 (a null row never satisfies a predicate, so
+        # dropping a whole file on bounds alone would delete null rows)
+        ("null_count", pa.map_(pa.string(), pa.int64())),
     ]
 )
 
@@ -53,6 +59,13 @@ class DataFile:
     max_double: dict[str, float] = field(default_factory=dict)
     min_string: dict[str, str] = field(default_factory=dict)
     max_string: dict[str, str] = field(default_factory=dict)
+    null_count: dict[str, int] = field(default_factory=dict)
+
+    def nulls(self, column: str) -> "int | None":
+        """Null count for a column, or None when unknown (pre-upgrade
+        manifests, or a footer without null-count stats) — callers must
+        treat None as 'may contain nulls'."""
+        return self.null_count.get(column)
 
     def bounds(self, column: str):
         """(min, max) for a column if stats exist, else None."""
@@ -113,6 +126,17 @@ def collect_file_stats(abs_path: str, rel_path: str, partition: str) -> DataFile
         name = md.row_group(0).column(ci).path_in_schema
         if "." in name:  # nested — not stat-tracked
             continue
+        # null counts apply to EVERY flat column (binary/bool included) —
+        # they gate the metadata-only delete proof, independent of min/max
+        nulls = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_null_count:
+                nulls = None
+                break
+            nulls += st.null_count
+        if nulls is not None:
+            entry.null_count[name] = nulls
         try:
             typ = schema.field(name).type
         except KeyError:
@@ -176,7 +200,7 @@ def write_manifest(location: str, entries: list[DataFile]) -> str:
         cols["record_count"].append(e.record_count)
         cols["file_size_bytes"].append(e.file_size_bytes)
         for m in ("min_long", "max_long", "min_double", "max_double",
-                  "min_string", "max_string"):
+                  "min_string", "max_string", "null_count"):
             cols[m].append(list(getattr(e, m).items()))
     table = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
     pq.write_table(table, os.path.join(location, rel))
@@ -189,8 +213,10 @@ def read_manifest(location: str, rel_path: str) -> list[DataFile]:
     out = []
     for r in rows:
         for m in ("min_long", "max_long", "min_double", "max_double",
-                  "min_string", "max_string"):
-            v = r[m]
+                  "min_string", "max_string", "null_count"):
+            # .get: manifests written before the null_count column existed
+            # read back with an empty map — nulls(col) returns None there
+            v = r.get(m)
             r[m] = dict(v) if isinstance(v, list) else (v or {})
         out.append(DataFile(**r))
     return out

@@ -95,6 +95,34 @@ class ColumnRange:
             return True  # incomparable stat/value domain: never prune
         return True
 
+    def proves_all(self, bounds) -> bool:
+        """True when the file's [min, max] PROVES every non-null value
+        satisfies this predicate — the metadata-only DELETE containment
+        check (the caller must separately prove null_count == 0; nulls
+        never satisfy a predicate). Parquet writers may truncate string
+        stats, but always conservatively (stored min <= true min, stored
+        max >= true max), so containment here implies true containment
+        and a truncated pair can never fake the min == max equality
+        proof."""
+        if bounds is None:
+            return False
+        fmin, fmax = bounds
+        if fmin is None or fmax is None:
+            return False
+        try:
+            if self.values is not None:
+                return fmin == fmax and any(
+                    self._canon(v) == fmin
+                    for v in self.values if v is not None)
+            lo, hi = self._canon(self.lo), self._canon(self.hi)
+            if lo is not None and fmin < lo:
+                return False
+            if hi is not None and fmax > hi:
+                return False
+            return True
+        except TypeError:
+            return False  # incomparable domains: never prove
+
     @staticmethod
     def _canon(v):
         """Temporal predicate values → epoch-micros, the domain manifest
@@ -215,7 +243,8 @@ class LakeTable:
                     "min_double map<string,double>, "
                     "max_double map<string,double>, "
                     "min_string map<string,string>, "
-                    "max_string map<string,string>")
+                    "max_string map<string,string>, "
+                    "null_count map<string,long>")
         return self.spark.read.parquet(*paths)
 
     def plan_files(

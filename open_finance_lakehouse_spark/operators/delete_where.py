@@ -1,0 +1,185 @@
+"""Predicate-driven DELETE with three-tier file planning.
+
+The reference deletes rows only through MERGE's delete arm
+(/root/reference/ofl/transform/spark/silver.py:154-161 routes a source
+``op='D'`` row through ``whenMatchedDelete``) — fine when the deletions
+arrive as a keyed change batch, but a RETENTION or compliance delete is a
+*predicate*, not a key list: "drop every clip shorter than 250 ms",
+"purge everything ingested before 2024".  At 10^12-clip scale the whole
+game is never touching bytes the predicate already decides about, so the
+planner classifies every live file into one of three tiers from manifest
+stats alone:
+
+1. **untouched** — some conjunct's [lo, hi] cannot overlap the file's
+   [min, max] (or, on the bucket-partition column, the literal hashes to
+   a different bucket): no row can match, the file is not even read.
+2. **full drop (metadata-only)** — every conjunct's range CONTAINS the
+   file's [min, max] AND the manifest proves ``null_count == 0`` for each
+   predicate column (a null never satisfies a predicate, so bounds alone
+   would wrongly delete null rows — the reason Iceberg tracks
+   null_value_counts).  The file is removed from the manifest without a
+   single byte read: a date-range retention delete on a time-clustered
+   table is ~all this tier.
+3. **rewrite (copy-on-write)** — the file may contain both matching and
+   surviving rows: read it, keep rows where the predicate is NOT
+   satisfied (SQL semantics — NULL predicate outcomes survive), stage the
+   survivors, swap old for new.
+
+All tiers land in ONE atomic ``commit_rewrite`` snapshot — a DELETE is a
+single user-visible transaction, unlike compaction where per-partition
+commits are safe because each is row-preserving.  On ``CommitConflict``
+(a concurrent writer rewrote a planned file) the staged survivors are
+discarded and the conflict re-raised: the caller re-runs, and the run
+replans against the new head (``refresh()`` at plan time).  Re-running a
+delete with the same predicate is naturally idempotent — already-deleted
+rows simply no longer match.
+
+``residual`` extends the predicate with an arbitrary row-level condition
+the stats language can't express (regex on transcript, arithmetic over
+columns).  It disables tier 2 — a residual can never be proven true from
+bounds — but tier-1 pruning on the ColumnRange conjuncts still stands.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import (
+    ColumnRange,
+    LakeTable,
+)
+from open_finance_lakehouse_spark.plans.ledger import (
+    STATUS_COMMITTED,
+    CheckpointLedger,
+    CheckpointRecord,
+    file_set_hash,
+)
+
+
+def _proves_full_match(f, predicates: list[ColumnRange]) -> bool:
+    """Stats prove EVERY row of the file satisfies every conjunct."""
+    for p in predicates:
+        if f.nulls(p.column) != 0:  # unknown (None) or >0: not provable
+            return False
+        if not p.proves_all(f.bounds(p.column)):
+            return False
+    return True
+
+
+def plan_delete(table: LakeTable,
+                predicates: list[ColumnRange],
+                residual: "str | Column | None" = None) -> dict:
+    """Classify live files into the three tiers. Pure metadata — no data
+    read. Returns ``{"full": [DataFile], "rewrite": [DataFile],
+    "untouched": int, "total": int}``."""
+    if not predicates and residual is None:
+        raise ValueError(
+            "delete_where with no predicate would truncate the table; "
+            "use replace()/publish for that, explicitly")
+    candidates, total = table.plan_files(predicates=predicates or None)
+    # a file whose predicate column is entirely null can't match either
+    # (bounds are absent there, so plan_files keeps it conservatively)
+    candidates = [
+        f for f in candidates
+        if not any(f.bounds(p.column) is None
+                   and f.nulls(p.column) == f.record_count
+                   for p in predicates)
+    ]
+    full, rewrite = [], []
+    for f in candidates:
+        if residual is None and predicates and _proves_full_match(f, predicates):
+            full.append(f)
+        else:
+            rewrite.append(f)
+    return {"full": full, "rewrite": rewrite,
+            "untouched": total - len(full) - len(rewrite), "total": total}
+
+
+def delete_where(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    predicates: list[ColumnRange] | None = None,
+    residual: "str | Column | None" = None,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Execute the DELETE as one atomic snapshot; returns tier counters
+    and ``rows_deleted``."""
+    t0 = time.monotonic()
+    table.refresh()  # plan against the current head (compact discipline)
+    predicates = predicates or []
+    plan = plan_delete(table, predicates, residual)
+    full, rewrite = plan["full"], plan["rewrite"]
+
+    totals = {
+        "job_id": job_id, "operation": "delete",
+        "files_untouched": plan["untouched"],
+        "files_full_dropped": len(full), "files_rewritten": len(rewrite),
+        "files_out": 0, "rows_deleted": 0, "rows_kept": 0,
+        "bytes_in": sum(f.file_size_bytes for f in (full + rewrite)),
+        "bytes_out": 0, "engine_ms": 0,
+    }
+    if not full and not rewrite:
+        totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
+        return totals  # nothing matches: no new snapshot
+
+    cond = F.lit(True)  # plan_delete rejected the no-predicate case
+    for p in predicates:
+        cond = cond & p.to_spark_filter()
+    if residual is not None:
+        cond = cond & (F.expr(residual) if isinstance(residual, str)
+                       else residual)
+
+    added = []
+    rewrite_rows_in = sum(f.record_count for f in rewrite)
+    if rewrite:
+        import os
+
+        paths = [os.path.join(table.location, f.file_path) for f in rewrite]
+        df = table.spark.read.schema(table.meta.schema_ddl).parquet(*paths)
+        # survivors: predicate FALSE *or NULL* — null-safe negation, the
+        # SQL DELETE contract (a NULL comparison outcome keeps the row)
+        survivors = df.filter(~cond.eqNullSafe(F.lit(True)))
+        # routed write: survivors may span partitions; the dynamic write
+        # re-derives each row's bucket with the same hash the original
+        # writer used, so placement is identical
+        added = table.stage_dataframe(
+            survivors, max_records_per_file=max_records_per_file,
+            repartition_by_partition=len(rewrite) > 1)
+
+    removed = {f.file_path for f in full} | {f.file_path for f in rewrite}
+    try:
+        snap = table.commit_rewrite(
+            removed, added, operation="delete",
+            summary={"job_id": job_id,
+                     "deleted_full_files": len(full),
+                     "rewritten_files": len(rewrite)})
+    except Exception:
+        table._discard_staged(added, [])
+        raise
+
+    rows_kept = sum(a.record_count for a in added)
+    totals["files_out"] = len(added)
+    totals["rows_kept"] = rows_kept
+    totals["rows_deleted"] = (sum(f.record_count for f in full)
+                              + rewrite_rows_in - rows_kept)
+    totals["bytes_out"] = sum(a.file_size_bytes for a in added)
+    totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
+    totals["snapshot_id"] = snap.snapshot_id
+
+    in_paths = sorted(removed)
+    ledger.append_lineage(job_id, "__delete__", in_paths,
+                          [a.file_path for a in added] or ["__dropped__"],
+                          "delete")
+    ledger.upsert(CheckpointRecord(
+        job_id=job_id, table=table.meta.name, partition_id="__delete__",
+        file_set_hash=file_set_hash(in_paths), status=STATUS_COMMITTED,
+        rows=totals["rows_deleted"], bytes_in=totals["bytes_in"],
+        bytes_out=totals["bytes_out"], files_in=len(in_paths),
+        files_out=len(added), engine_ms=totals["engine_ms"],
+        committed_snapshot_id=snap.snapshot_id,
+    ))
+    return totals

@@ -212,3 +212,39 @@ def test_cli_changes_reports_cdc_counts(spark, tmp_path, capsys):
     assert out["inserts"] == 0 and out["deletes"] == 5
     out = _run(capsys, ["changes", "--table", loc])  # since genesis
     assert out["inserts"] == 15 and out["deletes"] == 5
+
+
+def test_cli_delete_where(spark, tmp_path, capsys):
+    loc = str(tmp_path / "delclips")
+    _run(capsys, ["synth", "--table", loc, "--rows", "60",
+                  "--buckets", "2", "--records-per-file", "6"])
+    t = LakeTable.load(spark, loc)
+    k = t.scan().filter("dur_ms <= 2000").count()
+    assert k > 0
+    out = _run(capsys, ["delete", "--table", loc,
+                        "--ledger", str(tmp_path / "led"),
+                        "--where", "dur_ms<=2000"])
+    assert out["rows_deleted"] == k
+    assert t.refresh().scan().filter("dur_ms <= 2000").count() == 0
+
+    # point delete on the bucket column routes through bucket pruning
+    victim = t.scan().select("clip_id").first()["clip_id"]
+    out = _run(capsys, ["delete", "--table", loc,
+                        "--ledger", str(tmp_path / "led"),
+                        "--where", f"clip_id={victim}"])
+    assert out["rows_deleted"] == 1
+    assert out["files_untouched"] > 0
+
+    # residual SQL lane
+    out = _run(capsys, ["delete", "--table", loc,
+                        "--ledger", str(tmp_path / "led"),
+                        "--residual", "transcript LIKE '%zulu%'"])
+    assert t.refresh().scan().filter(
+        "transcript LIKE '%zulu%'").count() == 0
+
+    # malformed --where exits with usage, not a stack trace
+    import pytest
+    with pytest.raises(SystemExit, match="--where"):
+        cli.main(["delete", "--table", loc,
+                  "--ledger", str(tmp_path / "led"),
+                  "--where", "dur_ms!!800"])
