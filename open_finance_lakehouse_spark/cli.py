@@ -4,7 +4,7 @@ callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | delete |
-pipeline | publish | silver-drain | rollback | history | runs |
+update | pipeline | publish | silver-drain | rollback | history | runs |
 evolve-schema | rewrite-schema | rewrite-partitioning | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
@@ -115,6 +115,20 @@ def main(argv=None):
     dl.add_argument("--residual", default=None,
                     help="arbitrary SQL condition ANDed row-level (regex, "
                          "arithmetic); disables metadata-only drops")
+
+    up = sub.add_parser("update",
+                        help="predicate UPDATE: SET col=expr on matching "
+                             "rows, stats-pruned copy-on-write, one atomic "
+                             "snapshot")
+    _common(up)
+    up.add_argument("--set", action="append", default=[], required=True,
+                    metavar="COL=SQL_EXPR",
+                    help="repeatable; the expr is any SQL over the row "
+                         "(quote string literals: codec='requeued')")
+    up.add_argument("--where", action="append", default=[],
+                    metavar="COL{=|<=|>=}VALUE or COL in V1,V2")
+    up.add_argument("--residual", default=None,
+                    help="arbitrary SQL condition ANDed row-level")
 
     mp = sub.add_parser("merge", help="MERGE a parquet source (op/seq cols)")
     _common(mp)
@@ -415,6 +429,18 @@ def _execute(spark, args) -> dict:
 
             out = delete_where(t, ledger, job_id,
                                predicates=_parse_where(args.where),
+                               residual=args.residual)
+        elif args.cmd == "update":
+            from open_finance_lakehouse_spark.operators.update_where import (
+                update_where,
+            )
+
+            bad = [kv for kv in args.set if "=" not in kv]
+            if bad:
+                raise SystemExit(f"--set expects COL=SQL_EXPR; got {bad}")
+            sets = dict(kv.split("=", 1) for kv in args.set)
+            out = update_where(t, ledger, job_id, set=sets,
+                               predicates=_parse_where(args.where) or None,
                                residual=args.residual)
         elif args.cmd == "merge":
             from open_finance_lakehouse_spark.operators.merge_into import (

@@ -248,3 +248,23 @@ def test_cli_delete_where(spark, tmp_path, capsys):
         cli.main(["delete", "--table", loc,
                   "--ledger", str(tmp_path / "led"),
                   "--where", "dur_ms!!800"])
+
+
+def test_cli_update_where(spark, tmp_path, capsys):
+    loc = str(tmp_path / "updclips")
+    _run(capsys, ["synth", "--table", loc, "--rows", "40",
+                  "--buckets", "2", "--records-per-file", "8"])
+    t = LakeTable.load(spark, loc)
+    k = t.scan().filter("dur_ms <= 3000").count()
+    out = _run(capsys, ["update", "--table", loc,
+                        "--ledger", str(tmp_path / "led"),
+                        "--set", "codec='requeued'",
+                        "--where", "dur_ms<=3000"])
+    assert out["rows_updated"] == k
+    assert t.refresh().scan().filter("codec = 'requeued'").count() == k
+
+    import pytest
+    with pytest.raises(SystemExit, match="--set"):
+        cli.main(["update", "--table", loc,
+                  "--ledger", str(tmp_path / "led"),
+                  "--set", "codec requeued"])
