@@ -219,12 +219,16 @@ def main(argv=None):
                     help="most recent N runs")
     ru.add_argument("--master", default=None)
 
-    sq = sub.add_parser("sql", help="run SQL over registered tables")
+    sq = sub.add_parser("sql", help="run SQL over registered tables "
+                                    "(DELETE FROM / UPDATE ... SET route "
+                                    "to the DML operators; needs --ledger)")
     sq.add_argument("--register", action="append", default=[],
                     metavar="NAME=LOCATION",
                     help="repeatable view registrations")
     sq.add_argument("--query", required=True)
     sq.add_argument("--limit", type=int, default=20)
+    sq.add_argument("--ledger", default=None,
+                    help="checkpoint ledger root (required for DML)")
     sq.add_argument("--master", default=None)
 
     args = ap.parse_args(argv)
@@ -232,8 +236,9 @@ def main(argv=None):
 
     # run-level lineage: every lane with a durable root (ledger, else the
     # table itself) emits START → COMPLETE/FAIL events around its run
-    # (reference ofl/cli.py:216-219 + ofl/platform/lineage.py:19-56); the
-    # sql lane has no table-side state and stays unlogged
+    # (reference ofl/cli.py:216-219 + ofl/platform/lineage.py:19-56); a
+    # read-only sql lane (no --ledger) has no durable root and stays
+    # unlogged — sql DML passes --ledger and is logged like any lane
     root = getattr(args, "ledger", None) or getattr(args, "table", None)
     if root is not None:
         from open_finance_lakehouse_spark.plans.lineage import RunLog
@@ -369,13 +374,24 @@ def _execute(spark, args) -> dict:
         out = {"operation": "runs",
                "runs": list(by_run.values())[-args.limit:]}
     elif args.cmd == "sql":
-        from open_finance_lakehouse_spark.sql import register_tables, run_sql
+        from open_finance_lakehouse_spark.sql import (
+            register_tables,
+            run_dml,
+            run_sql,
+        )
 
         views = dict(kv.split("=", 1) for kv in args.register)
-        reg = register_tables(spark, views)
-        rows = [r.asDict() for r in
-                run_sql(spark, args.query).limit(args.limit).collect()]
-        out = {"registration": reg, "rows": rows}
+        head = args.query.lstrip().split(None, 1)[0].lower() if args.query.strip() else ""
+        if head in ("delete", "update"):
+            if not args.ledger:
+                raise SystemExit("DML statements require --ledger")
+            out = run_dml(spark, args.query, views,
+                          CheckpointLedger(args.ledger))
+        else:
+            reg = register_tables(spark, views)
+            rows = [r.asDict() for r in
+                    run_sql(spark, args.query).limit(args.limit).collect()]
+            out = {"registration": reg, "rows": rows}
     else:
         from open_finance_lakehouse_spark.operators.config import (
             maintenance_config,

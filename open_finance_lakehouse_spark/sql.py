@@ -73,3 +73,196 @@ def register_tables(
 
 def run_sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)
+
+
+# ------------------------------------------------------------------ DML
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` (case-insensitive) at paren/quote depth zero.
+    Word separators must carry their own spaces (``" and "``) — that is
+    what keeps ``band`` or ``android`` from matching."""
+    out, buf, depth, i, n = [], [], 0, 0, len(s)
+    sl = sep.lower()
+    low = s.lower()
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                j += 1
+            buf.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0 and low.startswith(sl, i):
+            out.append("".join(buf))
+            buf = []
+            i += len(sl)
+            continue
+        buf.append(c)
+        i += 1
+    out.append("".join(buf))
+    return out
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
+        return tok[1:-1].replace("''", "'")
+    for cast in (int, float):
+        try:
+            return cast(tok)
+        except ValueError:
+            pass
+    return None  # not a literal we can push into stats
+
+
+def _extract_conjuncts(where: str):
+    """Lift top-level AND conjuncts into ColumnRange predicates for
+    manifest/bucket pruning. Returns ``(predicates, fully_parsed)``:
+    a conjunct the grammar can't express exactly stays IN the residual
+    (``fully_parsed=False`` disables the metadata-only delete tier);
+    strict ``<``/``>`` extract as RELAXED inclusive bounds — sound for
+    pruning (superset of matching files) but never exact. BETWEEN's
+    inner AND is protected from the conjunct split by the pattern check
+    below (a conjunct that fails every pattern simply isn't lifted)."""
+    import re
+
+    from open_finance_lakehouse_spark.format.table import ColumnRange
+
+    preds, fully = [], True
+    parts = _split_top(where, " and ")
+    # re-join BETWEEN halves the AND-split severed
+    joined, i = [], 0
+    while i < len(parts):
+        p = parts[i]
+        if re.search(rf"\bbetween\b\s*\S*$", p, re.I) or (
+                re.search(rf"\bbetween\b", p, re.I)
+                and not re.search(
+                    rf"\bbetween\b.+\band\b", p, re.I)):
+            if i + 1 < len(parts):
+                joined.append(p + " AND " + parts[i + 1])
+                i += 2
+                continue
+        joined.append(p)
+        i += 1
+
+    for c in joined:
+        c = c.strip()
+        m = re.fullmatch(
+            rf"({_IDENT})\s*(<=|>=|<|>|==|=)\s*(.+)", c, re.S)
+        if m:
+            col, op, rhs = m.group(1), m.group(2), m.group(3)
+            v = _parse_literal(rhs)
+            if v is None:
+                fully = False
+                continue
+            if op in ("=", "=="):
+                preds.append(ColumnRange(col, lo=v, hi=v))
+            elif op == "<=":
+                preds.append(ColumnRange(col, hi=v))
+            elif op == ">=":
+                preds.append(ColumnRange(col, lo=v))
+            elif op == "<":
+                preds.append(ColumnRange(col, hi=v))  # relaxed: prune-only
+                fully = False
+            else:
+                preds.append(ColumnRange(col, lo=v))  # relaxed
+                fully = False
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+between\s+(.+?)\s+and\s+(.+)", c, re.S | re.I)
+        if m:
+            lo, hi = _parse_literal(m.group(2)), _parse_literal(m.group(3))
+            if lo is None or hi is None:
+                fully = False
+                continue
+            preds.append(ColumnRange(m.group(1), lo=lo, hi=hi))
+            continue
+        m = re.fullmatch(
+            rf"({_IDENT})\s+in\s*\((.+)\)", c, re.S | re.I)
+        if m:
+            vals = [_parse_literal(v) for v in _split_top(m.group(2), ",")]
+            if any(v is None for v in vals):
+                fully = False
+                continue
+            preds.append(ColumnRange(m.group(1), values=tuple(vals)))
+            continue
+        fully = False  # unliftable conjunct: stays residual-only
+    return preds, fully
+
+
+def run_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+    ledger,
+    job_id: str | None = None,
+) -> dict:
+    """Route ``DELETE FROM <name> WHERE ...`` and ``UPDATE <name> SET
+    c = expr[, ...] [WHERE ...]`` to the predicate DML operators — the
+    SQL shapes a Delta user writes against the reference's tables.
+
+    The WHERE clause is applied EXACTLY as the row-level residual; any
+    top-level conjunct the range grammar can express is ALSO lifted into
+    a ColumnRange so manifest stats and bucket-value pruning fire. When
+    the whole WHERE lifts exactly, the residual is dropped and DELETE's
+    metadata-only tier stays available."""
+    import re
+
+    from open_finance_lakehouse_spark.operators.delete_where import (
+        delete_where,
+    )
+    from open_finance_lakehouse_spark.operators.update_where import (
+        update_where,
+    )
+
+    def resolve(name: str) -> LakeTable:
+        if name not in tables:
+            raise ValueError(
+                f"DML references unknown table {name!r}; known: "
+                f"{sorted(tables)}")
+        t = tables[name]
+        return t if isinstance(t, LakeTable) else LakeTable.load(spark, t)
+
+    s = statement.strip().rstrip(";").strip()
+    m = re.fullmatch(
+        rf"delete\s+from\s+({_IDENT})\s+where\s+(.+)", s, re.S | re.I)
+    if m:
+        table = resolve(m.group(1))
+        where = m.group(2).strip()
+        preds, fully = _extract_conjuncts(where)
+        return delete_where(
+            table, ledger, job_id or f"sql-delete-{m.group(1)}",
+            predicates=preds,
+            residual=None if (fully and preds) else where)
+
+    m = re.fullmatch(
+        rf"update\s+({_IDENT})\s+set\s+(.+?)(?:\s+where\s+(.+))?",
+        s, re.S | re.I)
+    if m:
+        table = resolve(m.group(1))
+        sets = {}
+        for a in _split_top(m.group(2), ","):
+            col, eq, expr = a.partition("=")
+            if not eq or not re.fullmatch(rf"\s*{_IDENT}\s*", col):
+                raise ValueError(f"bad SET assignment: {a.strip()!r}")
+            sets[col.strip()] = expr.strip()
+        where = (m.group(3) or "").strip()
+        preds = []
+        if where:
+            preds, _fully = _extract_conjuncts(where)
+        return update_where(
+            table, ledger, job_id or f"sql-update-{m.group(1)}",
+            set=sets, predicates=preds or None,
+            residual=where or None)
+
+    raise ValueError(
+        "run_dml handles DELETE FROM <t> WHERE ... and UPDATE <t> SET ... "
+        f"[WHERE ...]; got: {statement[:80]!r} (SELECTs go to run_sql)")

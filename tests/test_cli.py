@@ -268,3 +268,31 @@ def test_cli_update_where(spark, tmp_path, capsys):
         cli.main(["update", "--table", loc,
                   "--ledger", str(tmp_path / "led"),
                   "--set", "codec requeued"])
+
+
+def test_cli_sql_dml_routes_to_operators(spark, tmp_path, capsys):
+    loc = str(tmp_path / "sqldml")
+    _run(capsys, ["synth", "--table", loc, "--rows", "40",
+                  "--buckets", "2", "--records-per-file", "8"])
+    t = LakeTable.load(spark, loc)
+    k = t.scan().filter("dur_ms <= 4000").count()
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--ledger", str(tmp_path / "led"),
+                        "--query", "DELETE FROM clips WHERE dur_ms <= 4000"])
+    assert out["operation"] == "delete" and out["rows_deleted"] == k
+
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--ledger", str(tmp_path / "led"),
+                        "--query",
+                        "UPDATE clips SET codec = 'x' WHERE sr_hz >= 8000"])
+    assert out["operation"] == "update" and out["rows_updated"] == 40 - k
+
+    # SELECT still goes through the view path
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--query", "SELECT count(*) AS n FROM clips"])
+    assert out["rows"] == [{"n": 40 - k}]
+
+    import pytest
+    with pytest.raises(SystemExit, match="--ledger"):
+        cli.main(["sql", "--register", f"clips={loc}",
+                  "--query", "DELETE FROM clips WHERE dur_ms <= 1"])

@@ -1,0 +1,152 @@
+"""SQL DML front door: DELETE FROM / UPDATE ... SET routed to the
+predicate operators, with top-level conjuncts lifted into ColumnRange so
+manifest stats + bucket pruning fire from plain SQL — the statement
+shapes a Delta user writes against the reference's tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import ColumnRange, LakeTable
+from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL, synth_clips
+from open_finance_lakehouse_spark.sql import (
+    _extract_conjuncts,
+    _split_top,
+    run_dml,
+)
+
+
+# -------------------------------------------------- parser (no Spark)
+
+
+def test_split_top_respects_quotes_and_parens():
+    assert _split_top("a = 1 and b = 2", " and ") == ["a = 1", "b = 2"]
+    assert _split_top("a = 'x and y' and b = 2", " and ") == [
+        "a = 'x and y'", "b = 2"]
+    assert _split_top("f(a, b) and c in (1, 2)", " and ") == [
+        "f(a, b)", "c in (1, 2)"]
+    # 'band' must not split on the embedded 'and'
+    assert _split_top("band = 1", " and ") == ["band = 1"]
+
+
+def test_extract_exact_conjuncts():
+    preds, fully = _extract_conjuncts(
+        "dur_ms <= 800 and sr_hz >= 16000 and codec = 'pcm16' "
+        "and clip_id in ('a', 'b') and dur_ms between 10 and 20")
+    assert fully
+    by = {(p.column, p.lo, p.hi, p.values) for p in preds}
+    assert ("dur_ms", None, 800, None) in by
+    assert ("sr_hz", 16000, None, None) in by
+    assert ("codec", "pcm16", "pcm16", None) in by
+    assert ("clip_id", None, None, ("a", "b")) in by
+    assert ("dur_ms", 10, 20, None) in by
+
+
+def test_extract_relaxed_and_unliftable():
+    # strict < lifts a RELAXED inclusive bound, marked not-fully-parsed
+    preds, fully = _extract_conjuncts("dur_ms < 800")
+    assert not fully and preds[0].hi == 800
+    # non-literal RHS and OR-ish shapes stay residual-only
+    preds, fully = _extract_conjuncts("dur_ms <= sr_hz")
+    assert not fully and preds == []
+    preds, fully = _extract_conjuncts("(a = 1 or b = 2) and c = 3")
+    assert not fully
+    assert [(p.column, p.lo) for p in preds] == [("c", 3)]
+
+
+# ---------------------------------------------------------- execution
+
+
+def _table(spark, tmp_path, name, n=60, **kw):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), name, CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, n, **kw), max_records_per_file=6)
+    return t
+
+
+def test_sql_delete_matches_operator_semantics(spark, tmp_path):
+    t = _table(spark, tmp_path, "sdel", dur_max_ms=2000)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    k = t.scan().filter("dur_ms <= 900").count()
+    res = run_dml(spark, "DELETE FROM sdel WHERE dur_ms <= 900;",
+                  {"sdel": t}, led)
+    assert res["operation"] == "delete" and res["rows_deleted"] == k
+    assert t.refresh().scan().filter("dur_ms <= 900").count() == 0
+
+
+def test_sql_delete_point_lookup_bucket_prunes(spark, tmp_path):
+    t = _table(spark, tmp_path, "spt", n=80)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    victim = t.scan().select("clip_id").first()["clip_id"]
+    res = run_dml(spark, f"DELETE FROM spt WHERE clip_id = '{victim}'",
+                  {"spt": t}, led)
+    assert res["rows_deleted"] == 1
+    assert res["files_untouched"] > 0  # bucket pruning fired through SQL
+
+
+def test_sql_update_with_residual_where(spark, tmp_path):
+    t = _table(spark, tmp_path, "supd", dur_max_ms=2000)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    k = t.scan().filter(
+        "dur_ms <= 1200 AND transcript LIKE '%a%'").count()
+    res = run_dml(
+        spark,
+        "UPDATE supd SET codec = 'retagged', sr_hz = sr_hz * 2 "
+        "WHERE dur_ms <= 1200 and transcript LIKE '%a%'",
+        {"supd": str(tmp_path / "supd")}, led)  # location resolution path
+    assert res["operation"] == "update" and res["rows_updated"] == k
+    after = t.refresh().scan()
+    assert after.filter("codec = 'retagged'").count() == k
+    assert after.filter(
+        "dur_ms > 1200 AND codec = 'retagged'").count() == 0
+
+
+def test_sql_update_without_where(spark, tmp_path):
+    t = _table(spark, tmp_path, "sall", n=20)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(spark, "UPDATE sall SET codec = 'flat'", {"sall": t}, led)
+    assert res["rows_updated"] == 20
+
+
+def test_sql_dml_rejects_unknown_statements_and_tables(spark, tmp_path):
+    t = _table(spark, tmp_path, "serr", n=10)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    with pytest.raises(ValueError, match="SELECTs go to run_sql"):
+        run_dml(spark, "SELECT * FROM serr", {"serr": t}, led)
+    with pytest.raises(ValueError, match="unknown table"):
+        run_dml(spark, "DELETE FROM nope WHERE dur_ms <= 1",
+                {"serr": t}, led)
+    with pytest.raises(ValueError, match="bad SET assignment"):
+        run_dml(spark, "UPDATE serr SET 1bad = 2 WHERE dur_ms <= 1",
+                {"serr": t}, led)
+
+
+def test_sql_delete_fully_lifted_keeps_metadata_tier(spark, tmp_path):
+    """A WHERE that lifts exactly drops the residual, so the
+    metadata-only tier still fires — SQL is not a slower path."""
+    t = LakeTable.create(spark, str(tmp_path / "smeta"), "smeta",
+                         CLIP_SCHEMA_DDL)
+    for lo in (100, 200, 300):
+        df = (spark.range(10)
+              .select((F.lit(lo) + F.col("id") * 10).cast("int")
+                      .alias("dur_ms"))
+              .withColumn("clip_id", F.concat(F.lit(f"c{lo}-"),
+                                              F.col("dur_ms")))
+              .withColumn("bytes", F.lit(b"\x00"))
+              .withColumn("sr_hz", F.lit(16000))
+              .withColumn("codec", F.lit("pcm16"))
+              .withColumn("transcript", F.lit("x"))
+              .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                      "transcript"))
+        t.append(df.coalesce(1))
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(spark, "DELETE FROM smeta WHERE dur_ms <= 250",
+                  {"smeta": t}, led)
+    assert res["files_full_dropped"] == 1  # tier 2 fired through SQL
+    assert res["files_rewritten"] == 1
+    assert res["files_untouched"] == 1
+    assert t.refresh().scan().count() == 14
