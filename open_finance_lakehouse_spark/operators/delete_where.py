@@ -105,9 +105,39 @@ def delete_where(
     predicates: list[ColumnRange] | None = None,
     residual: "str | Column | None" = None,
     max_records_per_file: int | None = None,
+    retries: int = 2,
 ) -> dict:
     """Execute the DELETE as one atomic snapshot; returns tier counters
-    and ``rows_deleted``."""
+    and ``rows_deleted``.
+
+    ``retries``: a CommitConflict (a concurrent rewrite took a planned
+    file out of the live set) discards the staged survivors, refreshes,
+    REPLANS against the new head, and tries again up to this many times
+    — Iceberg's commit.retry discipline; the predicate decides the same
+    logical rows whatever physical files now hold them, so a replanned
+    retry is semantically identical.  ``retries=0`` restores raise-on-
+    first-conflict (pure atomic abort)."""
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    for attempt in range(retries + 1):
+        try:
+            return _delete_once(table, ledger, job_id, predicates,
+                                residual, max_records_per_file)
+        except CommitConflict:
+            if attempt == retries:
+                raise
+            # staged output was already discarded by _delete_once;
+            # refresh happens at the top of the next attempt's plan
+
+
+def _delete_once(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    predicates,
+    residual,
+    max_records_per_file,
+) -> dict:
     t0 = time.monotonic()
     table.refresh()  # plan against the current head (compact discipline)
     predicates = predicates or []

@@ -52,9 +52,33 @@ def update_where(
     predicates: list[ColumnRange] | None = None,
     residual: "str | Column | None" = None,
     max_records_per_file: int | None = None,
+    retries: int = 2,
 ) -> dict:
+    """``retries``: replan-and-retry on CommitConflict (Iceberg's
+    commit.retry discipline — see ``delete_where``); 0 = raise on the
+    first conflict."""
     if not set:
         raise ValueError("update_where requires at least one SET column")
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    for attempt in range(retries + 1):
+        try:
+            return _update_once(table, ledger, job_id, set, predicates,
+                                residual, max_records_per_file)
+        except CommitConflict:
+            if attempt == retries:
+                raise
+
+
+def _update_once(
+    table: LakeTable,
+    ledger: CheckpointLedger,
+    job_id: str,
+    set: "dict[str, str | Column]",
+    predicates=None,
+    residual=None,
+    max_records_per_file=None,
+) -> dict:
     t0 = time.monotonic()
     table.refresh()  # plan against the current head
     predicates = predicates or []

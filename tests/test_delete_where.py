@@ -205,15 +205,21 @@ def test_delete_conflict_discards_staging_and_retry_converges(
 
     monkeypatch.setattr(LakeTable, "commit_rewrite", inject)
     led = CheckpointLedger(str(tmp_path / "led"))
+    # retries=0: pure atomic abort — nothing changed, nothing staged left
     with pytest.raises(CommitConflict):
-        delete_where(t, led, "del-c", [ColumnRange("dur_ms", hi=800)])
+        delete_where(t, led, "del-c", [ColumnRange("dur_ms", hi=800)],
+                     retries=0)
     assert state["injected"]
-    monkeypatch.setattr(LakeTable, "commit_rewrite", real_commit)
     t.refresh()
     assert t.scan().count() == n0  # atomic: nothing changed
     assert t.delete_orphans(grace_ms=0, dry_run=True) == []
 
+    # default retries: the same single-conflict race converges in ONE
+    # call — replan against the new head, commit on attempt 2 (Iceberg's
+    # commit.retry discipline)
+    state["injected"] = False
     res = delete_where(t, led, "del-c", [ColumnRange("dur_ms", hi=800)])
+    assert state["injected"]  # the conflict really happened mid-call
     assert res["rows_deleted"] == k
     after = t.refresh().scan()
     assert after.count() == n0 - k

@@ -157,16 +157,21 @@ def test_update_conflict_is_atomic_and_retry_converges(
 
     monkeypatch.setattr(LakeTable, "commit_rewrite", flaky)
     led = CheckpointLedger(str(tmp_path / "led"))
+    # retries=0: pure atomic abort
     with pytest.raises(CommitConflict):
         update_where(t, led, "u7", set={"codec": "'r'"},
-                     predicates=[ColumnRange("dur_ms", hi=900)])
+                     predicates=[ColumnRange("dur_ms", hi=900)],
+                     retries=0)
     t.refresh()
     assert t.scan().filter("codec = 'r'").count() == 0  # nothing changed
     assert t.delete_orphans(grace_ms=0, dry_run=True) == []
 
-    monkeypatch.setattr(LakeTable, "commit_rewrite", real_commit)
+    # default retries: the same single conflict converges in one call
+    state["raised"] = False
     res = update_where(t, led, "u7", set={"codec": "'r'"},
                        predicates=[ColumnRange("dur_ms", hi=900)])
+    assert state["raised"]  # the conflict really happened mid-call
     assert res["rows_updated"] == k
     assert t.refresh().scan().count() == n0
     assert t.scan().filter("codec = 'r'").count() == k
+    assert t.delete_orphans(grace_ms=0, dry_run=True) == []
