@@ -126,6 +126,19 @@ class TableMetadata:
             last_snapshot_id=max(self.last_snapshot_id, snap.snapshot_id),
         )
 
+    def with_staged_snapshot(self, snap: Snapshot) -> "TableMetadata":
+        """Record the snapshot in the log WITHOUT making it current —
+        Iceberg's write-audit-publish staging (``wap.id`` commits): the
+        snapshot is readable by id for auditing, its files are reachable
+        (GC-safe), but the table's readers don't see it until
+        ``LakeTable.publish_staged``."""
+        return replace(
+            self,
+            properties=dict(self.properties),
+            snapshots=[*self.snapshots, snap],
+            last_snapshot_id=max(self.last_snapshot_id, snap.snapshot_id),
+        )
+
     # -- (de)serialization ----------------------------------------------------
 
     def to_json(self) -> str:

@@ -501,7 +501,8 @@ class LakeTable:
             raise CommitConflict("gave up after 50 commit attempts")
 
     def commit_append(self, added: list[mf.DataFile], summary: dict | None = None,
-                      expect_partition_spec: "dict | None | object" = "__any__"
+                      expect_partition_spec: "dict | None | object" = "__any__",
+                      staged: bool = False,
                       ) -> md.Snapshot:
         # a marker-only append (e.g. a txn marker for a zero-row batch)
         # carries NO manifest: long-running streams would otherwise grow
@@ -521,13 +522,23 @@ class LakeTable:
             manifests = [*(parent.manifests if parent else [])]
             if manifest is not None:
                 manifests.append(manifest)
+            extra = dict(summary or {})
+            if staged:
+                # write-audit-publish: the snapshot enters the log readable
+                # by id but NOT current; "staged_added" records exactly the
+                # manifests this append contributed so publish_staged can
+                # cherry-pick onto a moved head (Iceberg wap.id commits)
+                extra["staged"] = "true"
+                extra["staged_added"] = [manifest] if manifest else []
             snap = meta.next_snapshot(
                 "append",
                 manifests,
                 {"added_files": len(added),
                  "added_records": sum(e.record_count for e in added),
-                 **(summary or {})},
+                 **extra},
             )
+            if staged:
+                return snap, meta.with_staged_snapshot(snap)
             return snap, meta.with_snapshot(snap)
 
         try:
@@ -812,6 +823,94 @@ class LakeTable:
 
     # ------------------------------------------------------- transactions
 
+    # ------------------------------------------------ write-audit-publish
+
+    def append_staged(self, df: DataFrame,
+                      max_records_per_file: int | None = None,
+                      summary: dict | None = None) -> md.Snapshot:
+        """Stage an append for write-audit-publish (Iceberg ``wap.id``
+        commits): the snapshot enters the log readable by id —
+        ``scan(snapshot_id=...)`` audits exactly the bytes that would
+        publish — but the table's readers see nothing until
+        ``publish_staged``.  Staged snapshots are immune to expire and
+        their files are GC-reachable; ``drop_staged`` abandons one."""
+        from open_finance_lakehouse_spark.quality import contracts as qc
+
+        qc.check_schema(df, self._empty_df().schema)
+        staged_spec = self.meta.partition_spec
+        return self.commit_append(
+            self.stage_dataframe(df, max_records_per_file), summary,
+            expect_partition_spec=staged_spec, staged=True)
+
+    def publish_staged(self, snapshot_id: int) -> md.Snapshot:
+        """Make a staged append visible.
+
+        Fast-forward when the head hasn't moved since staging (the
+        snapshot becomes current as-is, marker cleared so normal expire
+        applies from here).  If other commits landed in between, the
+        staged append's own manifests are CHERRY-PICKED onto the current
+        head as a new snapshot and the staged entry is consumed — safe
+        for appends (pure manifest union); anything else conflicts."""
+
+        def build(meta: md.TableMetadata):
+            snap = meta.snapshot(snapshot_id)
+            if snap.summary.get("staged") != "true":
+                raise ValueError(
+                    f"snapshot {snapshot_id} of {meta.name} is not an "
+                    "unpublished staged snapshot")
+            if meta.current_snapshot_id == snap.parent_id:
+                pub = dc_replace(
+                    snap, summary={**snap.summary, "staged": "false",
+                                   "published": "fast_forward"})
+                snaps = [pub if s.snapshot_id == snapshot_id else s
+                         for s in meta.snapshots]
+                return pub, dc_replace(
+                    meta, properties=dict(meta.properties), snapshots=snaps,
+                    current_snapshot_id=snapshot_id)
+            if snap.operation != "append":
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} is a "
+                    f"{snap.operation} and the head moved since staging — "
+                    "only appends cherry-pick; re-run the operation")
+            head = meta.snapshot()
+            added = list(snap.summary.get("staged_added") or [])
+            new = meta.next_snapshot(
+                "append",
+                [*(head.manifests if head else []), *added],
+                {"added_files": snap.summary.get("added_files", 0),
+                 "added_records": snap.summary.get("added_records", 0),
+                 "published": "cherry_pick",
+                 "cherry_picked_from": snapshot_id},
+            )
+            # consume the staged entry: its files are now referenced by
+            # the cherry-picked snapshot (ids are lifetime-unique, so the
+            # removal can never be confused with a re-issue)
+            meta2 = dc_replace(
+                meta, properties=dict(meta.properties),
+                snapshots=[s for s in meta.snapshots
+                           if s.snapshot_id != snapshot_id])
+            return new, meta2.with_snapshot(new)
+
+        return self._try_commit(build)
+
+    def drop_staged(self, snapshot_id: int) -> md.Snapshot:
+        """Abandon an unpublished staged snapshot (audit failed): the
+        entry leaves the log and its files become GC orphans after the
+        grace window."""
+
+        def build(meta: md.TableMetadata):
+            snap = meta.snapshot(snapshot_id)
+            if snap.summary.get("staged") != "true":
+                raise ValueError(
+                    f"snapshot {snapshot_id} of {meta.name} is not an "
+                    "unpublished staged snapshot")
+            return snap, dc_replace(
+                meta, properties=dict(meta.properties),
+                snapshots=[s for s in meta.snapshots
+                           if s.snapshot_id != snapshot_id])
+
+        return self._try_commit(build)
+
     def committed_txn(self, app_id: str, txn_id: object) -> bool:
         """True iff some snapshot carries this (txn_app_id, txn_id) marker.
 
@@ -865,7 +964,13 @@ class LakeTable:
             for s in ordered:
                 old_enough = (older_than_ms is None
                               or s.timestamp_ms < older_than_ms)
-                if s.snapshot_id in keep_ids or not old_enough:
+                # unpublished write-audit-publish snapshots are immune:
+                # they are off-ancestry BY DESIGN while awaiting audit
+                # (publish clears the marker or consumes the entry, drop
+                # removes it — "staged" in the log always means pending)
+                awaiting_audit = s.summary.get("staged") == "true"
+                if s.snapshot_id in keep_ids or not old_enough \
+                        or awaiting_audit:
                     kept.append(s)
                 else:
                     dropped.append(s.snapshot_id)

@@ -74,3 +74,52 @@ def publish_overwrite(
         "rows": sum(a.record_count for a in added),
         "engine_ms": int((time.monotonic() - t0) * 1000),
     }
+
+
+def append_audited(
+    table: LakeTable,
+    batch: DataFrame,
+    checks: dict[str, Check] | None = None,
+    max_records_per_file: int | None = None,
+    max_violations_shown: int = 20,
+    summary: dict | None = None,
+) -> dict:
+    """Write-audit-publish for APPENDS (Iceberg wap.id workflow), the
+    incremental sibling of ``publish_overwrite``'s full-rebuild gate:
+    stage the batch as an off-ancestry snapshot, run every check against
+    the FULL WOULD-BE TABLE STATE at that snapshot (so global invariants
+    — cross-batch uniqueness, referential counts — are auditable, not
+    just batch-local rules), then publish (fast-forward or cherry-pick
+    if other commits landed meanwhile) or drop. Readers never observe an
+    unaudited row; a dropped batch leaves only GC-able orphans.
+
+    Returns ``{"published": bool, "snapshot_id": int | None,
+    "staged_snapshot_id": int, "violations": {...}, "rows": int,
+    "engine_ms": int}``."""
+    t0 = time.monotonic()
+    snap = table.append_staged(batch, max_records_per_file, summary)
+    staged_state = table.scan(snapshot_id=snap.snapshot_id)
+
+    violations: dict[str, list[dict]] = {}
+    for name, check in (checks or {}).items():
+        bad = [r.asDict() for r in
+               check(staged_state).limit(max_violations_shown).collect()]
+        if bad:
+            violations[name] = bad
+
+    rows = int(snap.summary.get("added_records", 0))
+    if violations:
+        table.drop_staged(snap.snapshot_id)
+        return {
+            "published": False, "snapshot_id": None,
+            "staged_snapshot_id": snap.snapshot_id,
+            "violations": violations, "rows": rows,
+            "engine_ms": int((time.monotonic() - t0) * 1000),
+        }
+    pub = table.publish_staged(snap.snapshot_id)
+    return {
+        "published": True, "snapshot_id": pub.snapshot_id,
+        "staged_snapshot_id": snap.snapshot_id,
+        "violations": {}, "rows": rows,
+        "engine_ms": int((time.monotonic() - t0) * 1000),
+    }

@@ -1,0 +1,111 @@
+"""Write-audit-publish: staged appends are invisible until published,
+auditable by snapshot id, expire/GC-safe while pending, fast-forward or
+cherry-pick on publish, orphaned on drop.
+
+The reference audits AFTER publication (gold checks run post-overwrite,
+withhold on the NEXT rebuild); WAP closes the gap the other way — a
+reader can never observe an unaudited row. Iceberg's wap.id staged
+commits are the public model."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.operators.publish import append_audited
+from open_finance_lakehouse_spark.sources.synth import CLIP_SCHEMA_DDL, synth_clips
+
+
+def _table(spark, tmp_path, name, n=40, **kw):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), name, CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, n, **kw), max_records_per_file=8)
+    return t
+
+
+def _batch(spark, n, offset):
+    return synth_clips(spark, n, id_offset=offset)
+
+
+def test_staged_append_invisible_until_published(spark, tmp_path):
+    t = _table(spark, tmp_path, "wap1")
+    snap = t.append_staged(_batch(spark, 10, 1000))
+    assert t.scan().count() == 40  # readers see nothing
+    # auditable by id: the staged snapshot is the would-be table state
+    assert t.scan(snapshot_id=snap.snapshot_id).count() == 50
+    pub = t.publish_staged(snap.snapshot_id)
+    assert pub.snapshot_id == snap.snapshot_id  # fast-forward, as-is
+    assert t.scan().count() == 50
+
+
+def test_staged_survives_expire_and_gc_until_decided(spark, tmp_path):
+    t = _table(spark, tmp_path, "wap2")
+    snap = t.append_staged(_batch(spark, 10, 2000))
+    t.append(_batch(spark, 5, 3000))  # head moves past the staged commit
+    expired = t.expire_snapshots(retain_last=1)
+    assert snap.snapshot_id not in expired  # immune while pending
+    assert t.delete_orphans(grace_ms=0) == []  # staged files reachable
+    assert t.scan(snapshot_id=snap.snapshot_id).count() == 50
+
+    # publish after the head moved: cherry-pick onto the new head
+    pub = t.publish_staged(snap.snapshot_id)
+    assert pub.snapshot_id != snap.snapshot_id
+    assert pub.summary["published"] == "cherry_pick"
+    assert t.scan().count() == 55  # base 40 + append 5 + staged 10
+    # the consumed staged entry is gone; nothing orphaned
+    assert all(s.snapshot_id != snap.snapshot_id for s in t.snapshots())
+    assert t.delete_orphans(grace_ms=0) == []
+
+
+def test_drop_staged_orphans_its_files(spark, tmp_path):
+    t = _table(spark, tmp_path, "wap3")
+    n_files = len(t.live_files())
+    snap = t.append_staged(_batch(spark, 10, 4000))
+    assert t.delete_orphans(grace_ms=0) == []
+    t.drop_staged(snap.snapshot_id)
+    assert t.scan().count() == 40
+    orphans = t.delete_orphans(grace_ms=0)
+    assert orphans  # the staged batch's data + manifest litter
+    assert len(t.live_files()) == n_files
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=snap.snapshot_id)  # gone from the log
+
+
+def test_publish_rejects_non_staged_and_double_publish(spark, tmp_path):
+    t = _table(spark, tmp_path, "wap4")
+    with pytest.raises(ValueError, match="not an unpublished staged"):
+        t.publish_staged(t.meta.current_snapshot_id)
+    snap = t.append_staged(_batch(spark, 5, 5000))
+    t.publish_staged(snap.snapshot_id)
+    with pytest.raises(ValueError, match="not an unpublished staged"):
+        t.publish_staged(snap.snapshot_id)
+
+
+def test_append_audited_publishes_clean_batch(spark, tmp_path):
+    t = _table(spark, tmp_path, "wap5")
+    res = append_audited(
+        t, _batch(spark, 10, 6000),
+        checks={"no_null_ids": lambda df:
+                df.filter(F.col("clip_id").isNull())})
+    assert res["published"] and res["rows"] == 10
+    assert t.refresh().scan().count() == 50
+
+
+def test_append_audited_drops_breaching_batch(spark, tmp_path):
+    """A global invariant (cross-batch uniqueness) catches a duplicate
+    the batch alone couldn't show — the audit runs on the full would-be
+    state; readers never saw the bad rows and GC reclaims them."""
+    t = _table(spark, tmp_path, "wap6")
+    dupes = t.scan().limit(3)  # re-append 3 existing keys
+    res = append_audited(
+        t, dupes,
+        checks={"unique_clip_id": lambda df:
+                df.groupBy("clip_id").count().filter("count > 1")})
+    assert not res["published"]
+    assert "unique_clip_id" in res["violations"]
+    assert t.refresh().scan().count() == 40  # untouched
+    assert t.delete_orphans(grace_ms=0)  # staged bytes reclaimed
+    assert t.scan().count() == 40
