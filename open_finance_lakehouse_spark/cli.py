@@ -4,8 +4,8 @@ callable" — /root/reference/README.md:314-317; single argparse front door
 mirroring /root/reference/ofl/cli.py:159-219).
 
 Subcommands: synth | compact | cluster | expire | merge | delete |
-update | pipeline | publish | silver-drain | rollback | history | runs |
-evolve-schema | rewrite-schema | rewrite-partitioning | sql.
+update | doctor | pipeline | publish | silver-drain | rollback | history |
+runs | evolve-schema | rewrite-schema | rewrite-partitioning | sql.
 
 Example (cluster mode keeps the same shape — only --master changes):
   python -m open_finance_lakehouse_spark.cli pipeline \
@@ -193,6 +193,15 @@ def main(argv=None):
     rp.add_argument("--records-per-file", type=int, default=None)
     rp.add_argument("--master", default=None)
 
+    dr = sub.add_parser("doctor",
+                        help="read-only table-health report + recommended "
+                             "maintenance (metadata-only: no data read)")
+    dr.add_argument("--table", required=True)
+    dr.add_argument("--target-mb", type=int, default=None)
+    dr.add_argument("--cluster-column", default=None,
+                    help="also score min/max stat overlap on this column")
+    dr.add_argument("--master", default=None)
+
     hi = sub.add_parser("history", help="print the snapshot log")
     hi.add_argument("--table", required=True)
     hi.add_argument("--master", default=None)
@@ -331,6 +340,19 @@ def _execute(spark, args) -> dict:
                "snapshot": snap.snapshot_id,
                "partition_spec": t.meta.partition_spec,
                "rows": t.scan().count()}
+    elif args.cmd == "doctor":
+        from open_finance_lakehouse_spark.operators import binpack
+        from open_finance_lakehouse_spark.operators.doctor import doctor
+
+        if args.target_mb is not None and args.target_mb <= 0:
+            raise SystemExit("--target-mb must be a positive integer")
+        t = LakeTable.load(spark, args.table)
+        out = doctor(
+            t,
+            target_bytes=(args.target_mb * 1024 * 1024
+                          if args.target_mb is not None
+                          else binpack.DEFAULT_TARGET_FILE_BYTES),
+            cluster_column=args.cluster_column)
     elif args.cmd == "history":
         t = LakeTable.load(spark, args.table)
         out = {"operation": "history",

@@ -296,3 +296,14 @@ def test_cli_sql_dml_routes_to_operators(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="--ledger"):
         cli.main(["sql", "--register", f"clips={loc}",
                   "--query", "DELETE FROM clips WHERE dur_ms <= 1"])
+
+
+def test_cli_doctor(spark, tmp_path, capsys):
+    loc = str(tmp_path / "docclips")
+    _run(capsys, ["synth", "--table", loc, "--rows", "40",
+                  "--buckets", "2", "--records-per-file", "4"])
+    out = _run(capsys, ["doctor", "--table", loc,
+                        "--cluster-column", "dur_ms"])
+    assert out["signals"]["rows"] == 40
+    assert "stat_overlap" in out["signals"]
+    assert out["advice"]  # small files from records-per-file=4

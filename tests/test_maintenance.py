@@ -1327,3 +1327,39 @@ def test_cluster_surrenders_conflicted_partition(spark, tmp_path,
     assert res["partitions_conflicted"] == 1
     assert res["partitions_rewritten"] == 1
     assert t.refresh().scan().count() == n0
+
+
+# ------------------------------------------------------------------ doctor
+
+
+def test_doctor_reads_signals_and_advises(spark, tmp_path):
+    """Read-only health report: small-file pressure, snapshot debt, and
+    pending staged snapshots each surface advice; a maintained table
+    reads healthy."""
+    from open_finance_lakehouse_spark.operators.doctor import doctor
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "doc"), "doc", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 60, dur_max_ms=400), max_records_per_file=5)
+    staged = t.append_staged(synth_clips(spark, 5, id_offset=9000))
+
+    rep = doctor(t, target_bytes=64 * 1024 * 1024)
+    sig = rep["signals"]
+    assert sig["rows"] == 60 and sig["files"] > 10
+    assert sig["small_file_fraction"] > 0.5
+    assert sig["staged_pending"] == [staged.snapshot_id]
+    joined = " | ".join(rep["advice"])
+    assert "compact" in joined and "staged" in joined
+
+    # maintain, decide the staged batch, re-check
+    t.drop_staged(staged.snapshot_id)
+    led = CheckpointLedger(str(tmp_path / "led_doc"))
+    compact(t, led, "doc-compact")
+    t.expire_snapshots(retain_last=1)
+    t.delete_orphans(grace_ms=0)
+    rep2 = doctor(t, target_bytes=64 * 1024 * 1024)
+    assert rep2["signals"]["staged_pending"] == []
+    assert rep2["signals"]["small_file_fraction"] < 0.5 or \
+        rep2["signals"]["files"] <= 2
