@@ -874,11 +874,16 @@ class LakeTable:
                     "only appends cherry-pick; re-run the operation")
             head = meta.snapshot()
             added = list(snap.summary.get("staged_added") or [])
+            # carry the staged snapshot's USER summary over (minus the
+            # staging bookkeeping): txn markers (txn_app_id/txn_id) must
+            # survive publication or a replayed streaming batch would
+            # re-stage data whose cherry-picked publish already landed
+            carried = {k: v for k, v in snap.summary.items()
+                       if k not in ("staged", "staged_added")}
             new = meta.next_snapshot(
                 "append",
                 [*(head.manifests if head else []), *added],
-                {"added_files": snap.summary.get("added_files", 0),
-                 "added_records": snap.summary.get("added_records", 0),
+                {**carried,
                  "published": "cherry_pick",
                  "cherry_picked_from": snapshot_id},
             )

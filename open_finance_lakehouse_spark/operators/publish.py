@@ -98,7 +98,28 @@ def append_audited(
     "engine_ms": int}``."""
     t0 = time.monotonic()
     snap = table.append_staged(batch, max_records_per_file, summary)
-    staged_state = table.scan(snapshot_id=snap.snapshot_id)
+    out = audit_staged(table, snap.snapshot_id, checks,
+                       max_violations_shown=max_violations_shown)
+    out["engine_ms"] = int((time.monotonic() - t0) * 1000)
+    return out
+
+
+def audit_staged(
+    table: LakeTable,
+    snapshot_id: int,
+    checks: dict[str, Check] | None = None,
+    max_violations_shown: int = 20,
+    drop_on_breach: bool = True,
+) -> dict:
+    """Audit an EXISTING staged snapshot and decide it: checks run on the
+    full would-be state; green → ``publish_staged``, breach →
+    ``drop_staged`` (or keep it pending when ``drop_on_breach=False`` so
+    the caller can dead-letter the batch's rows first). The resume half
+    of write-audit-publish: a crash between stage and decision replays
+    into this function with the already-staged snapshot id."""
+    t0 = time.monotonic()
+    snap = table.refresh().meta.snapshot(snapshot_id)
+    staged_state = table.scan(snapshot_id=snapshot_id)
 
     violations: dict[str, list[dict]] = {}
     for name, check in (checks or {}).items():
@@ -109,17 +130,19 @@ def append_audited(
 
     rows = int(snap.summary.get("added_records", 0))
     if violations:
-        table.drop_staged(snap.snapshot_id)
+        if drop_on_breach:
+            table.drop_staged(snapshot_id)
         return {
             "published": False, "snapshot_id": None,
-            "staged_snapshot_id": snap.snapshot_id,
+            "staged_snapshot_id": snapshot_id,
+            "dropped": drop_on_breach,
             "violations": violations, "rows": rows,
             "engine_ms": int((time.monotonic() - t0) * 1000),
         }
-    pub = table.publish_staged(snap.snapshot_id)
+    pub = table.publish_staged(snapshot_id)
     return {
         "published": True, "snapshot_id": pub.snapshot_id,
-        "staged_snapshot_id": snap.snapshot_id,
+        "staged_snapshot_id": snapshot_id,
         "violations": {}, "rows": rows,
         "engine_ms": int((time.monotonic() - t0) * 1000),
     }

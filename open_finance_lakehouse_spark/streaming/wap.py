@@ -1,0 +1,113 @@
+"""Streaming write-audit-publish: the ``foreachBatch + append_staged →
+audit → publish/drop`` composition — no reader ever sees an unaudited
+micro-batch.
+
+The reference's streaming lane validates rows BEFORE landing and
+dead-letters violators (/root/reference/ofl/streaming/bronze.py:237-264);
+that gate is row-local.  WAP audits each micro-batch against the FULL
+would-be table state (cross-batch key uniqueness, referential counts)
+and only then flips visibility:
+
+    query = (df.writeStream
+               .foreachBatch(streaming_audited_append(
+                   table, "bronze-wap",
+                   checks={"unique": lambda s: s.groupBy("clip_id")
+                                                .count().filter("count > 1")}))
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True).start())
+
+Exactly-once across replays, crash-placement-proof (the Delta
+txnAppId/txnVersion discipline rebuilt on the snapshot log — every
+marker commits atomically with the state transition it describes):
+
+- each batch stages with ``summary={"txn_app_id": job_id, "txn_id":
+  batch_id}``; the marker rides the snapshot through publication
+  (fast-forward keeps the summary; cherry-pick carries it over).
+- **replay after decide**: a PUBLISHED marker (non-staged snapshot)
+  means the batch is in — no-op.  A DROPPED batch left no marker (the
+  entry left the log), so the replay re-stages and re-audits — and
+  reaches the same verdict on the same data.
+- **replay after stage, before decide** (the crash window): the marker
+  is found on a snapshot still flagged ``staged`` — the replay SKIPS
+  re-staging and resumes at the audit, deciding the original staged
+  bytes.  Without this check, ``committed_txn`` alone would read the
+  pending marker as "done" and the batch would never publish — silent
+  data loss on a one-in-a-thousand crash placement.
+- breached batches can be dead-lettered before dropping: the staged
+  snapshot's own manifests identify exactly the batch's files, so the
+  violators land in the dead-letter table byte-exact, idempotently
+  (their own txn marker under ``{job_id}-dlq``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.operators.publish import Check, audit_staged
+
+
+def _find_marker(table: LakeTable, app_id: str, txn_id: object):
+    """(snapshot, staged_pending) for the batch's txn marker, else None."""
+    table.refresh()
+    for s in table.meta.snapshots:
+        if (s.summary.get("txn_app_id") == app_id
+                and s.summary.get("txn_id") == txn_id):
+            return s, s.summary.get("staged") == "true"
+    return None, False
+
+
+def _staged_batch_df(table: LakeTable, snap) -> DataFrame:
+    """Exactly the batch's own rows: the files its staged manifests added."""
+    from open_finance_lakehouse_spark.format import manifests as mf
+
+    paths = []
+    for m in snap.summary.get("staged_added") or []:
+        paths += [os.path.join(table.location, e.file_path)
+                  for e in mf.read_manifest(table.location, m)]
+    if not paths:
+        return table._empty_df()
+    return table.spark.read.schema(table.meta.schema_ddl).parquet(*paths)
+
+
+def streaming_audited_append(
+    table: LakeTable,
+    job_id: str,
+    checks: dict[str, Check] | None = None,
+    dead_letter: "LakeTable | None" = None,
+    max_records_per_file: int | None = None,
+    on_report: "Callable[[dict], None] | None" = None,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch function. ``on_report`` (optional) receives
+    each batch's decision report (the ``audit_staged`` dict + batch id)."""
+
+    def for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker, pending = _find_marker(table, job_id, batch_id)
+        if marker is not None and not pending:
+            return  # published in a previous attempt: replay is a no-op
+        if marker is None:
+            marker = table.append_staged(
+                batch_df, max_records_per_file,
+                summary={"txn_app_id": job_id, "txn_id": batch_id})
+        # decide (fresh stage AND crash-resume take the same path)
+        report = audit_staged(table, marker.snapshot_id, checks,
+                              drop_on_breach=False)
+        if not report["published"]:
+            if dead_letter is not None:
+                app = f"{job_id}-dlq"
+                if not dead_letter.committed_txn(app, batch_id):
+                    bad = _staged_batch_df(table, marker).withColumn(
+                        "_violation",
+                        F.lit(",".join(sorted(report["violations"]))))
+                    dead_letter.append(
+                        bad, summary={"txn_app_id": app,
+                                      "txn_id": batch_id,
+                                      "source": table.meta.name})
+            table.drop_staged(marker.snapshot_id)
+        if on_report is not None:
+            on_report({**report, "batch_id": batch_id})
+
+    return for_each_batch
