@@ -53,11 +53,13 @@ def _parse_where(exprs: list[str]):
                 pass
         return s
 
+    import re
+
     preds = []
     for e in exprs:
-        low = e.lower()
-        if " in " in low:
-            col, _, rest = e.partition(" in " if " in " in e else " IN ")
+        m = re.match(r"(.+?)\s+in\s+(.+)", e, re.I | re.S)
+        if m:  # case-insensitive whole-word split ('In'/'iN' included)
+            col, rest = m.group(1), m.group(2)
             preds.append(ColumnRange(col.strip(),
                                      values=tuple(val(v) for v in
                                                   rest.split(","))))

@@ -30,6 +30,15 @@ from dataclasses import asdict, dataclass, field, replace
 _VERSION_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
 
+class AncestryTruncated(ValueError):
+    """The parent-chain walk hit an EXPIRED snapshot: the state the caller
+    asked for is no longer reproducible.  A distinct type (not message
+    text) because callers must tell this apart from the benign 'oldest
+    commit is newer than the timestamp' miss — frost's
+    ``startingTimestampMs`` refuses the former and falls back to the
+    initial load for the latter."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -88,7 +97,7 @@ class TableMetadata:
         while cur is not None:
             snap = by_id.get(cur)
             if snap is None:
-                raise ValueError(
+                raise AncestryTruncated(
                     f"ancestry of {self.name} is truncated at snapshot "
                     f"{cur} (expired): no readable snapshot at or before "
                     f"timestamp {ts_ms}")

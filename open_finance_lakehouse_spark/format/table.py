@@ -530,6 +530,13 @@ class LakeTable:
                 # cherry-pick onto a moved head (Iceberg wap.id commits)
                 extra["staged"] = "true"
                 extra["staged_added"] = [manifest] if manifest else []
+                # the spec these files were ROUTED under: publish_staged's
+                # cherry-pick path re-validates it against the head at
+                # publish time (the stage-time _check_spec_unchanged above
+                # cannot see a rewrite_partitioning landing BETWEEN stage
+                # and publish — off-ancestry staged files are not part of
+                # the rewrite's copy-on-write)
+                extra["staged_spec"] = meta.partition_spec
             snap = meta.next_snapshot(
                 "append",
                 manifests,
@@ -873,13 +880,33 @@ class LakeTable:
                     f"{snap.operation} and the head moved since staging — "
                     "only appends cherry-pick; re-run the operation")
             head = meta.snapshot()
+            # the staged files were routed/written under the spec and
+            # schema captured at staging; a rewrite_partitioning or
+            # rewrite_schema landing since rewrote every LIVE file but
+            # not these off-ancestry ones — a pure manifest union would
+            # land stale-routed (bucket pruning and per-bucket MERGE
+            # would silently miss their rows) or stale-shaped files.
+            # Conflict loudly; the writer drops and re-stages.
+            if ("staged_spec" in snap.summary
+                    and snap.summary["staged_spec"] != meta.partition_spec):
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} was routed under "
+                    f"partition spec {snap.summary['staged_spec']} but the "
+                    f"table's spec is now {meta.partition_spec} — drop the "
+                    "staged snapshot and re-stage under the current spec")
+            if (snap.schema_ddl and meta.schema_ddl
+                    and snap.schema_ddl != meta.schema_ddl):
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} was written under a "
+                    "schema that has since been rewritten — drop the "
+                    "staged snapshot and re-stage under the current schema")
             added = list(snap.summary.get("staged_added") or [])
             # carry the staged snapshot's USER summary over (minus the
             # staging bookkeeping): txn markers (txn_app_id/txn_id) must
             # survive publication or a replayed streaming batch would
             # re-stage data whose cherry-picked publish already landed
             carried = {k: v for k, v in snap.summary.items()
-                       if k not in ("staged", "staged_added")}
+                       if k not in ("staged", "staged_added", "staged_spec")}
             new = meta.next_snapshot(
                 "append",
                 [*(head.manifests if head else []), *added],

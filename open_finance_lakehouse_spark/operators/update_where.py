@@ -122,17 +122,31 @@ def _update_once(
     # pushdown count pass: predicate columns only cross the scan
     rows_updated = df.filter(matched).count()
 
-    out = df
-    for c, expr in set.items():
-        new_val = (F.expr(expr) if isinstance(expr, str) else expr)
-        out = out.withColumn(
-            c, F.when(matched, new_val.cast(schema[c]))
-                .otherwise(F.col(c)))
+    # ONE select over the source frame: SQL UPDATE evaluates every SET
+    # expression AND the WHERE against the PRE-update row. Sequential
+    # withColumn calls would re-resolve `matched` and later SET
+    # expressions against already-updated columns (SET codec='x' with
+    # WHERE codec='flac' would stop matching before the second SET ran;
+    # SET a=a+1, b=a would write b = old_a + 1).
+    def out_col(c: str) -> Column:
+        if c not in set:
+            return F.col(c)
+        expr = set[c]
+        new_val = F.expr(expr) if isinstance(expr, str) else expr
+        return (F.when(matched, new_val.cast(schema[c]))
+                .otherwise(F.col(c)).alias(c))
+
+    out = df.select([out_col(c) for c in df.columns])
+    part_col = (table.meta.partition_spec or {}).get("column")
     added = table.stage_dataframe(
         out, max_records_per_file=max_records_per_file,
-        # always route: a SET on the partition column moves rows between
-        # buckets, and multi-file candidates span partitions anyway
-        repartition_by_partition=True)
+        # shuffle on the routing key only when rows can MOVE between
+        # buckets (the partition column is among the SET targets) or the
+        # candidates already span partitions; a single-partition UPDATE
+        # otherwise pays a full shuffle of every survivor byte for
+        # nothing (delete_where makes the same call)
+        repartition_by_partition=(part_col in set) or
+        len({f.partition for f in candidates}) > 1)
 
     removed = {f.file_path for f in candidates}
     try:

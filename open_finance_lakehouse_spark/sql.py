@@ -111,10 +111,54 @@ def _split_top(s: str, sep: str) -> list[str]:
     return out
 
 
+def _find_top_keyword(s: str, word: str) -> int:
+    """Index of the first paren/quote-depth-zero occurrence of ``word``
+    as a whole word (case-insensitive), else -1.  The UPDATE grammar
+    needs this to find the real WHERE: a regex ``\\s+where\\s+`` split
+    binds inside a SET string literal (``SET msg = 'no where clause'``)."""
+    low = s.lower()
+    w = word.lower()
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and low.startswith(w, i)
+              and (i == 0 or not (low[i - 1].isalnum()
+                                  or low[i - 1] == "_"))
+              and (i + len(w) == n or not (low[i + len(w)].isalnum()
+                                           or low[i + len(w)] == "_"))):
+            return i
+        i += 1
+    return -1
+
+
 def _parse_literal(tok: str):
     tok = tok.strip()
-    if len(tok) >= 2 and tok[0] == "'" and tok[-1] == "'":
-        return tok[1:-1].replace("''", "'")
+    if tok.startswith("'"):
+        # the token must be EXACTLY one quoted literal (scanning past ''
+        # escapes): a first-and-last-quote check would accept
+        # "'x' or b = 'y'" as one string, silently lifting a bogus
+        # equality and DROPPING the OR from the residual
+        i, n = 1, len(tok)
+        while i < n:
+            if tok[i] == "'":
+                if i + 1 < n and tok[i + 1] == "'":
+                    i += 2
+                    continue
+                if i == n - 1:
+                    return tok[1:i].replace("''", "'")
+                return None  # text continues past the closing quote
+            i += 1
+        return None  # unterminated literal
     for cast in (int, float):
         try:
             return cast(tok)
@@ -244,17 +288,22 @@ def run_dml(
             residual=None if (fully and preds) else where)
 
     m = re.fullmatch(
-        rf"update\s+({_IDENT})\s+set\s+(.+?)(?:\s+where\s+(.+))?",
-        s, re.S | re.I)
+        rf"update\s+({_IDENT})\s+set\s+(.+)", s, re.S | re.I)
     if m:
         table = resolve(m.group(1))
+        # split SET list from WHERE at the first TOP-LEVEL where keyword
+        # (quote/paren protected): a regex \s+where\s+ would bind inside
+        # a SET string literal and mangle a legal statement
+        rest = m.group(2)
+        widx = _find_top_keyword(rest, "where")
+        set_part = rest[:widx] if widx >= 0 else rest
+        where = rest[widx + len("where"):].strip() if widx >= 0 else ""
         sets = {}
-        for a in _split_top(m.group(2), ","):
+        for a in _split_top(set_part, ","):
             col, eq, expr = a.partition("=")
             if not eq or not re.fullmatch(rf"\s*{_IDENT}\s*", col):
                 raise ValueError(f"bad SET assignment: {a.strip()!r}")
             sets[col.strip()] = expr.strip()
-        where = (m.group(3) or "").strip()
         preds = []
         if where:
             preds, _fully = _extract_conjuncts(where)

@@ -791,17 +791,24 @@ class FrostDataSource(DataSource):
             # committed before ts — broader than the contract — so refuse,
             # like Delta does for a timestamp before the earliest
             # reproducible state.
+            from open_finance_lakehouse_spark.format.metadata import (
+                AncestryTruncated,
+            )
+
             meta = _load_meta(self._location())
+            ts_ms = int(ts)  # a malformed option must raise, not fall back
             try:
-                starting = str(meta.snapshot_as_of(int(ts) - 1).snapshot_id)
-            except ValueError as e:
-                if "truncated" in str(e):
-                    raise ValueError(
-                        f"startingTimestampMs={ts}: the ancestry before "
-                        "that timestamp has been expired — the stream "
-                        "cannot reproduce 'commits with timestamp >= ts' "
-                        "exactly; start from a snapshot id or omit the "
-                        "option to load current state") from e
+                starting = str(meta.snapshot_as_of(ts_ms - 1).snapshot_id)
+            except AncestryTruncated as e:
+                raise ValueError(
+                    f"startingTimestampMs={ts}: the ancestry before "
+                    "that timestamp has been expired — the stream "
+                    "cannot reproduce 'commits with timestamp >= ts' "
+                    "exactly; start from a snapshot id or omit the "
+                    "option to load current state") from e
+            except ValueError:
+                # 'oldest commit is newer than ts': the initial load is
+                # exactly 'everything committed >= ts'
                 starting = None
         return starting
 

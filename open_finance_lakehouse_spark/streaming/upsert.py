@@ -59,22 +59,42 @@ def streaming_upsert(
     key: "str | list[str] | None" = None,
     n_salts: int | None = None,
     target_bytes: int | None = None,
+    conflict_retries: int = 2,
 ) -> Callable[[DataFrame, int], None]:
     """A foreachBatch sink function running one exactly-once MERGE per
     micro-batch. The batch DataFrame must satisfy the merge source
-    contract: the table's columns plus ``op`` ('U'/'D') and ``seq``."""
+    contract: the table's columns plus ``op`` ('U'/'D') and ``seq``.
+
+    ``conflict_retries``: a concurrent maintenance commit can make
+    ``merge_into`` SURRENDER a partition (it returns with
+    ``partitions_conflicted > 0`` instead of raising); re-entering the
+    merge with the same source_token replans exactly the surrendered
+    partitions against the new head (committed ones no-op). Retried up
+    to this many times; if partitions are STILL conflicted the sink
+    raises so Spark replays the batch — the watermark must never
+    advance past a partially-applied batch (silent data loss)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         last = ledger.get(job_id, TXN_PARTITION_ID)
         if last is not None and int(last.file_set_hash) >= int(batch_id):
             return  # replayed / out-of-order batch: measured no-op
-        merge_into(
-            table, batch_df, ledger, job_id,
-            source_token=f"batch-{batch_id}",
-            key=key, n_salts=n_salts, target_bytes=target_bytes,
-        )
+        for _attempt in range(conflict_retries + 1):
+            res = merge_into(
+                table, batch_df, ledger, job_id,
+                source_token=f"batch-{batch_id}",
+                key=key, n_salts=n_salts, target_bytes=target_bytes,
+            )
+            if not res.get("partitions_conflicted"):
+                break
+        else:
+            raise RuntimeError(
+                f"streaming_upsert {job_id} batch {batch_id}: "
+                f"{res['partitions_conflicted']} partition(s) still "
+                f"conflicted after {conflict_retries + 1} merge attempts; "
+                "watermark NOT advanced — the batch will replay")
         # advance the watermark ONLY after every partition committed — a
-        # mid-batch crash leaves it behind so the replay resumes above
+        # mid-batch crash (or a surrendered partition, above) leaves it
+        # behind so the replay resumes at partition granularity
         ledger.upsert(CheckpointRecord(
             job_id=job_id, table=table.meta.name,
             partition_id=TXN_PARTITION_ID,

@@ -68,9 +68,14 @@ def _staged_batch_df(table: LakeTable, snap) -> DataFrame:
     for m in snap.summary.get("staged_added") or []:
         paths += [os.path.join(table.location, e.file_path)
                   for e in mf.read_manifest(table.location, m)]
+    # read under the snapshot's OWN schema (recorded at staging): a schema
+    # rewrite landing between stage and this breach decision would make a
+    # current-schema read project renamed columns as all-NULL — the DLQ
+    # copy must stay byte-exact to what the batch staged
+    ddl = snap.schema_ddl or table.meta.schema_ddl
     if not paths:
-        return table._empty_df()
-    return table.spark.read.schema(table.meta.schema_ddl).parquet(*paths)
+        return table.spark.createDataFrame([], ddl)
+    return table.spark.read.schema(ddl).parquet(*paths)
 
 
 def streaming_audited_append(

@@ -307,3 +307,14 @@ def test_cli_doctor(spark, tmp_path, capsys):
     assert out["signals"]["rows"] == 40
     assert "stat_overlap" in out["signals"]
     assert out["advice"]  # small files from records-per-file=4
+
+
+def test_parse_where_in_is_case_insensitive():
+    """Regression: 'day In 3,4' passed the lowercase membership test but
+    neither ' in ' nor ' IN ' split the raw string — the whole expression
+    became a garbage column name with values=('',)."""
+    from open_finance_lakehouse_spark.cli import _parse_where
+
+    for kw in ("in", "IN", "In", "iN"):
+        (p,) = _parse_where([f"day {kw} 3,4"])
+        assert p.column == "day" and p.values == (3, 4)

@@ -150,3 +150,59 @@ def test_sql_delete_fully_lifted_keeps_metadata_tier(spark, tmp_path):
     assert res["files_rewritten"] == 1
     assert res["files_untouched"] == 1
     assert t.refresh().scan().count() == 14
+
+
+# ------------------------------------------- round-5 review regressions
+
+
+def test_or_tail_string_literal_is_not_mislifted():
+    """Regression: ``a = 'x' OR b = 'y'`` once fullmatched the comparison
+    grammar (the rhs regex is greedy) and the old first-and-last-quote
+    literal check accepted ``'x' or b = 'y'`` as ONE string — lifting a
+    bogus equality, marking the clause fully parsed, and DROPPING the OR
+    from the residual: the DML silently no-opped."""
+    from open_finance_lakehouse_spark.sql import _parse_literal
+
+    assert _parse_literal("'x'") == "x"
+    assert _parse_literal("'x''y'") == "x'y"          # '' escape
+    assert _parse_literal("''") == ""
+    assert _parse_literal("'x' or b = 'y'") is None   # text past the quote
+    assert _parse_literal("'unterminated") is None
+    preds, fully = _extract_conjuncts("codec = 'x' or sr_hz = 8000")
+    assert not fully and preds == []
+
+
+def test_sql_delete_with_or_string_tail_deletes_exactly(spark, tmp_path):
+    t = _table(spark, tmp_path, "sor", dur_max_ms=2000)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    cond = "dur_ms <= 400 OR codec = 'ulaw'"
+    k = t.scan().filter(cond).count()
+    assert 0 < k < 60
+    res = run_dml(spark,
+                  "DELETE FROM sor WHERE dur_ms <= 400 or codec = 'ulaw'",
+                  {"sor": t}, led)
+    assert res["rows_deleted"] == k
+    after = t.refresh().scan()
+    assert after.filter(cond).count() == 0
+    assert after.count() == 60 - k
+
+
+def test_sql_update_set_literal_containing_where_keyword(spark, tmp_path):
+    """Regression: the UPDATE regex's lazy ``\\s+where\\s+`` split bound
+    INSIDE a SET string literal, mangling a legal statement into an
+    unterminated expression."""
+    t = _table(spark, tmp_path, "swh", n=20)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(spark, "UPDATE swh SET transcript = 'no where clause'",
+                  {"swh": t}, led)
+    assert res["rows_updated"] == 20
+    assert (t.refresh().scan()
+            .filter("transcript = 'no where clause'").count() == 20)
+    # a literal containing ' where ' followed by a REAL where clause
+    res = run_dml(spark,
+                  "UPDATE swh SET transcript = 'a where b' "
+                  "WHERE sr_hz >= 0",
+                  {"swh": t}, led)
+    assert res["rows_updated"] == 20
+    assert (t.refresh().scan()
+            .filter("transcript = 'a where b'").count() == 20)

@@ -305,3 +305,60 @@ def test_streaming_upsert_foreachbatch_merge(spark, tmp_path):
     assert len(t.snapshots()) == snaps
     assert {(r["series_id"], str(r["day"])): r["value"]
             for r in t.scan().collect()} == expected
+
+
+def test_streaming_upsert_never_advances_past_conflicted_partitions(
+        spark, tmp_path, monkeypatch):
+    """Regression: merge_into SURRENDERS conflicted partitions (returns
+    partitions_conflicted > 0 instead of raising); the sink once advanced
+    the batch watermark anyway, so the replay was rejected as done and the
+    surrendered partition's upserts were lost forever. The sink must
+    retry the merge (same source_token: committed partitions no-op) and,
+    if still conflicted, raise WITHOUT advancing the watermark."""
+    from open_finance_lakehouse_spark.format.table import LakeTable
+    from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+    from open_finance_lakehouse_spark.streaming import upsert as up
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "cfact"), "cfact",
+        "series_id STRING, day DATE, value DOUBLE",
+        partition_spec={"kind": "bucket", "column": "series_id",
+                        "num_buckets": 2})
+    t.append(spark.sql("""
+        SELECT concat('s', cast(id % 4 AS STRING)) AS series_id,
+               date_add(date'2026-01-01', cast(id / 4 AS INT)) AS day,
+               cast(id AS DOUBLE) AS value FROM range(16)"""),
+        max_records_per_file=4)
+    batch = (spark.createDataFrame(
+        [("s1", "2026-01-01", 111.0, "U", 3)],
+        "series_id STRING, day STRING, value DOUBLE, op STRING, seq LONG")
+        .withColumn("day", F.col("day").cast("date")))
+
+    led = CheckpointLedger(str(tmp_path / "led"))
+    real = up.merge_into
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return {"partitions_conflicted": 1}
+        return real(*a, **kw)
+
+    monkeypatch.setattr(up, "merge_into", flaky)
+    sink = up.streaming_upsert(t, led, "cw", key=["series_id", "day"],
+                               n_salts=2)
+    sink(batch, 0)  # first attempt "conflicts", retry applies for real
+    assert calls["n"] == 2
+    assert led.get("cw", up.TXN_PARTITION_ID).file_set_hash == "0"
+    assert (t.refresh().scan()
+            .filter("series_id = 's1' AND day = date'2026-01-01'")
+            .first()["value"] == 111.0)
+
+    # permanently conflicted: the sink raises and the watermark stays put
+    monkeypatch.setattr(
+        up, "merge_into", lambda *a, **kw: {"partitions_conflicted": 2})
+    sink2 = up.streaming_upsert(t, led, "cw2", key=["series_id", "day"],
+                                n_salts=2, conflict_retries=1)
+    with pytest.raises(RuntimeError, match="still.*conflicted"):
+        sink2(batch, 0)
+    assert led.get("cw2", up.TXN_PARTITION_ID) is None

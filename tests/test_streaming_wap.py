@@ -130,3 +130,22 @@ def test_streaming_wap_crash_between_stage_and_decide_resumes(
         [r["clip_id"] for r in batch.select("clip_id").collect()])
     ).count() == 5
     assert t.delete_orphans(grace_ms=0) == []
+
+
+def test_staged_batch_df_reads_under_snapshot_schema(spark, tmp_path):
+    """Regression: the dead-letter read used the table's CURRENT schema;
+    a rename landing between stage and the breach decision projected the
+    renamed column as all-NULL, corrupting the 'byte-exact' DLQ copy."""
+    from open_finance_lakehouse_spark.streaming.wap import _staged_batch_df
+
+    t = LakeTable.create(spark, str(tmp_path / "sch"), "sch",
+                         CLIP_SCHEMA_DDL)
+    t.append(synth_clips(spark, 6), max_records_per_file=4)
+    snap = t.append_staged(synth_clips(spark, 4, id_offset=9000))
+    t.rewrite_schema(
+        "clip_id STRING, bytes BINARY, sr_hz INT, dur_ms INT, "
+        "codec STRING, text STRING", mapping={"text": "transcript"})
+    df = _staged_batch_df(t.refresh(), t.meta.snapshot(snap.snapshot_id))
+    assert "transcript" in df.columns  # the schema the batch staged under
+    assert df.count() == 4
+    assert df.filter("transcript IS NULL").count() == 0

@@ -175,3 +175,45 @@ def test_update_conflict_is_atomic_and_retry_converges(
     assert t.refresh().scan().count() == n0
     assert t.scan().filter("codec = 'r'").count() == k
     assert t.delete_orphans(grace_ms=0, dry_run=True) == []
+
+
+# ------------------------------------------- round-5 review regressions
+
+
+def test_set_evaluates_against_pre_update_row(spark, tmp_path):
+    """SQL UPDATE semantics: every SET expression AND the WHERE evaluate
+    against the PRE-update row. The old sequential-withColumn build
+    re-resolved the match condition and later SET expressions against
+    already-updated columns: with the predicate column itself in SET,
+    the second SET column was silently never written."""
+    t = _table(spark, tmp_path, "pre", n=60)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    k = t.scan().filter("codec = 'ulaw'").count()
+    assert k > 0
+    res = update_where(
+        t, led, "pre1",
+        set={"codec": "'requeued'", "sr_hz": "0"},   # predicate col FIRST
+        residual="codec = 'ulaw'")
+    assert res["rows_updated"] == k
+    after = t.refresh().scan()
+    assert after.filter("codec = 'requeued'").count() == k
+    # the regression: sr_hz stayed untouched because `matched` re-resolved
+    # against the already-rewritten codec
+    assert after.filter("codec = 'requeued' AND sr_hz != 0").count() == 0
+    assert after.filter("codec = 'ulaw'").count() == 0
+
+
+def test_set_cross_references_read_old_values(spark, tmp_path):
+    """SET a = a+1, b = a must write b = OLD a (standard SQL), not the
+    freshly incremented one."""
+    t = _table(spark, tmp_path, "xref", n=30)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    before = {r["clip_id"]: r["dur_ms"] for r in t.scan().collect()}
+    res = update_where(
+        t, led, "x1",
+        set={"dur_ms": "dur_ms + 1", "sr_hz": "dur_ms"},
+        residual="dur_ms >= 0")
+    assert res["rows_updated"] == 30
+    for r in t.refresh().scan().collect():
+        assert r["dur_ms"] == before[r["clip_id"]] + 1
+        assert r["sr_hz"] == before[r["clip_id"]]  # old value, not +1

@@ -109,3 +109,44 @@ def test_append_audited_drops_breaching_batch(spark, tmp_path):
     assert t.refresh().scan().count() == 40  # untouched
     assert t.delete_orphans(grace_ms=0)  # staged bytes reclaimed
     assert t.scan().count() == 40
+
+
+def test_cherry_pick_refuses_stale_routed_files_after_spec_change(
+        spark, tmp_path):
+    """Regression: the cherry-pick path did a pure manifest union with no
+    spec validation, so a rewrite_partitioning landing between stage and
+    publish landed files routed under the OLD bucket count — invisible to
+    point-lookup pruning and missed by per-bucket MERGE joins."""
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    t = _table(spark, tmp_path, "respec")
+    snap = t.append_staged(_batch(spark, 6, 5000))
+    t.rewrite_partitioning({"kind": "bucket", "column": "clip_id",
+                            "num_buckets": 4})
+    with pytest.raises(CommitConflict, match="partition spec"):
+        t.publish_staged(snap.snapshot_id)
+    # the staged entry survives the refusal: drop + re-stage converges
+    t.drop_staged(snap.snapshot_id)
+    out = append_audited(t, _batch(spark, 6, 5000))
+    assert out["published"]
+    assert t.refresh().scan().count() == 46
+    # every landed row is findable through bucket pruning under the new spec
+    victim = t.scan().filter("clip_id like '%5000%'").first()
+    assert victim is not None
+
+
+def test_cherry_pick_refuses_staged_files_after_schema_rewrite(
+        spark, tmp_path):
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    t = LakeTable.create(spark, str(tmp_path / "reschema"), "reschema",
+                         CLIP_SCHEMA_DDL)
+    t.append(synth_clips(spark, 10), max_records_per_file=8)
+    snap = t.append_staged(synth_clips(spark, 4, id_offset=6000))
+    t.rewrite_schema(
+        "clip_id STRING, bytes BINARY, sr_hz INT, dur_ms INT, "
+        "codec STRING, text STRING", mapping={"text": "transcript"})
+    with pytest.raises(CommitConflict, match="schema"):
+        t.publish_staged(snap.snapshot_id)
+    t.drop_staged(snap.snapshot_id)
+    assert t.refresh().scan().count() == 10
