@@ -57,13 +57,10 @@ def _parse_where(exprs: list[str]):
 
     preds = []
     for e in exprs:
-        m = re.match(r"(.+?)\s+in\s+(.+)", e, re.I | re.S)
-        if m:  # case-insensitive whole-word split ('In'/'iN' included)
-            col, rest = m.group(1), m.group(2)
-            preds.append(ColumnRange(col.strip(),
-                                     values=tuple(val(v) for v in
-                                                  rest.split(","))))
-        elif "<=" in e:
+        # comparisons FIRST: an equality whose VALUE contains ' in '
+        # ("transcript = call in progress") must not be split as an
+        # IN-list over a garbage column name
+        if "<=" in e:
             col, _, v = e.partition("<=")
             preds.append(ColumnRange(col.strip(), hi=val(v)))
         elif ">=" in e:
@@ -72,6 +69,11 @@ def _parse_where(exprs: list[str]):
         elif "=" in e:
             col, _, v = e.partition("=")
             preds.append(ColumnRange(col.strip(), lo=val(v), hi=val(v)))
+        elif (m := re.match(r"(.+?)\s+in\s+(.+)", e, re.I | re.S)):
+            # case-insensitive whole-word split ('In'/'iN' included)
+            preds.append(ColumnRange(m.group(1).strip(),
+                                     values=tuple(val(v) for v in
+                                                  m.group(2).split(","))))
         else:
             raise SystemExit(
                 f"--where {e!r}: expected COL=V, COL<=V, COL>=V, "

@@ -524,6 +524,20 @@ class LakeTable:
                 manifests.append(manifest)
             extra = dict(summary or {})
             if staged:
+                # duplicate-run fence, checked INSIDE the CAS (Delta
+                # validates txnAppId within the transaction for the same
+                # reason): two concurrent executors of the same batch — a
+                # zombie driver plus its restarted query — would otherwise
+                # both pass a check-then-act marker lookup and double-stage
+                app, txn = extra.get("txn_app_id"), extra.get("txn_id")
+                if app is not None and any(
+                        s.summary.get("txn_app_id") == app
+                        and s.summary.get("txn_id") == txn
+                        for s in meta.snapshots):
+                    raise CommitConflict(
+                        f"txn marker ({app!r}, {txn!r}) already exists in "
+                        f"the snapshot log of {meta.name} — a concurrent "
+                        "or earlier run of this batch staged first")
                 # write-audit-publish: the snapshot enters the log readable
                 # by id but NOT current; "staged_added" records exactly the
                 # manifests this append contributed so publish_staged can
@@ -896,10 +910,23 @@ class LakeTable:
                     "staged snapshot and re-stage under the current spec")
             if (snap.schema_ddl and meta.schema_ddl
                     and snap.schema_ddl != meta.schema_ddl):
-                raise CommitConflict(
-                    f"staged snapshot {snapshot_id} was written under a "
-                    "schema that has since been rewritten — drop the "
-                    "staged snapshot and re-stage under the current schema")
+                # additive update_schema (ADD/WIDEN) keeps old files
+                # valid — scan projects missing columns as NULL — so only
+                # a DESTRUCTIVE change (a staged column dropped, renamed,
+                # or retyped in the current schema) conflicts; this
+                # matches the fast-forward path, which publishes
+                # pre-evolution files after an additive change too
+                cur = {f.name: f.dataType for f in self.spark
+                       .createDataFrame([], meta.schema_ddl).schema.fields}
+                stale = [f.name for f in self.spark
+                         .createDataFrame([], snap.schema_ddl).schema.fields
+                         if cur.get(f.name) != f.dataType]
+                if stale:
+                    raise CommitConflict(
+                        f"staged snapshot {snapshot_id} was written under "
+                        f"a schema whose columns {stale} have since been "
+                        "dropped, renamed, or retyped — drop the staged "
+                        "snapshot and re-stage under the current schema")
             added = list(snap.summary.get("staged_added") or [])
             # carry the staged snapshot's USER summary over (minus the
             # staging bookkeeping): txn markers (txn_app_id/txn_id) must
@@ -954,12 +981,19 @@ class LakeTable:
         marker (data is in) or not (data is not). Markers live as long as
         their snapshot log entry: the expire retention window must exceed
         the replay horizon (same rule as Delta txn retention)."""
+        return self.find_txn(app_id, txn_id) is not None
+
+    def find_txn(self, app_id: str, txn_id: object) -> "md.Snapshot | None":
+        """The snapshot carrying this (txn_app_id, txn_id) marker, else
+        None.  Callers that must tell a PENDING staged marker apart from
+        a published one (streaming write-audit-publish) read the
+        snapshot's ``staged`` summary flag off the returned object."""
         self.refresh()
         for s in self.meta.snapshots:
             if (s.summary.get("txn_app_id") == app_id
                     and s.summary.get("txn_id") == txn_id):
-                return True
-        return False
+                return s
+        return None
 
     # ---------------------------------------------------------- maintenance
 

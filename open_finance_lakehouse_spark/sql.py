@@ -180,6 +180,16 @@ def _extract_conjuncts(where: str):
 
     from open_finance_lakehouse_spark.format.table import ColumnRange
 
+    # SQL precedence: AND binds tighter than OR, so "p AND q OR r" is
+    # (p AND q) OR r — no single conjunct is a sound filter over the
+    # whole clause. A top-level OR anywhere (quote/paren-protected; ORs
+    # INSIDE parens leave their own conjunct unliftable but the rest
+    # sound) disables lifting entirely: the operators conjoin lifted
+    # predicates with the residual, so a mislifted one would silently
+    # exclude rows matching only the OR's other arm.
+    if _find_top_keyword(where, "or") >= 0:
+        return [], False
+
     preds, fully = [], True
     parts = _split_top(where, " and ")
     # re-join BETWEEN halves the AND-split severed

@@ -50,16 +50,6 @@ from open_finance_lakehouse_spark.format.table import LakeTable
 from open_finance_lakehouse_spark.operators.publish import Check, audit_staged
 
 
-def _find_marker(table: LakeTable, app_id: str, txn_id: object):
-    """(snapshot, staged_pending) for the batch's txn marker, else None."""
-    table.refresh()
-    for s in table.meta.snapshots:
-        if (s.summary.get("txn_app_id") == app_id
-                and s.summary.get("txn_id") == txn_id):
-            return s, s.summary.get("staged") == "true"
-    return None, False
-
-
 def _staged_batch_df(table: LakeTable, snap) -> DataFrame:
     """Exactly the batch's own rows: the files its staged manifests added."""
     from open_finance_lakehouse_spark.format import manifests as mf
@@ -90,16 +80,46 @@ def streaming_audited_append(
     each batch's decision report (the ``audit_staged`` dict + batch id)."""
 
     def for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker, pending = _find_marker(table, job_id, batch_id)
-        if marker is not None and not pending:
+        from open_finance_lakehouse_spark.format.table import CommitConflict
+
+        marker = table.find_txn(job_id, batch_id)
+        if marker is not None and marker.summary.get("staged") != "true":
             return  # published in a previous attempt: replay is a no-op
-        if marker is None:
-            marker = table.append_staged(
-                batch_df, max_records_per_file,
-                summary={"txn_app_id": job_id, "txn_id": batch_id})
-        # decide (fresh stage AND crash-resume take the same path)
-        report = audit_staged(table, marker.snapshot_id, checks,
-                              drop_on_breach=False)
+
+        for _attempt in range(3):
+            if marker is None:
+                try:
+                    marker = table.append_staged(
+                        batch_df, max_records_per_file,
+                        summary={"txn_app_id": job_id, "txn_id": batch_id})
+                except CommitConflict:
+                    # commit_append's in-CAS duplicate-marker fence: a
+                    # concurrent run of this batch (zombie driver + its
+                    # restarted query) staged first — adopt ITS snapshot
+                    # instead of double-staging
+                    marker = table.find_txn(job_id, batch_id)
+                    if marker is None:
+                        raise  # a real conflict (spec change), not a dup
+                    if marker.summary.get("staged") != "true":
+                        return  # the other run already published
+            # decide (fresh stage AND crash-resume take the same path)
+            try:
+                report = audit_staged(table, marker.snapshot_id, checks,
+                                      drop_on_breach=False)
+                break
+            except CommitConflict:
+                # the table's partition spec or schema drifted between
+                # stage and publish: the staged files are stale-routed
+                # and can never publish — drop them and re-stage under
+                # the CURRENT layout (a replay loop that never drops
+                # would wedge the stream forever)
+                table.drop_staged(marker.snapshot_id)
+                marker = None
+        else:
+            raise CommitConflict(
+                f"{job_id} batch {batch_id}: the table layout kept "
+                "changing between stage and publish across 3 attempts")
+
         if not report["published"]:
             if dead_letter is not None:
                 app = f"{job_id}-dlq"
@@ -112,6 +132,7 @@ def streaming_audited_append(
                                       "txn_id": batch_id,
                                       "source": table.meta.name})
             table.drop_staged(marker.snapshot_id)
+            report = {**report, "dropped": True}
         if on_report is not None:
             on_report({**report, "batch_id": batch_id})
 

@@ -318,3 +318,14 @@ def test_parse_where_in_is_case_insensitive():
     for kw in ("in", "IN", "In", "iN"):
         (p,) = _parse_where([f"day {kw} 3,4"])
         assert p.column == "day" and p.values == (3, 4)
+
+
+def test_parse_where_equality_value_containing_in_word():
+    """Regression: the IN split ran before the comparison branches, so an
+    equality whose value contains ' in ' misparsed into an IN-list over a
+    garbage column name."""
+    from open_finance_lakehouse_spark.cli import _parse_where
+
+    (p,) = _parse_where(["transcript = call in progress"])
+    assert p.column == "transcript"
+    assert p.lo == "call in progress" and p.hi == "call in progress"

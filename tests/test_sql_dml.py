@@ -206,3 +206,35 @@ def test_sql_update_set_literal_containing_where_keyword(spark, tmp_path):
     assert res["rows_updated"] == 20
     assert (t.refresh().scan()
             .filter("transcript = 'a where b'").count() == 20)
+
+
+def test_top_level_or_disables_all_lifting():
+    """Regression: ``p AND q OR r`` parses as ``(p AND q) OR r`` — lifting
+    p as a pruning/filter predicate silently excluded rows matching only
+    r. Any top-level OR must disable lifting entirely."""
+    preds, fully = _extract_conjuncts("a = 'x' and b = 'y' or c = 'z'")
+    assert preds == [] and not fully
+    preds, fully = _extract_conjuncts("a = 1 or b = 2 and c = 3")
+    assert preds == [] and not fully
+    # ORs INSIDE parens bound their own conjunct; siblings still lift
+    preds, fully = _extract_conjuncts("(a = 1 or b = 2) and c = 3")
+    assert [(p.column, p.lo) for p in preds] == [("c", 3)] and not fully
+    # an OR inside a string literal is data, not precedence
+    preds, fully = _extract_conjuncts("a = 'x or y' and c = 3")
+    assert fully and {(p.column, p.lo) for p in preds} == {
+        ("a", "x or y"), ("c", 3)}
+
+
+def test_sql_delete_mixed_and_or_deletes_exactly(spark, tmp_path):
+    t = _table(spark, tmp_path, "mao", dur_max_ms=2000)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    cond = "dur_ms <= 400 AND codec = 'ulaw' OR codec = 'alaw'"
+    k = t.scan().filter(cond).count()
+    assert 0 < k < 60
+    res = run_dml(
+        spark,
+        "DELETE FROM mao WHERE dur_ms <= 400 and codec = 'ulaw' "
+        "or codec = 'alaw'", {"mao": t}, led)
+    assert res["rows_deleted"] == k
+    assert t.refresh().scan().filter(cond).count() == 0
+    assert t.scan().count() == 60 - k

@@ -71,7 +71,7 @@ def test_streaming_wap_breach_dead_letters_and_drops(spark, tmp_path):
     fn(dupes, 0)
     assert t.refresh().scan().count() == 20
     assert dl.refresh().scan().count() == 3
-    assert t.delete_orphans(grace_ms=0) != [] or True  # staged bytes GC-able
+    assert t.delete_orphans(grace_ms=0) != []  # dropped staged bytes GC-able
     assert t.scan().count() == 20
 
 
@@ -149,3 +149,43 @@ def test_staged_batch_df_reads_under_snapshot_schema(spark, tmp_path):
     assert "transcript" in df.columns  # the schema the batch staged under
     assert df.count() == 4
     assert df.filter("transcript IS NULL").count() == 0
+
+
+def test_streaming_wap_recovers_from_layout_drift(spark, tmp_path):
+    """Regression: a partition-spec change landing in the stage-to-decide
+    window makes publish conflict (stale-routed files). The old code
+    replayed into the identical conflict forever; the sink must drop the
+    stale staged snapshot and re-stage under the CURRENT layout."""
+    t = _table(spark, tmp_path, "drift", n=10)
+    batch = synth_clips(spark, 5, id_offset=8500)
+    # simulate the crash window: the batch staged (marker pending), the
+    # decision never ran, and the table was re-bucketed meanwhile
+    t.append_staged(batch, summary={"txn_app_id": "drift-job", "txn_id": 2})
+    t.rewrite_partitioning({"kind": "bucket", "column": "clip_id",
+                            "num_buckets": 4})
+    reports = []
+    fn = streaming_audited_append(t, "drift-job", checks=UNIQUE,
+                                  on_report=reports.append)
+    fn(batch, 2)  # replay: finds pending marker, publish conflicts,
+    #               drops, re-stages under 4 buckets, publishes
+    t.refresh()
+    assert t.scan().count() == 15
+    assert reports and reports[-1]["published"]
+    assert all(s.summary.get("staged") != "true" for s in t.snapshots())
+    # the stale staged files became orphans, sweepable
+    assert t.delete_orphans(grace_ms=0) != []
+    assert t.scan().count() == 15
+
+
+def test_streaming_wap_breach_report_records_drop(spark, tmp_path):
+    """on_report must say dropped=True once the sink dropped the staged
+    snapshot (the audit itself ran with drop_on_breach=False)."""
+    t = _table(spark, tmp_path, "reportdrop", n=12)
+    reports = []
+    fn = streaming_audited_append(t, "rd-job", checks=UNIQUE,
+                                  on_report=reports.append)
+    fn(t.scan().limit(2), 0)  # duplicate keys: breach
+    assert reports and not reports[0]["published"]
+    assert reports[0]["dropped"] is True
+    assert all(s.summary.get("staged") != "true"
+               for s in t.refresh().snapshots())

@@ -150,3 +150,39 @@ def test_cherry_pick_refuses_staged_files_after_schema_rewrite(
         t.publish_staged(snap.snapshot_id)
     t.drop_staged(snap.snapshot_id)
     assert t.refresh().scan().count() == 10
+
+
+def test_cherry_pick_allows_additive_schema_evolution(spark, tmp_path):
+    """Additive update_schema (ADD COLUMN) keeps old files valid — scan
+    projects the missing column as NULL — so a staged batch publishes
+    fine across it; only destructive rewrites conflict."""
+    t = _table(spark, tmp_path, "addcol")
+    snap = t.append_staged(_batch(spark, 6, 7000))
+    t.update_schema(CLIP_SCHEMA_DDL + ", lang STRING")
+    t.append(synth_clips(spark, 4, id_offset=7700)
+             .withColumn("lang", F.lit("en")))  # head moves -> cherry-pick
+    pub = t.publish_staged(snap.snapshot_id)
+    assert pub.summary["published"] == "cherry_pick"
+    after = t.refresh().scan()
+    assert after.count() == 50
+    # staged rows (ids 7000-7005, both plain and hot-prefixed forms)
+    # project the new column as NULL
+    assert after.filter("clip_id like '%00000000700_' AND lang IS NULL") \
+                .count() == 6
+
+
+def test_staged_txn_marker_fence_blocks_duplicate_runs(spark, tmp_path):
+    """Exactly-once under CONCURRENT duplicate execution: the marker is
+    validated inside commit_append's CAS, so a second stage of the same
+    (app, batch) conflicts instead of double-landing."""
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    t = _table(spark, tmp_path, "fence")
+    t.append_staged(_batch(spark, 5, 8100),
+                    summary={"txn_app_id": "job", "txn_id": 7})
+    with pytest.raises(CommitConflict, match="txn marker"):
+        t.append_staged(_batch(spark, 5, 8100),
+                        summary={"txn_app_id": "job", "txn_id": 7})
+    # a different batch id stages fine
+    t.append_staged(_batch(spark, 5, 8200),
+                    summary={"txn_app_id": "job", "txn_id": 8})
