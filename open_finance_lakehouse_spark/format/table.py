@@ -510,7 +510,34 @@ class LakeTable:
         # opens them all
         manifest = mf.write_manifest(self.location, added) if added else None
 
+        class _TxnAlreadyCommitted(Exception):
+            def __init__(self, snap):
+                self.snap = snap
+
         def build(meta: md.TableMetadata):
+            # idempotent-write fence, checked INSIDE the CAS (Delta
+            # validates txnAppId within the transaction for the same
+            # reason — a check-then-act committed_txn lookup leaves a
+            # window where a zombie driver and its restarted query both
+            # pass and double-land the batch): a NON-staged append whose
+            # marker already committed SKIPS silently, returning the
+            # original snapshot (Delta's idempotent-write behavior); a
+            # marker sitting on a PENDING staged snapshot conflicts
+            # loudly — the caller is mixing WAP and plain appends and the
+            # data is not decided yet
+            app = (summary or {}).get("txn_app_id")
+            if app is not None and not staged:
+                txn = (summary or {}).get("txn_id")
+                for s in meta.snapshots:
+                    if (s.summary.get("txn_app_id") == app
+                            and s.summary.get("txn_id") == txn):
+                        if s.summary.get("staged") == "true":
+                            raise CommitConflict(
+                                f"txn marker ({app!r}, {txn!r}) sits on a "
+                                f"PENDING staged snapshot of {meta.name} — "
+                                "publish or drop it before appending the "
+                                "batch through the plain path")
+                        raise _TxnAlreadyCommitted(s)
             # files were ROUTED under the spec the writer captured at
             # staging time; if rewrite_partitioning (or a bucket-column
             # rename) committed since, their partition values are stale —
@@ -564,6 +591,13 @@ class LakeTable:
 
         try:
             return self._try_commit(build)
+        except _TxnAlreadyCommitted as e:
+            # the replayed attempt's freshly-written manifest is litter;
+            # its data files become GC orphans (Delta leaves a skipped
+            # idempotent write's files behind the same way)
+            if manifest is not None:
+                self._discard_staged([], [manifest])
+            return e.snap
         except CommitConflict:
             # spec-changed conflict: this append's manifest is litter (the
             # caller discards/restages the data files themselves)

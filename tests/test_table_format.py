@@ -796,3 +796,31 @@ def test_bucket_value_pruning_skips_time_travel(spark, warehouse):
     # current-head scan prunes under the new 32-bucket spec and stays exact
     got_now = t.scan(predicates=[ColumnRange("cat", lo="c1", hi="c1")])
     assert got_now.count() == 100
+
+
+def test_idempotent_append_skips_replayed_txn_marker(spark, warehouse):
+    """Delta's idempotent-write contract enforced INSIDE the CAS: a
+    non-staged append whose (txn_app_id, txn_id) marker already committed
+    silently skips and returns the ORIGINAL snapshot — a check-then-act
+    committed_txn lookup alone leaves a zombie-driver double-land race."""
+    t = make_table(spark, warehouse, "idem")
+    txn = {"txn_app_id": "job", "txn_id": 4}
+    first = t.append(kdf(spark, 0, 10), summary=dict(txn))
+    replay = t.append(kdf(spark, 0, 10), summary=dict(txn))
+    assert replay.snapshot_id == first.snapshot_id
+    assert t.refresh().scan().count() == 10  # no duplicate rows
+    # the skipped attempt's files are orphans, sweepable
+    assert t.delete_orphans(grace_ms=0) != []
+    assert t.scan().count() == 10
+    # a DIFFERENT batch id appends normally
+    t.append(kdf(spark, 10, 15), summary={"txn_app_id": "job", "txn_id": 5})
+    assert t.refresh().scan().count() == 15
+
+
+def test_plain_append_conflicts_with_pending_staged_marker(
+        spark, warehouse):
+    t = make_table(spark, warehouse, "mixwap")
+    txn = {"txn_app_id": "job", "txn_id": 9}
+    t.append_staged(kdf(spark, 0, 5), summary=dict(txn))
+    with pytest.raises(CommitConflict, match="PENDING staged"):
+        t.append(kdf(spark, 0, 5), summary=dict(txn))
