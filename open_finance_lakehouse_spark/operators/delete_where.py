@@ -69,25 +69,61 @@ def _proves_full_match(f, predicates: list[ColumnRange]) -> bool:
     return True
 
 
-def plan_delete(table: LakeTable,
-                predicates: list[ColumnRange],
-                residual: "str | Column | None" = None) -> dict:
-    """Classify live files into the three tiers. Pure metadata — no data
-    read. Returns ``{"full": [DataFile], "rewrite": [DataFile],
-    "untouched": int, "total": int}``."""
-    if not predicates and residual is None:
-        raise ValueError(
-            "delete_where with no predicate would truncate the table; "
-            "use replace()/publish for that, explicitly")
+def _arm_candidates(table: LakeTable,
+                    predicates: list[ColumnRange]) -> tuple[list, int]:
     candidates, total = table.plan_files(predicates=predicates or None)
     # a file whose predicate column is entirely null can't match either
     # (bounds are absent there, so plan_files keeps it conservatively)
-    candidates = [
+    return [
         f for f in candidates
         if not any(f.bounds(p.column) is None
                    and f.nulls(p.column) == f.record_count
                    for p in predicates)
-    ]
+    ], total
+
+
+def plan_delete(table: LakeTable,
+                predicates: list[ColumnRange],
+                residual: "str | Column | None" = None,
+                any_of: "list[list[ColumnRange]] | None" = None) -> dict:
+    """Classify live files into the three tiers. Pure metadata — no data
+    read. Returns ``{"full": [DataFile], "rewrite": [DataFile],
+    "untouched": int, "total": int}``.
+
+    ``any_of`` carries a DISJUNCTION of conjunct arms (``WHERE (a AND b)
+    OR c``): a file is a candidate iff SOME arm's ranges overlap it (the
+    candidate set is the union of per-arm stats+bucket pruning), and —
+    when ``residual`` is None, i.e. every arm lifted exactly — drops
+    metadata-only iff SOME arm provably matches every row (sound: that
+    arm alone satisfies the OR). Mutually exclusive with ``predicates``."""
+    if any_of and predicates:
+        raise ValueError("pass conjuncts (predicates) OR arms (any_of), "
+                         "not both")
+    if not predicates and not any_of and residual is None:
+        raise ValueError(
+            "delete_where with no predicate would truncate the table; "
+            "use replace()/publish for that, explicitly")
+    if any_of:
+        by_path, total = {}, 0
+        arms_of: dict[str, list] = {}
+        for arm in any_of:
+            cand, total = _arm_candidates(table, arm)
+            for f in cand:
+                by_path[f.file_path] = f
+                arms_of.setdefault(f.file_path, []).append(arm)
+        full, rewrite = [], []
+        for path in sorted(by_path):
+            f = by_path[path]
+            if residual is None and any(
+                    arm and _proves_full_match(f, arm)
+                    for arm in arms_of[path]):
+                full.append(f)
+            else:
+                rewrite.append(f)
+        return {"full": full, "rewrite": rewrite,
+                "untouched": total - len(full) - len(rewrite),
+                "total": total}
+    candidates, total = _arm_candidates(table, predicates)
     full, rewrite = [], []
     for f in candidates:
         if residual is None and predicates and _proves_full_match(f, predicates):
@@ -98,6 +134,36 @@ def plan_delete(table: LakeTable,
             "untouched": total - len(full) - len(rewrite), "total": total}
 
 
+def row_condition(predicates, residual,
+                  any_of: "list[list[ColumnRange]] | None" = None) -> Column:
+    """The row-level match condition shared by DELETE and UPDATE.
+
+    Conjunct path: predicates AND residual (the documented API contract —
+    the residual EXTENDS the ranges; run_dml's relaxed strict-bound lifts
+    are supersets, so the conjunction stays exact).  Arm path (``any_of``):
+    the residual alone when present — it is the exact original WHERE,
+    while the arm union is a pruning superset; without one every arm
+    lifted exactly and the condition is the OR of arm conjunctions."""
+    if any_of:
+        if residual is not None:
+            return (F.expr(residual) if isinstance(residual, str)
+                    else residual)
+        cond = F.lit(False)
+        for arm in any_of:
+            arm_cond = F.lit(True)
+            for p in arm:
+                arm_cond = arm_cond & p.to_spark_filter()
+            cond = cond | arm_cond
+        return cond
+    cond = F.lit(True)
+    for p in predicates or []:
+        cond = cond & p.to_spark_filter()
+    if residual is not None:
+        cond = cond & (F.expr(residual) if isinstance(residual, str)
+                       else residual)
+    return cond
+
+
 def delete_where(
     table: LakeTable,
     ledger: CheckpointLedger,
@@ -106,6 +172,7 @@ def delete_where(
     residual: "str | Column | None" = None,
     max_records_per_file: int | None = None,
     retries: int = 2,
+    any_of: "list[list[ColumnRange]] | None" = None,
 ) -> dict:
     """Execute the DELETE as one atomic snapshot; returns tier counters
     and ``rows_deleted``.
@@ -122,7 +189,7 @@ def delete_where(
     for attempt in range(retries + 1):
         try:
             return _delete_once(table, ledger, job_id, predicates,
-                                residual, max_records_per_file)
+                                residual, max_records_per_file, any_of)
         except CommitConflict:
             if attempt == retries:
                 raise
@@ -137,11 +204,12 @@ def _delete_once(
     predicates,
     residual,
     max_records_per_file,
+    any_of=None,
 ) -> dict:
     t0 = time.monotonic()
     table.refresh()  # plan against the current head (compact discipline)
     predicates = predicates or []
-    plan = plan_delete(table, predicates, residual)
+    plan = plan_delete(table, predicates, residual, any_of=any_of)
     full, rewrite = plan["full"], plan["rewrite"]
 
     totals = {
@@ -156,12 +224,7 @@ def _delete_once(
         totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
         return totals  # nothing matches: no new snapshot
 
-    cond = F.lit(True)  # plan_delete rejected the no-predicate case
-    for p in predicates:
-        cond = cond & p.to_spark_filter()
-    if residual is not None:
-        cond = cond & (F.expr(residual) if isinstance(residual, str)
-                       else residual)
+    cond = row_condition(predicates, residual, any_of)
 
     added = []
     rewrite_rows_in = sum(f.record_count for f in rewrite)

@@ -35,7 +35,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.format.table import ColumnRange, LakeTable
-from open_finance_lakehouse_spark.operators.delete_where import plan_delete
+from open_finance_lakehouse_spark.operators.delete_where import (
+    plan_delete,
+    row_condition,
+)
 from open_finance_lakehouse_spark.plans.ledger import (
     STATUS_COMMITTED,
     CheckpointLedger,
@@ -53,10 +56,12 @@ def update_where(
     residual: "str | Column | None" = None,
     max_records_per_file: int | None = None,
     retries: int = 2,
+    any_of: "list[list[ColumnRange]] | None" = None,
 ) -> dict:
     """``retries``: replan-and-retry on CommitConflict (Iceberg's
     commit.retry discipline — see ``delete_where``); 0 = raise on the
-    first conflict."""
+    first conflict.  ``any_of``: disjunctive pruning arms (``WHERE ...
+    OR ...``) — see ``plan_delete``."""
     if not set:
         raise ValueError("update_where requires at least one SET column")
     from open_finance_lakehouse_spark.format.table import CommitConflict
@@ -64,7 +69,7 @@ def update_where(
     for attempt in range(retries + 1):
         try:
             return _update_once(table, ledger, job_id, set, predicates,
-                                residual, max_records_per_file)
+                                residual, max_records_per_file, any_of)
         except CommitConflict:
             if attempt == retries:
                 raise
@@ -78,6 +83,7 @@ def _update_once(
     predicates=None,
     residual=None,
     max_records_per_file=None,
+    any_of=None,
 ) -> dict:
     t0 = time.monotonic()
     table.refresh()  # plan against the current head
@@ -87,8 +93,8 @@ def _update_once(
     if unknown:
         raise ValueError(f"SET columns not in table schema: {unknown}")
 
-    if predicates or residual is not None:
-        plan = plan_delete(table, predicates, residual)
+    if predicates or any_of or residual is not None:
+        plan = plan_delete(table, predicates, residual, any_of=any_of)
         candidates = plan["full"] + plan["rewrite"]  # both rewrite here
         untouched = plan["untouched"]
     else:
@@ -109,12 +115,9 @@ def _update_once(
         totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
         return totals
 
-    cond = F.lit(True)
-    for p in predicates:
-        cond = cond & p.to_spark_filter()
-    if residual is not None:
-        cond = cond & (F.expr(residual) if isinstance(residual, str)
-                       else residual)
+    cond = (row_condition(predicates, residual, any_of)
+            if (predicates or any_of or residual is not None)
+            else F.lit(True))  # unbounded UPDATE: every row matches
     matched = cond.eqNullSafe(F.lit(True))  # NULL outcome -> unchanged row
 
     paths = [os.path.join(table.location, f.file_path) for f in candidates]

@@ -252,6 +252,30 @@ def _extract_conjuncts(where: str):
     return preds, fully
 
 
+def _extract_predicates(where: str):
+    """Full WHERE lift: ``(predicates, any_of, fully)``.
+
+    A top-level OR splits the clause into ARMS (each an AND of
+    conjuncts): ``any_of`` carries one ColumnRange list per arm for
+    DISJUNCTIVE pruning — a file no arm can match is never read, and
+    (when every arm lifts exactly) a file some arm provably matches
+    entirely still drops metadata-only.  Without a top-level OR this is
+    ``_extract_conjuncts`` unchanged (``any_of=None``)."""
+    arms_src = _split_top(where, " or ")
+    if len(arms_src) == 1:
+        preds, fully = _extract_conjuncts(where)
+        return preds, None, fully
+    arms, fully = [], True
+    for a in arms_src:
+        p, f = _extract_conjuncts(a.strip())
+        arms.append(p)
+        # an arm that doesn't lift EXACTLY (or at all: p == []) keeps the
+        # whole clause residual; its empty/relaxed ranges still prune
+        # soundly (an empty arm simply prunes nothing)
+        fully = fully and f and bool(p)
+    return [], arms, fully
+
+
 def run_dml(
     spark: SparkSession,
     statement: str,
@@ -291,11 +315,11 @@ def run_dml(
     if m:
         table = resolve(m.group(1))
         where = m.group(2).strip()
-        preds, fully = _extract_conjuncts(where)
+        preds, any_of, fully = _extract_predicates(where)
         return delete_where(
             table, ledger, job_id or f"sql-delete-{m.group(1)}",
-            predicates=preds,
-            residual=None if (fully and preds) else where)
+            predicates=preds, any_of=any_of,
+            residual=None if (fully and (preds or any_of)) else where)
 
     m = re.fullmatch(
         rf"update\s+({_IDENT})\s+set\s+(.+)", s, re.S | re.I)
@@ -314,12 +338,12 @@ def run_dml(
             if not eq or not re.fullmatch(rf"\s*{_IDENT}\s*", col):
                 raise ValueError(f"bad SET assignment: {a.strip()!r}")
             sets[col.strip()] = expr.strip()
-        preds = []
+        preds, any_of = [], None
         if where:
-            preds, _fully = _extract_conjuncts(where)
+            preds, any_of, _fully = _extract_predicates(where)
         return update_where(
             table, ledger, job_id or f"sql-update-{m.group(1)}",
-            set=sets, predicates=preds or None,
+            set=sets, predicates=preds or None, any_of=any_of,
             residual=where or None)
 
     raise ValueError(

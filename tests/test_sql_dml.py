@@ -238,3 +238,87 @@ def test_sql_delete_mixed_and_or_deletes_exactly(spark, tmp_path):
     assert res["rows_deleted"] == k
     assert t.refresh().scan().filter(cond).count() == 0
     assert t.scan().count() == 60 - k
+
+
+def _banded_table(spark, tmp_path, name):
+    """Three files with disjoint dur_ms bands: [100,190], [200,290],
+    [300,390] — one file per band."""
+    t = LakeTable.create(spark, str(tmp_path / name), name, CLIP_SCHEMA_DDL)
+    for lo in (100, 200, 300):
+        df = (spark.range(10)
+              .select((F.lit(lo) + F.col("id") * 10).cast("int")
+                      .alias("dur_ms"))
+              .withColumn("clip_id", F.concat(F.lit(f"c{lo}-"),
+                                              F.col("dur_ms")))
+              .withColumn("bytes", F.lit(b"\x00"))
+              .withColumn("sr_hz", F.lit(16000))
+              .withColumn("codec", F.lit("pcm16"))
+              .withColumn("transcript", F.lit("x"))
+              .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                      "transcript"))
+        t.append(df.coalesce(1))
+    return t
+
+
+def test_or_predicate_prunes_disjunctively(spark, tmp_path):
+    """A top-level OR lifts into pruning ARMS: files NO arm can overlap
+    are never read, and a fully-lifted OR keeps the metadata-only tier
+    (a file SOME arm provably matches entirely drops without a byte
+    read)."""
+    t = _banded_table(spark, tmp_path, "orband")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    # straddling OR: middle file untouched, outer files rewritten
+    res = run_dml(spark,
+                  "DELETE FROM orband WHERE dur_ms <= 150 or dur_ms >= 320",
+                  {"orband": t}, led)
+    assert res["files_untouched"] == 1   # the [200,290] file never read
+    assert res["files_rewritten"] == 2
+    assert res["rows_deleted"] == 6 + 8  # <=150: 100..150; >=320: 320..390
+    assert t.refresh().scan().count() == 16
+
+    # fully-covering OR: both remaining outer bands drop METADATA-ONLY
+    t2 = _banded_table(spark, tmp_path, "orfull")
+    res = run_dml(spark,
+                  "DELETE FROM orfull WHERE dur_ms <= 190 or dur_ms >= 300",
+                  {"orfull": t2}, led)
+    assert res["files_full_dropped"] == 2  # zero bytes read for these
+    assert res["files_rewritten"] == 0
+    assert res["files_untouched"] == 1
+    assert res["rows_deleted"] == 20
+    assert t2.refresh().scan().count() == 10
+
+
+def test_or_predicate_update_prunes_and_matches_exactly(spark, tmp_path):
+    t = _banded_table(spark, tmp_path, "orupd")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(spark,
+                  "UPDATE orupd SET codec = 'x' "
+                  "WHERE dur_ms <= 150 or dur_ms >= 320",
+                  {"orupd": t}, led)
+    assert res["files_untouched"] == 1
+    assert res["rows_updated"] == 14
+    after = t.refresh().scan()
+    assert after.filter("codec = 'x'").count() == 14
+    assert after.filter(
+        "codec = 'x' AND dur_ms > 150 AND dur_ms < 320").count() == 0
+
+
+def test_extract_predicates_arm_shapes():
+    from open_finance_lakehouse_spark.sql import _extract_predicates
+
+    preds, any_of, fully = _extract_predicates(
+        "dur_ms <= 400 or codec = 'ulaw'")
+    assert preds == [] and fully
+    assert [[(p.column, p.lo, p.hi) for p in arm] for arm in any_of] == [
+        [("dur_ms", None, 400)], [("codec", "ulaw", "ulaw")]]
+    # a mixed AND arm inside an OR
+    preds, any_of, fully = _extract_predicates(
+        "dur_ms <= 400 and codec = 'ulaw' or sr_hz >= 44100")
+    assert fully and len(any_of) == 2 and len(any_of[0]) == 2
+    # an unliftable arm keeps the clause residual but other arms prune
+    preds, any_of, fully = _extract_predicates(
+        "transcript LIKE '%a%' or dur_ms <= 10")
+    assert not fully and any_of[0] == [] and len(any_of[1]) == 1
+    # no OR: conjunct path unchanged
+    preds, any_of, fully = _extract_predicates("dur_ms <= 400")
+    assert any_of is None and fully and len(preds) == 1
