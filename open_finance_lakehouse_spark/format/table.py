@@ -251,6 +251,7 @@ class LakeTable:
         self,
         snapshot_id: int | None = None,
         predicates: list[ColumnRange] | None = None,
+        files: "list[mf.DataFile] | None" = None,
     ) -> tuple[list[mf.DataFile], int]:
         """Stats-pruned file planning. Returns (selected, total_live).
 
@@ -263,8 +264,13 @@ class LakeTable:
         one bucket the column's range spans ~everything.  Matches the
         partition pruning the reference gets free from Delta's
         ``partitionBy("source")``
-        (/root/reference/ofl/transform/spark/silver.py:91)."""
-        files = self.live_files(snapshot_id)
+        (/root/reference/ofl/transform/spark/silver.py:91).
+
+        ``files``: pre-listed inventory (one ``live_files`` read shared
+        across several pruning passes — disjunctive DML arms re-plan K
+        times; without this each pass re-reads every manifest)."""
+        if files is None:
+            files = self.live_files(snapshot_id)
         total = len(files)
         if not predicates:
             return files, total
@@ -525,9 +531,12 @@ class LakeTable:
             # marker sitting on a PENDING staged snapshot conflicts
             # loudly — the caller is mixing WAP and plain appends and the
             # data is not decided yet
+            # the fence needs the FULL (app, txn) pair: an app id alone is
+            # inert annotation (pre-fence behavior) — fencing on it would
+            # make every append after the first silently skip (None==None)
             app = (summary or {}).get("txn_app_id")
-            if app is not None and not staged:
-                txn = (summary or {}).get("txn_id")
+            txn = (summary or {}).get("txn_id")
+            if app is not None and txn is not None and not staged:
                 for s in meta.snapshots:
                     if (s.summary.get("txn_app_id") == app
                             and s.summary.get("txn_id") == txn):
@@ -557,7 +566,7 @@ class LakeTable:
                 # zombie driver plus its restarted query — would otherwise
                 # both pass a check-then-act marker lookup and double-stage
                 app, txn = extra.get("txn_app_id"), extra.get("txn_id")
-                if app is not None and any(
+                if app is not None and txn is not None and any(
                         s.summary.get("txn_app_id") == app
                         and s.summary.get("txn_id") == txn
                         for s in meta.snapshots):
@@ -597,6 +606,10 @@ class LakeTable:
             # idempotent write's files behind the same way)
             if manifest is not None:
                 self._discard_staged([], [manifest])
+            # every other commit path leaves self.meta at the head the
+            # caller's write is visible in — the skip must too, or a scan
+            # on this handle wouldn't show the rows just reported committed
+            self.refresh()
             return e.snap
         except CommitConflict:
             # spec-changed conflict: this append's manifest is litter (the
@@ -757,6 +770,16 @@ class LakeTable:
             raise ValueError(
                 "on_violation='dead_letter' requires a dead_letter table "
                 "(violators would otherwise be silently dropped)")
+        # replayed idempotent batch: skip BEFORE staging so the common
+        # replay path writes zero bytes (a 10 GB batch replay would
+        # otherwise rewrite all its parquet just for the in-CAS fence to
+        # orphan it); the fence below remains the race-window backstop
+        app = (summary or {}).get("txn_app_id")
+        txn = (summary or {}).get("txn_id")
+        if app is not None and txn is not None:
+            prior = self.find_txn(app, txn)
+            if prior is not None and prior.summary.get("staged") != "true":
+                return prior
         # write-schema conformance ALWAYS (Delta/Iceberg discipline, not
         # just on contract tables): a misnamed column would otherwise
         # commit fine and read back as all-NULL under the table schema

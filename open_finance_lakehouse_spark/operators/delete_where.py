@@ -70,8 +70,10 @@ def _proves_full_match(f, predicates: list[ColumnRange]) -> bool:
 
 
 def _arm_candidates(table: LakeTable,
-                    predicates: list[ColumnRange]) -> tuple[list, int]:
-    candidates, total = table.plan_files(predicates=predicates or None)
+                    predicates: list[ColumnRange],
+                    files=None) -> tuple[list, int]:
+    candidates, total = table.plan_files(predicates=predicates or None,
+                                         files=files)
     # a file whose predicate column is entirely null can't match either
     # (bounds are absent there, so plan_files keeps it conservatively)
     return [
@@ -103,11 +105,20 @@ def plan_delete(table: LakeTable,
         raise ValueError(
             "delete_where with no predicate would truncate the table; "
             "use replace()/publish for that, explicitly")
+    if any_of and residual is None and any(not arm for arm in any_of):
+        # an empty arm means "this arm matches everything": with no
+        # residual the OR is unconditionally true — the accidental
+        # truncate the guard above exists to refuse
+        raise ValueError(
+            "any_of contains an empty arm with no residual — that arm "
+            "matches every row, making the delete a table truncate; use "
+            "replace()/publish for that, explicitly")
     if any_of:
+        inventory = table.live_files()  # one manifest read for ALL arms
         by_path, total = {}, 0
         arms_of: dict[str, list] = {}
         for arm in any_of:
-            cand, total = _arm_candidates(table, arm)
+            cand, total = _arm_candidates(table, arm, files=inventory)
             for f in cand:
                 by_path[f.file_path] = f
                 arms_of.setdefault(f.file_path, []).append(arm)

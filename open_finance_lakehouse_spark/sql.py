@@ -141,6 +141,36 @@ def _find_top_keyword(s: str, word: str) -> int:
     return -1
 
 
+def _strip_outer_parens(s: str) -> str:
+    """Peel redundant MATCHED outer parens: ``(a AND b)`` → ``a AND b``.
+    ``(a) or (b)`` is untouched (the first paren closes mid-string), as
+    is anything whose parens are part of a function call or IN-list."""
+    s = s.strip()
+    while len(s) >= 2 and s[0] == "(" and s[-1] == ")":
+        depth, i, n = 0, 0, len(s)
+        closes_at_end = False
+        while i < n:
+            c = s[i]
+            if c == "'":
+                j = i + 1
+                while j < n and s[j] != "'":
+                    j += 1
+                i = j + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    closes_at_end = i == n - 1
+                    break
+            i += 1
+        if not closes_at_end:
+            return s
+        s = s[1:-1].strip()
+    return s
+
+
 def _parse_literal(tok: str):
     tok = tok.strip()
     if tok.startswith("'"):
@@ -208,7 +238,12 @@ def _extract_conjuncts(where: str):
         i += 1
 
     for c in joined:
-        c = c.strip()
+        # redundant parens around a single conjunct — "(a = 1) and b = 2"
+        # — would otherwise match no lift pattern and lose its pruning
+        c = _strip_outer_parens(c)
+        if _find_top_keyword(c, "or") >= 0:
+            fully = False  # "(p or q)" stripped bare: residual-only
+            continue
         m = re.fullmatch(
             rf"({_IDENT})\s*(<=|>=|<|>|==|=)\s*(.+)", c, re.S)
         if m:
@@ -261,13 +296,16 @@ def _extract_predicates(where: str):
     (when every arm lifts exactly) a file some arm provably matches
     entirely still drops metadata-only.  Without a top-level OR this is
     ``_extract_conjuncts`` unchanged (``any_of=None``)."""
+    where = _strip_outer_parens(where)  # "((p) or (q))" → "(p) or (q)"
     arms_src = _split_top(where, " or ")
     if len(arms_src) == 1:
         preds, fully = _extract_conjuncts(where)
         return preds, None, fully
     arms, fully = [], True
     for a in arms_src:
-        p, f = _extract_conjuncts(a.strip())
+        # "(a AND b) OR c" is the textbook OR shape: peel the arm's
+        # matched outer parens so its conjuncts lift for pruning
+        p, f = _extract_conjuncts(_strip_outer_parens(a))
         arms.append(p)
         # an arm that doesn't lift EXACTLY (or at all: p == []) keeps the
         # whole clause residual; its empty/relaxed ranges still prune

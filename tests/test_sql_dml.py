@@ -322,3 +322,43 @@ def test_extract_predicates_arm_shapes():
     # no OR: conjunct path unchanged
     preds, any_of, fully = _extract_predicates("dur_ms <= 400")
     assert any_of is None and fully and len(preds) == 1
+
+
+def test_parenthesized_or_arms_still_prune(spark, tmp_path):
+    """Regression: '(a AND b) OR c' — the textbook OR shape — lifted as
+    an EMPTY arm (the parens matched no pattern), so the candidate union
+    was every live file."""
+    from open_finance_lakehouse_spark.sql import _extract_predicates
+
+    preds, any_of, fully = _extract_predicates(
+        "(dur_ms <= 150 and codec = 'pcm16') or (dur_ms >= 320)")
+    assert fully and len(any_of) == 2
+    assert len(any_of[0]) == 2 and len(any_of[1]) == 1
+    # whole-clause parens too
+    preds, any_of, fully = _extract_predicates("((dur_ms <= 150))")
+    assert any_of is None and fully and preds[0].hi == 150
+    # a parenthesized conjunct inside an AND keeps pruning
+    preds, fully = _extract_conjuncts("(dur_ms <= 150) and (codec = 'x')")
+    assert fully and len(preds) == 2
+
+    t = _banded_table(spark, tmp_path, "orparen")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(
+        spark,
+        "DELETE FROM orparen WHERE (dur_ms <= 150 and codec = 'pcm16') "
+        "or (dur_ms >= 320)", {"orparen": t}, led)
+    assert res["files_untouched"] == 1  # middle band never read
+    assert res["rows_deleted"] == 14
+
+
+def test_empty_arm_without_residual_refuses_truncate(spark, tmp_path):
+    from open_finance_lakehouse_spark.operators.delete_where import (
+        delete_where,
+    )
+
+    t = _table(spark, tmp_path, "earm", n=10)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    with pytest.raises(ValueError, match="empty arm"):
+        delete_where(t, led, "e1", any_of=[[], [ColumnRange("dur_ms",
+                                                            hi=100)]])
+    assert t.refresh().scan().count() == 10

@@ -809,8 +809,9 @@ def test_idempotent_append_skips_replayed_txn_marker(spark, warehouse):
     replay = t.append(kdf(spark, 0, 10), summary=dict(txn))
     assert replay.snapshot_id == first.snapshot_id
     assert t.refresh().scan().count() == 10  # no duplicate rows
-    # the skipped attempt's files are orphans, sweepable
-    assert t.delete_orphans(grace_ms=0) != []
+    # the pre-stage short-circuit means the replay wrote ZERO bytes —
+    # no orphans at all (the in-CAS fence is only the race backstop)
+    assert t.delete_orphans(grace_ms=0) == []
     assert t.scan().count() == 10
     # a DIFFERENT batch id appends normally
     t.append(kdf(spark, 10, 15), summary={"txn_app_id": "job", "txn_id": 5})
@@ -824,3 +825,29 @@ def test_plain_append_conflicts_with_pending_staged_marker(
     t.append_staged(kdf(spark, 0, 5), summary=dict(txn))
     with pytest.raises(CommitConflict, match="PENDING staged"):
         t.append(kdf(spark, 0, 5), summary=dict(txn))
+
+
+def test_app_id_without_txn_id_is_inert_annotation(spark, warehouse):
+    """Regression: the idempotent fence once fired on txn_app_id ALONE
+    (None == None txn match), silently skipping every later append that
+    carried only an app tag."""
+    t = make_table(spark, warehouse, "apponly")
+    s1 = t.append(kdf(spark, 0, 5), summary={"txn_app_id": "loader"})
+    s2 = t.append(kdf(spark, 5, 12), summary={"txn_app_id": "loader"})
+    assert s2.snapshot_id != s1.snapshot_id
+    assert t.refresh().scan().count() == 12
+
+
+def test_idempotent_skip_leaves_handle_at_visible_head(spark, warehouse):
+    """The skip path must leave self.meta at a head where the reported
+    rows are visible — a stale handle (loaded before another run
+    committed the marker) would otherwise scan PRE-batch state right
+    after append() returned the committed snapshot."""
+    t = make_table(spark, warehouse, "stale")
+    txn = {"txn_app_id": "job", "txn_id": 1}
+    stale = LakeTable.load(spark, t.location)  # snapshot of pre-batch meta
+    t.append(kdf(spark, 0, 8), summary=dict(txn))
+    snap = stale.append(kdf(spark, 0, 8), summary=dict(txn))  # replay
+    assert snap.snapshot_id == t.meta.current_snapshot_id
+    # no refresh() by the caller: the handle itself must be current
+    assert stale.scan().count() == 8
