@@ -548,6 +548,7 @@ class FrostBatchReader(DataSourceReader):
         self.arrow_schema = to_arrow_schema(schema)
         self._ranges: dict[str, list] = {}  # col -> [lo, hi] (None = open)
         self._eq: dict[str, set] = {}  # col -> equality/IN value set
+        self._nulls: dict[str, set] = {}  # col -> {"null","notnull"}
 
     def pushFilters(self, filters):
         """Comparison filters on top-level columns become manifest-stats
@@ -561,6 +562,8 @@ class FrostBatchReader(DataSourceReader):
             GreaterThan,
             GreaterThanOrEqual,
             In,
+            IsNotNull,
+            IsNull,
             LessThan,
             LessThanOrEqual,
         )
@@ -616,6 +619,13 @@ class FrostBatchReader(DataSourceReader):
                 vals = {v for v in f.value if v is not None}
                 if vals:
                     narrow_eq(vals)
+            elif isinstance(f, (IsNull, IsNotNull)):
+                # manifest null_count pruning: IS NOT NULL skips all-null
+                # files, IS NULL skips zero-null files (conjunctive —
+                # both constraints on one column match no file, which the
+                # contradiction below expresses as an impossible pair)
+                self._nulls.setdefault(col, set()).add(
+                    "null" if isinstance(f, IsNull) else "notnull")
         return filters  # all re-applied by Spark post-scan
 
     def partitions(self):
@@ -650,6 +660,14 @@ class FrostBatchReader(DataSourceReader):
         def survives(entry) -> bool:
             if allowed is not None and entry.partition not in allowed:
                 return False
+            for col, kinds in self._nulls.items():
+                nc = entry.nulls(col)
+                if nc is None:
+                    continue  # pre-upgrade manifest: unknown, keep
+                if "notnull" in kinds and nc == entry.record_count:
+                    return False  # all-null file can't satisfy IS NOT NULL
+                if "null" in kinds and nc == 0:
+                    return False  # zero-null file can't satisfy IS NULL
             try:
                 return all(p.overlaps(entry.bounds(p.column))
                            for p in preds)

@@ -758,3 +758,40 @@ def test_frost_stream_starting_timestamp_expired_ancestry_raises(
                           "startingTimestampMs": str(s1.timestamp_ms)})
     with pytest.raises(ValueError, match="expired"):
         ds.streamReader(bronze._empty_df().schema)
+
+
+def test_frost_pushdown_null_count_pruning(spark, tmp_path):
+    """IsNull / IsNotNull pushdown prunes via manifest null counts: an
+    all-null file can't satisfy IS NOT NULL, a zero-null file can't
+    satisfy IS NULL — whole files skip without a byte read."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        FrostBatchReader,
+    )
+
+    register_frost_source(spark)
+    t = LakeTable.create(spark, str(tmp_path / "nn"), "nn",
+                         "k BIGINT, v DOUBLE")
+    t.append(spark.range(0, 10).coalesce(1).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t.append(spark.range(10, 20).coalesce(1).select(
+        F.col("id").alias("k"), F.lit(None).cast("double").alias("v")))
+    t.append(spark.range(20, 30).coalesce(1).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 1.0).alias("v")))
+
+    # correctness through the DF API
+    df = spark.read.format("frost").option("location", t.location).load()
+    assert df.filter("v IS NOT NULL").count() == 15
+    assert df.filter("v IS NULL").count() == 15
+
+    rd = FrostBatchReader(t._empty_df().schema, t.location)
+    rd.pushFilters([IsNotNull(("v",))])
+    assert len(rd.partitions()) == 2  # the all-null file skipped
+    rd = FrostBatchReader(t._empty_df().schema, t.location)
+    rd.pushFilters([IsNull(("v",))])
+    assert len(rd.partitions()) == 2  # the zero-null file skipped
+    # contradictory constraints: no file can satisfy both
+    rd = FrostBatchReader(t._empty_df().schema, t.location)
+    rd.pushFilters([IsNull(("v",)), IsNotNull(("v",))])
+    assert len(rd.partitions()) == 1  # only the mixed file survives
