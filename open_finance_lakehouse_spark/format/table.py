@@ -72,6 +72,10 @@ class ColumnRange:
     lo: object | None = None  # inclusive
     hi: object | None = None  # inclusive
     values: tuple | None = None  # IN-list; takes precedence over lo/hi
+    # "null" / "notnull": an IS [NOT] NULL test. Pruned via manifest
+    # null COUNTS, not min/max bounds (takes precedence over lo/hi/values
+    # — the SQL grammar never produces both on one ColumnRange)
+    null_test: str | None = None
 
     def overlaps(self, bounds) -> bool:
         if bounds is None:
@@ -134,7 +138,28 @@ class ColumnRange:
             return mf.temporal_to_micros(v)
         return v
 
+    def matches_nulls(self, null_count, record_count) -> bool:
+        """File-level null-stats pruning for a null test: False when the
+        counts PROVE no row can match (conservative on unknown counts)."""
+        if self.null_test is None or null_count is None:
+            return True
+        if self.null_test == "null":
+            return null_count > 0
+        return null_count < record_count  # notnull: all-null can't match
+
+    def proves_all_nulls(self, null_count, record_count) -> bool:
+        """Counts prove EVERY row satisfies the null test."""
+        if null_count is None:
+            return False
+        if self.null_test == "null":
+            return null_count == record_count
+        return null_count == 0
+
     def to_spark_filter(self):
+        if self.null_test is not None:
+            col = F.col(self.column)
+            return col.isNull() if self.null_test == "null" \
+                else col.isNotNull()
         if self.values is not None:
             return F.col(self.column).isin(list(self.values))
         cond = F.lit(True)
@@ -272,6 +297,17 @@ class LakeTable:
         if files is None:
             files = self.live_files(snapshot_id)
         total = len(files)
+        if not predicates:
+            return files, total
+        null_preds = [p for p in predicates if p.null_test is not None]
+        predicates = [p for p in predicates if p.null_test is None]
+        if null_preds:
+            # IS [NOT] NULL tests prune by per-column null COUNTS (the
+            # same stats the DELETE metadata tier reads), never by bounds
+            files = [f for f in files
+                     if all(p.matches_nulls(f.nulls(p.column),
+                                            f.record_count)
+                            for p in null_preds)]
         if not predicates:
             return files, total
         # bucket pruning is CURRENT-snapshot only: rewrite_partitioning is

@@ -62,6 +62,12 @@ from open_finance_lakehouse_spark.plans.ledger import (
 def _proves_full_match(f, predicates: list[ColumnRange]) -> bool:
     """Stats prove EVERY row of the file satisfies every conjunct."""
     for p in predicates:
+        if p.null_test is not None:
+            # null tests prove from COUNTS alone: bounds are irrelevant
+            # and the nulls==0 requirement below inverts for IS NULL
+            if not p.proves_all_nulls(f.nulls(p.column), f.record_count):
+                return False
+            continue
         if f.nulls(p.column) != 0:  # unknown (None) or >0: not provable
             return False
         if not p.proves_all(f.bounds(p.column)):
@@ -74,13 +80,15 @@ def _arm_candidates(table: LakeTable,
                     files=None) -> tuple[list, int]:
     candidates, total = table.plan_files(predicates=predicates or None,
                                          files=files)
-    # a file whose predicate column is entirely null can't match either
-    # (bounds are absent there, so plan_files keeps it conservatively)
+    # a file whose RANGE-predicate column is entirely null can't match
+    # (bounds are absent there, so plan_files keeps it conservatively) —
+    # null-TEST predicates are excluded: an all-null file is exactly what
+    # IS NULL matches, and plan_files already pruned those by counts
     return [
         f for f in candidates
         if not any(f.bounds(p.column) is None
                    and f.nulls(p.column) == f.record_count
-                   for p in predicates)
+                   for p in predicates if p.null_test is None)
     ], total
 
 

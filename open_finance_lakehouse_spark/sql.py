@@ -244,6 +244,14 @@ def _extract_conjuncts(where: str):
         if _find_top_keyword(c, "or") >= 0:
             fully = False  # "(p or q)" stripped bare: residual-only
             continue
+        m = re.fullmatch(rf"({_IDENT})\s+is\s+(not\s+)?null", c, re.I)
+        if m:
+            # IS [NOT] NULL lifts exactly — pruned via manifest null
+            # counts (plan_files / _proves_full_match), so a retention
+            # "purge the unlabeled rows" delete keeps its metadata tier
+            preds.append(ColumnRange(
+                m.group(1), null_test="notnull" if m.group(2) else "null"))
+            continue
         m = re.fullmatch(
             rf"({_IDENT})\s*(<=|>=|<|>|==|=)\s*(.+)", c, re.S)
         if m:

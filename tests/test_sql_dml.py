@@ -362,3 +362,57 @@ def test_empty_arm_without_residual_refuses_truncate(spark, tmp_path):
         delete_where(t, led, "e1", any_of=[[], [ColumnRange("dur_ms",
                                                             hi=100)]])
     assert t.refresh().scan().count() == 10
+
+
+def test_is_null_lifts_and_keeps_metadata_tier(spark, tmp_path):
+    """IS [NOT] NULL conjuncts lift into null-count pruning: an all-null
+    file drops METADATA-ONLY under IS NULL, a zero-null file is never
+    read, and mixed files rewrite — exact results either way."""
+    from open_finance_lakehouse_spark.sql import _extract_conjuncts as ec
+
+    preds, fully = ec("transcript is null and dur_ms <= 400")
+    assert fully and preds[0].null_test == "null"
+    preds, fully = ec("transcript IS NOT NULL")
+    assert fully and preds[0].null_test == "notnull"
+
+    t = LakeTable.create(spark, str(tmp_path / "nulldel"), "nulldel",
+                         CLIP_SCHEMA_DDL)
+
+    def band(lo, transcript_expr):
+        return (spark.range(10)
+                .select((F.lit(lo) + F.col("id") * 10).cast("int")
+                        .alias("dur_ms"))
+                .withColumn("clip_id", F.concat(F.lit(f"c{lo}-"),
+                                                F.col("dur_ms")))
+                .withColumn("bytes", F.lit(b"\x00"))
+                .withColumn("sr_hz", F.lit(16000))
+                .withColumn("codec", F.lit("pcm16"))
+                .withColumn("transcript", transcript_expr)
+                .select("clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                        "transcript"))
+
+    t.append(band(100, F.lit("x")).coalesce(1))                    # no nulls
+    t.append(band(200, F.lit(None).cast("string")).coalesce(1))    # all null
+    t.append(band(300, F.when(F.col("dur_ms") % 20 == 0,
+                              F.lit("y"))).coalesce(1))            # mixed
+    led = CheckpointLedger(str(tmp_path / "led"))
+    res = run_dml(spark, "DELETE FROM nulldel WHERE transcript is null",
+                  {"nulldel": t}, led)
+    assert res["files_untouched"] == 1      # the no-null file never read
+    assert res["files_full_dropped"] == 1   # the all-null file: zero bytes
+    assert res["files_rewritten"] == 1      # the mixed file
+    assert res["rows_deleted"] == 15
+    after = t.refresh().scan()
+    assert after.count() == 15
+    assert after.filter("transcript IS NULL").count() == 0
+
+    # IS NOT NULL: the all-null file is untouched, the no-null drops
+    t2 = LakeTable.create(spark, str(tmp_path / "nn2"), "nn2",
+                          CLIP_SCHEMA_DDL)
+    t2.append(band(100, F.lit("x")).coalesce(1))
+    t2.append(band(200, F.lit(None).cast("string")).coalesce(1))
+    res = run_dml(spark, "DELETE FROM nn2 WHERE transcript IS NOT NULL",
+                  {"nn2": t2}, led)
+    assert res["files_untouched"] == 1 and res["files_full_dropped"] == 1
+    assert t2.refresh().scan().count() == 10
+    assert t2.scan().filter("transcript IS NOT NULL").count() == 0
