@@ -657,17 +657,19 @@ class FrostBatchReader(DataSourceReader):
                 allowed = buckets_for(vals, dtype,
                                       int(spec["num_buckets"]))
 
+        # one truth table for null-count pruning: ColumnRange.matches_nulls
+        # (the same rules plan_files applies for lifted IS [NOT] NULL)
+        null_preds = [ColumnRange(col, null_test=kind)
+                      for col, kinds in self._nulls.items()
+                      for kind in kinds]
+
         def survives(entry) -> bool:
             if allowed is not None and entry.partition not in allowed:
                 return False
-            for col, kinds in self._nulls.items():
-                nc = entry.nulls(col)
-                if nc is None:
-                    continue  # pre-upgrade manifest: unknown, keep
-                if "notnull" in kinds and nc == entry.record_count:
-                    return False  # all-null file can't satisfy IS NOT NULL
-                if "null" in kinds and nc == 0:
-                    return False  # zero-null file can't satisfy IS NULL
+            if not all(p.matches_nulls(entry.nulls(p.column),
+                                       entry.record_count)
+                       for p in null_preds):
+                return False
             try:
                 return all(p.overlaps(entry.bounds(p.column))
                            for p in preds)
