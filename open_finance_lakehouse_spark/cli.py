@@ -403,16 +403,18 @@ def _execute(spark, args) -> dict:
         from open_finance_lakehouse_spark.sql import (
             register_tables,
             run_dml,
+            run_merge,
             run_sql,
         )
 
         views = dict(kv.split("=", 1) for kv in args.register)
         head = args.query.lstrip().split(None, 1)[0].lower() if args.query.strip() else ""
-        if head in ("delete", "update"):
+        if head in ("delete", "update", "merge"):
             if not args.ledger:
                 raise SystemExit("DML statements require --ledger")
-            out = run_dml(spark, args.query, views,
-                          CheckpointLedger(args.ledger))
+            runner = run_merge if head == "merge" else run_dml
+            out = runner(spark, args.query, views,
+                         CheckpointLedger(args.ledger))
         else:
             reg = register_tables(spark, views)
             rows = [r.asDict() for r in

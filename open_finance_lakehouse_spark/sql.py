@@ -395,3 +395,211 @@ def run_dml(
     raise ValueError(
         "run_dml handles DELETE FROM <t> WHERE ... and UPDATE <t> SET ... "
         f"[WHERE ...]; got: {statement[:80]!r} (SELECTs go to run_sql)")
+
+
+# ------------------------------------------------------------- MERGE SQL
+
+
+def _merge_clauses(tail: str) -> list[dict]:
+    """Split the WHEN-clause tail into ordered clause dicts."""
+    import re
+
+    out = []
+    s = tail
+    while s.strip():
+        idx = _find_top_keyword(s[4:], "when")  # skip the leading WHEN
+        seg, s = (s[:idx + 4], s[idx + 4:]) if idx >= 0 else (s, "")
+        m = re.fullmatch(
+            r"\s*when\s+(not\s+)?matched\s*(?:and\s+(.*?))?\s*then\s+(.+)",
+            seg, re.S | re.I)
+        if not m:
+            raise ValueError(f"unparseable MERGE clause: {seg.strip()!r}")
+        clause = {"matched": not m.group(1),
+                  "cond": (m.group(2) or "").strip() or None}
+        action = m.group(3).strip()
+        am = re.fullmatch(r"update\s+set\s+(.+)", action, re.S | re.I)
+        if am and clause["matched"]:
+            sets = {}
+            for a in _split_top(am.group(1), ","):
+                col, eq, expr = a.partition("=")
+                if not eq:
+                    raise ValueError(f"bad MERGE SET assignment: {a!r}")
+                sets[col.strip().split(".")[-1]] = expr.strip()
+            clause["action"], clause["set"] = "update", sets
+            out.append(clause)
+            continue
+        if re.fullmatch(r"delete", action, re.I) and clause["matched"]:
+            clause["action"] = "delete"
+            out.append(clause)
+            continue
+        am = re.fullmatch(
+            r"insert\s*(\*|\(([^)]*)\)\s*values\s*\((.*)\))",
+            action, re.S | re.I)
+        if am and not clause["matched"]:
+            clause["action"] = "insert"
+            if am.group(1) == "*":
+                clause["insert"] = None  # INSERT *: source columns by name
+            else:
+                cols = [c.strip().split(".")[-1]
+                        for c in _split_top(am.group(2), ",")]
+                vals = [v.strip() for v in _split_top(am.group(3), ",")]
+                if len(cols) != len(vals):
+                    raise ValueError("MERGE INSERT column/value count "
+                                     f"mismatch: {cols} vs {len(vals)} "
+                                     "values")
+                clause["insert"] = dict(zip(cols, vals))
+            out.append(clause)
+            continue
+        raise ValueError(
+            f"unsupported MERGE action {action[:60]!r} (matched clauses "
+            "take UPDATE SET/DELETE; not-matched take INSERT)")
+    return out
+
+
+def run_merge(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+    ledger,
+    source: "DataFrame | None" = None,
+    job_id: str | None = None,
+    source_token: str | None = None,
+) -> dict:
+    """``MERGE INTO <t> [AS] t USING <src> [AS] s ON t.k = s.k [AND ...]
+    WHEN [NOT] MATCHED [AND cond] THEN UPDATE SET ... | DELETE |
+    INSERT * | INSERT (cols) VALUES (exprs)`` — the Delta MERGE statement
+    lowered onto the copy-on-write ``merge_into`` operator.
+
+    Semantics follow SQL MERGE: clauses evaluate IN ORDER per row (first
+    match wins); a row no clause claims is untouched; duplicate source
+    keys error (Delta's multiple-source-rows-matched rule). Conditions
+    and expressions may reference both aliases (``t.v + s.delta``). The
+    ON clause must be equalities on SAME-NAMED columns including the
+    table's bucket column — that key list drives merge_into's pruned
+    per-bucket planning. The matched/not-matched decision costs one
+    column-pruned key join of the source against the target scan; the
+    REWRITE itself stays merge_into's stats+bucket-pruned plan.
+
+    ``source``: a DataFrame for the USING name; otherwise the name
+    resolves through ``tables`` (a LakeTable scan) or a registered view.
+    ``source_token`` keys idempotent replay (merge_into contract); ad-hoc
+    SQL defaults to a random token, so replays re-apply (the statement
+    itself is naturally idempotent for pure upsert/delete shapes)."""
+    import re
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from open_finance_lakehouse_spark.operators.merge_into import merge_into
+
+    s_stmt = statement.strip().rstrip(";").strip()
+    m = re.match(
+        rf"merge\s+into\s+({_IDENT})(?:\s+as)?(?:\s+({_IDENT}))?"
+        rf"\s+using\s+({_IDENT})(?:\s+as)?(?:\s+({_IDENT}))?"
+        rf"\s+on\s+(.+?)\s+(when\s+.+)",
+        s_stmt, re.S | re.I)
+    if not m:
+        raise ValueError(
+            "run_merge handles MERGE INTO <t> USING <s> ON ... WHEN ...; "
+            f"got: {statement[:80]!r}")
+    tgt_name, t_alias = m.group(1), (m.group(2) or "t").lower()
+    src_name, s_alias = m.group(3), (m.group(4) or "s").lower()
+    if tgt_name not in tables:
+        raise ValueError(f"MERGE target {tgt_name!r} not in tables; "
+                         f"known: {sorted(tables)}")
+    tgt = tables[tgt_name]
+    if not isinstance(tgt, LakeTable):
+        tgt = LakeTable.load(spark, tgt)
+    if source is None:
+        src_obj = tables.get(src_name)
+        if isinstance(src_obj, LakeTable):
+            source = src_obj.scan()
+        elif isinstance(src_obj, str):
+            source = LakeTable.load(spark, src_obj).scan()
+        else:
+            source = spark.table(src_name)  # registered view
+
+    # ON: conjunction of same-named alias equalities -> the merge key
+    keys = []
+    for c in _split_top(m.group(5), " and "):
+        em = re.fullmatch(
+            rf"\(*\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})"
+            rf"\s*\)*", c.strip(), re.I)
+        if not em:
+            raise ValueError(f"MERGE ON must be alias equalities "
+                             f"(t.k = s.k); got {c.strip()!r}")
+        pairs = {em.group(1).lower(): em.group(2),
+                 em.group(3).lower(): em.group(4)}
+        if set(pairs) != {t_alias, s_alias} or \
+                pairs[t_alias] != pairs[s_alias]:
+            raise ValueError(
+                f"MERGE ON equality must join the SAME column name across "
+                f"both aliases; got {c.strip()!r}")
+        keys.append(pairs[t_alias])
+    clauses = _merge_clauses(m.group(6))
+
+    dup = (source.groupBy(*keys).count().filter("count > 1").limit(1)
+           .collect())
+    if dup:
+        raise ValueError(
+            "MERGE source has multiple rows per key "
+            f"{tuple(dup[0][k] for k in keys)!r} — SQL MERGE forbids "
+            "multiple source rows matching one target row (pre-aggregate "
+            "the source)")
+
+    data_cols = tgt._empty_df().columns
+    # matched decision: key join (broadcast-friendly source side); the
+    # join on=names collapses key columns, so __matched needs a
+    # TARGET-ONLY witness — a constant marker added pre-join, never a
+    # data column (whose legitimate NULLs would misread as "not matched")
+    joined = (source.alias(s_alias)
+              .join(tgt.scan().withColumn("__t", F.lit(1))
+                    .alias(t_alias), on=keys, how="left")
+              .withColumn("__matched", F.col("__t").isNotNull())
+              .drop("__t"))
+
+    # clause resolution IN ORDER: first matching clause claims the row
+    action = F.lit(None).cast("int")
+    claimed = F.lit(False)
+    for i, cl in enumerate(clauses):
+        cond = F.col("__matched") if cl["matched"] \
+            else ~F.col("__matched")
+        if cl["cond"]:
+            cond = cond & F.expr(cl["cond"]).eqNullSafe(F.lit(True))
+        action = F.when(~claimed & cond, F.lit(i)).otherwise(action)
+        claimed = claimed | cond
+    tagged = joined.withColumn("__action", action) \
+                   .filter(F.col("__action").isNotNull())
+
+    def out_col(c: str):
+        # per-action value: update -> SET expr else t.c; insert -> INSERT
+        # expr else s.c (INSERT *); delete -> t.c (ignored by the D arm)
+        expr = F.col(f"{t_alias}.{c}") if c not in keys else F.col(c)
+        src_expr = F.col(f"{s_alias}.{c}") if c not in keys else F.col(c)
+        for i, cl in enumerate(clauses):
+            this = F.col("__action") == i
+            if cl["action"] == "update" and c in cl["set"]:
+                expr = F.when(this, F.expr(cl["set"][c])).otherwise(expr)
+            elif cl["action"] == "insert":
+                ins = cl["insert"]
+                v = (src_expr if ins is None
+                     else (F.expr(ins[c]) if c in ins
+                           else F.lit(None)))
+                expr = F.when(this, v).otherwise(expr)
+        typ = dict(zip(data_cols,
+                       tgt._empty_df().schema.fields))[c].dataType
+        return expr.cast(typ).alias(c)
+
+    is_delete = F.lit(False)
+    for i, cl in enumerate(clauses):
+        if cl["action"] == "delete":
+            is_delete = is_delete | (F.col("__action") == i)
+    batch = tagged.select(
+        *[out_col(c) for c in data_cols],
+        F.when(is_delete, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(1).cast("long").alias("seq"))
+
+    return merge_into(
+        tgt, batch, ledger, job_id or f"sql-merge-{tgt_name}",
+        source_token=source_token or f"sql-{uuid.uuid4().hex}",
+        key=keys)

@@ -416,3 +416,114 @@ def test_is_null_lifts_and_keeps_metadata_tier(spark, tmp_path):
     assert res["files_untouched"] == 1 and res["files_full_dropped"] == 1
     assert t2.refresh().scan().count() == 10
     assert t2.scan().filter("transcript IS NOT NULL").count() == 0
+
+
+# ------------------------------------------------------- MERGE INTO SQL
+
+
+def _merge_target(spark, tmp_path, name):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), name,
+        "series_id STRING, day DATE, value DOUBLE",
+        partition_spec={"kind": "bucket", "column": "series_id",
+                        "num_buckets": 2})
+    t.append(spark.sql("""
+        SELECT concat('s', cast(id % 4 AS STRING)) AS series_id,
+               date_add(date'2026-01-01', cast(id / 4 AS INT)) AS day,
+               cast(id AS DOUBLE) AS value FROM range(16)"""),
+        max_records_per_file=4)
+    return t
+
+
+def _src(spark, rows):
+    return (spark.createDataFrame(
+        rows, "series_id STRING, day STRING, delta DOUBLE")
+        .withColumn("day", F.col("day").cast("date")))
+
+
+def test_merge_sql_update_delete_insert(spark, tmp_path):
+    """Full three-clause MERGE: matched-update referencing both aliases,
+    conditional matched-delete, not-matched insert with explicit values."""
+    from open_finance_lakehouse_spark.sql import run_merge
+
+    t = _merge_target(spark, tmp_path, "msql")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    src = _src(spark, [
+        ("s1", "2026-01-01", 100.0),   # matched, delta >= 0 -> update
+        ("s2", "2026-01-01", -1.0),    # matched, delta < 0  -> delete
+        ("s9", "2026-03-01", 7.0),     # not matched         -> insert
+    ])
+    res = run_merge(
+        spark,
+        """MERGE INTO msql t USING changes s
+           ON t.series_id = s.series_id AND t.day = s.day
+           WHEN MATCHED AND s.delta < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET value = t.value + s.delta
+           WHEN NOT MATCHED THEN INSERT (series_id, day, value)
+             VALUES (s.series_id, s.day, s.delta)""",
+        {"msql": t}, led, source=src)
+    assert res["rows"] > 0
+    after = {(r["series_id"], str(r["day"])): r["value"]
+             for r in t.refresh().scan().collect()}
+    assert after[("s1", "2026-01-01")] == 1.0 + 100.0  # t.value + s.delta
+    assert ("s2", "2026-01-01") not in after           # deleted
+    assert after[("s9", "2026-03-01")] == 7.0          # inserted
+    assert len(after) == 16  # 16 - 1 delete + 1 insert
+    # unclaimed rows untouched
+    assert after[("s3", "2026-01-01")] == 3.0
+
+
+def test_merge_sql_insert_star_and_duplicate_source_refusal(
+        spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import run_merge
+
+    t = _merge_target(spark, tmp_path, "mstar")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    src = (spark.createDataFrame(
+        [("s8", "2026-05-01", 80.0), ("s1", "2026-01-01", 111.0)],
+        "series_id STRING, day STRING, value DOUBLE")
+        .withColumn("day", F.col("day").cast("date")))
+    run_merge(
+        spark,
+        "MERGE INTO mstar t USING u s ON t.series_id = s.series_id "
+        "AND t.day = s.day "
+        "WHEN MATCHED THEN UPDATE SET value = s.value "
+        "WHEN NOT MATCHED THEN INSERT *",
+        {"mstar": t}, led, source=src)
+    after = {(r["series_id"], str(r["day"])): r["value"]
+             for r in t.refresh().scan().collect()}
+    assert after[("s8", "2026-05-01")] == 80.0
+    assert after[("s1", "2026-01-01")] == 111.0
+    assert len(after) == 17
+
+    dup = (spark.createDataFrame(
+        [("s1", "2026-01-01", 1.0), ("s1", "2026-01-01", 2.0)],
+        "series_id STRING, day STRING, value DOUBLE")
+        .withColumn("day", F.col("day").cast("date")))
+    with pytest.raises(ValueError, match="multiple.*rows"):
+        run_merge(
+            spark,
+            "MERGE INTO mstar t USING u s ON t.series_id = s.series_id "
+            "AND t.day = s.day WHEN MATCHED THEN UPDATE SET value = "
+            "s.value", {"mstar": t}, led, source=dup)
+
+
+def test_merge_sql_grammar_errors(spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import run_merge
+
+    t = _merge_target(spark, tmp_path, "merr")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    src = _src(spark, [("s1", "2026-01-01", 1.0)])
+    with pytest.raises(ValueError, match="alias equalities"):
+        run_merge(spark,
+                  "MERGE INTO merr t USING u s ON t.series_id > s.series_id "
+                  "WHEN MATCHED THEN DELETE", {"merr": t}, led, source=src)
+    with pytest.raises(ValueError, match="SAME column name"):
+        run_merge(spark,
+                  "MERGE INTO merr t USING u s ON t.series_id = s.day "
+                  "WHEN MATCHED THEN DELETE", {"merr": t}, led, source=src)
+    with pytest.raises(ValueError, match="unsupported MERGE action"):
+        run_merge(spark,
+                  "MERGE INTO merr t USING u s ON t.series_id = s.series_id "
+                  "AND t.day = s.day WHEN NOT MATCHED THEN UPDATE SET "
+                  "value = 1", {"merr": t}, led, source=src)
