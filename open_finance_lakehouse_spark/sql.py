@@ -400,6 +400,49 @@ def run_dml(
 # ------------------------------------------------------------- MERGE SQL
 
 
+def _find_kw_outside_case(s: str, word: str, start: int = 0) -> int:
+    """Like ``_find_top_keyword`` but ALSO skips ``CASE ... END`` spans:
+    a MERGE clause's SET expression may legally contain CASE WHEN/THEN,
+    which must not be mistaken for clause boundaries."""
+    low = s.lower()
+    w = word.lower()
+    depth, case_depth, i, n = 0, 0, start, len(s)
+
+    def word_at(kw: str, i: int) -> bool:
+        return (low.startswith(kw, i)
+                and (i == 0 or not (low[i - 1].isalnum()
+                                    or low[i - 1] == "_"))
+                and (i + len(kw) == n
+                     or not (low[i + len(kw)].isalnum()
+                             or low[i + len(kw)] == "_")))
+
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n and s[j] != "'":
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if word_at("case", i):
+                case_depth += 1
+                i += 4
+                continue
+            if case_depth and word_at("end", i):
+                case_depth -= 1
+                i += 3
+                continue
+            if case_depth == 0 and word_at(w, i):
+                return i
+        i += 1
+    return -1
+
+
 def _merge_clauses(tail: str) -> list[dict]:
     """Split the WHEN-clause tail into ordered clause dicts."""
     import re
@@ -407,16 +450,21 @@ def _merge_clauses(tail: str) -> list[dict]:
     out = []
     s = tail
     while s.strip():
-        idx = _find_top_keyword(s[4:], "when")  # skip the leading WHEN
-        seg, s = (s[:idx + 4], s[idx + 4:]) if idx >= 0 else (s, "")
+        idx = _find_kw_outside_case(s, "when", start=4)  # skip leading WHEN
+        seg, s = (s[:idx], s[idx:]) if idx >= 0 else (s, "")
+        # head/action split at the clause's OWN top-level THEN (a CASE's
+        # THEN inside a condition never binds here)
+        tidx = _find_kw_outside_case(seg, "then")
+        if tidx < 0:
+            raise ValueError(f"unparseable MERGE clause: {seg.strip()!r}")
+        head, action = seg[:tidx], seg[tidx + 4:].strip()
         m = re.fullmatch(
-            r"\s*when\s+(not\s+)?matched\s*(?:and\s+(.*?))?\s*then\s+(.+)",
-            seg, re.S | re.I)
+            r"\s*when\s+(not\s+)?matched\s*(?:\s+and\s+(.+))?\s*",
+            head, re.S | re.I)
         if not m:
             raise ValueError(f"unparseable MERGE clause: {seg.strip()!r}")
         clause = {"matched": not m.group(1),
                   "cond": (m.group(2) or "").strip() or None}
-        action = m.group(3).strip()
         am = re.fullmatch(r"update\s+set\s+(.+)", action, re.S | re.I)
         if am and clause["matched"]:
             sets = {}
@@ -502,8 +550,10 @@ def run_merge(
         raise ValueError(
             "run_merge handles MERGE INTO <t> USING <s> ON ... WHEN ...; "
             f"got: {statement[:80]!r}")
-    tgt_name, t_alias = m.group(1), (m.group(2) or "t").lower()
-    src_name, s_alias = m.group(3), (m.group(4) or "s").lower()
+    # alias-free MERGE qualifies columns by the table names themselves
+    # (standard ANSI/Delta form) — default the aliases accordingly
+    tgt_name, t_alias = m.group(1), (m.group(2) or m.group(1)).lower()
+    src_name, s_alias = m.group(3), (m.group(4) or m.group(3)).lower()
     if tgt_name not in tables:
         raise ValueError(f"MERGE target {tgt_name!r} not in tables; "
                          f"known: {sorted(tables)}")
@@ -519,9 +569,11 @@ def run_merge(
         else:
             source = spark.table(src_name)  # registered view
 
-    # ON: conjunction of same-named alias equalities -> the merge key
+    # ON: conjunction of same-named alias equalities -> the merge key.
+    # The grammar admits no string literals here, so whitespace collapse
+    # is safe and lets "\nAND"-formatted statements split
     keys = []
-    for c in _split_top(m.group(5), " and "):
+    for c in _split_top(" ".join(m.group(5).split()), " and "):
         em = re.fullmatch(
             rf"\(*\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})"
             rf"\s*\)*", c.strip(), re.I)
@@ -538,6 +590,30 @@ def run_merge(
         keys.append(pairs[t_alias])
     clauses = _merge_clauses(m.group(6))
 
+    data_cols = tgt._empty_df().columns
+    col_types = {f.name: f.dataType
+                 for f in tgt._empty_df().schema.fields}
+    for cl in clauses:
+        # typo'd column names must refuse, not silently drop the
+        # assignment (the merge would claim the rows and rewrite them
+        # UNCHANGED — the user believes the update applied)
+        named = (list(cl.get("set") or [])
+                 + list(cl.get("insert") or []))
+        unknown = [c for c in named if c not in data_cols]
+        if unknown:
+            raise ValueError(
+                f"MERGE clause references columns not in the target "
+                f"schema: {unknown} (target columns: {data_cols})")
+        # SET on an ON-key column cannot lower onto the keyed upsert:
+        # the batch row would carry the NEW key, so merge_into keeps the
+        # old-key target row AND inserts the new one — silent duplication
+        bad_keys = [c for c in (cl.get("set") or []) if c in keys]
+        if bad_keys:
+            raise ValueError(
+                f"MERGE cannot UPDATE the ON-key column(s) {bad_keys}: "
+                "a key change is a DELETE + INSERT, not an upsert — "
+                "write it as two clauses/statements")
+
     dup = (source.groupBy(*keys).count().filter("count > 1").limit(1)
            .collect())
     if dup:
@@ -547,7 +623,6 @@ def run_merge(
             "multiple source rows matching one target row (pre-aggregate "
             "the source)")
 
-    data_cols = tgt._empty_df().columns
     # matched decision: key join (broadcast-friendly source side); the
     # join on=names collapses key columns, so __matched needs a
     # TARGET-ONLY witness — a constant marker added pre-join, never a
@@ -570,6 +645,18 @@ def run_merge(
         claimed = claimed | cond
     tagged = joined.withColumn("__action", action) \
                    .filter(F.col("__action").isNotNull())
+    # duplicate TARGET keys would collapse mixed clause outcomes through
+    # the upsert's latest-per-key dedup (seq ties broken arbitrarily) —
+    # merge_into's natural-key contract assumes a key-unique target, so
+    # refuse loudly instead of silently picking a winner
+    tdup = (tagged.groupBy(*keys).count().filter("count > 1").limit(1)
+            .collect())
+    if tdup:
+        raise ValueError(
+            "MERGE target has multiple rows per key "
+            f"{tuple(tdup[0][k] for k in keys)!r} — the keyed upsert "
+            "cannot apply per-row clauses to duplicate target keys; "
+            "deduplicate the target first")
 
     def out_col(c: str):
         # per-action value: update -> SET expr else t.c; insert -> INSERT
@@ -586,9 +673,7 @@ def run_merge(
                      else (F.expr(ins[c]) if c in ins
                            else F.lit(None)))
                 expr = F.when(this, v).otherwise(expr)
-        typ = dict(zip(data_cols,
-                       tgt._empty_df().schema.fields))[c].dataType
-        return expr.cast(typ).alias(c)
+        return expr.cast(col_types[c]).alias(c)
 
     is_delete = F.lit(False)
     for i, cl in enumerate(clauses):

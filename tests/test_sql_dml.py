@@ -527,3 +527,52 @@ def test_merge_sql_grammar_errors(spark, tmp_path):
                   "MERGE INTO merr t USING u s ON t.series_id = s.series_id "
                   "AND t.day = s.day WHEN NOT MATCHED THEN UPDATE SET "
                   "value = 1", {"merr": t}, led, source=src)
+
+
+def test_merge_sql_review_regressions(spark, tmp_path):
+    """Round-5 review fixes: alias-free form, newline-AND in ON, CASE
+    WHEN inside SET, typo'd SET/INSERT columns refuse, key-column SET
+    refuses, duplicate TARGET keys refuse."""
+    from open_finance_lakehouse_spark.sql import run_merge
+
+    t = _merge_target(spark, tmp_path, "mreg")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    src = _src(spark, [("s1", "2026-01-01", 100.0),
+                       ("s2", "2026-01-01", -5.0)])
+    src.createOrReplaceTempView("chg")
+    # alias-free (table-name qualifiers), newline before AND, CASE in SET
+    res = run_merge(
+        spark,
+        """MERGE INTO mreg USING chg
+           ON mreg.series_id = chg.series_id
+AND mreg.day = chg.day
+           WHEN MATCHED THEN UPDATE SET
+             value = CASE WHEN chg.delta > 0 THEN mreg.value + chg.delta
+                          ELSE 0 END""",
+        {"mreg": t}, led)
+    assert res["rows"] > 0
+    after = {(r["series_id"], str(r["day"])): r["value"]
+             for r in t.refresh().scan().collect()}
+    assert after[("s1", "2026-01-01")] == 101.0  # CASE positive arm
+    assert after[("s2", "2026-01-01")] == 0.0    # CASE else arm
+
+    stmt = ("MERGE INTO mreg t USING chg s ON t.series_id = s.series_id "
+            "AND t.day = s.day ")
+    with pytest.raises(ValueError, match="not in the target schema"):
+        run_merge(spark, stmt + "WHEN MATCHED THEN UPDATE SET vlaue = 1",
+                  {"mreg": t}, led)
+    with pytest.raises(ValueError, match="not in the target schema"):
+        run_merge(spark, stmt + "WHEN NOT MATCHED THEN INSERT "
+                  "(series_id, dy, value) VALUES (s.series_id, s.day, 1)",
+                  {"mreg": t}, led)
+    with pytest.raises(ValueError, match="ON-key column"):
+        run_merge(spark, stmt + "WHEN MATCHED THEN UPDATE SET "
+                  "day = date_add(t.day, 1)", {"mreg": t}, led)
+
+    # duplicate TARGET keys refuse (the keyed upsert can't apply per-row
+    # clauses to them)
+    t.append(spark.sql("""SELECT 's1' AS series_id,
+        date'2026-01-01' AS day, cast(999.0 AS double) AS value"""))
+    with pytest.raises(ValueError, match="target has multiple rows"):
+        run_merge(spark, stmt + "WHEN MATCHED THEN UPDATE SET value = 1",
+                  {"mreg": t}, led)
