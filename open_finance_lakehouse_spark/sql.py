@@ -89,9 +89,12 @@ def _split_top(s: str, sep: str) -> list[str]:
     low = s.lower()
     while i < n:
         c = s[i]
-        if c == "'":
+        if c in "'\"":
+            # opaque span: a single-quoted literal or a double-quoted
+            # literal/identifier (Spark treats "..." as a string by
+            # default) — keywords inside never split
             j = i + 1
-            while j < n and s[j] != "'":
+            while j < n and s[j] != c:
                 j += 1
             buf.append(s[i:j + 1])
             i = j + 1
@@ -115,30 +118,11 @@ def _find_top_keyword(s: str, word: str) -> int:
     """Index of the first paren/quote-depth-zero occurrence of ``word``
     as a whole word (case-insensitive), else -1.  The UPDATE grammar
     needs this to find the real WHERE: a regex ``\\s+where\\s+`` split
-    binds inside a SET string literal (``SET msg = 'no where clause'``)."""
-    low = s.lower()
-    w = word.lower()
-    depth, i, n = 0, 0, len(s)
-    while i < n:
-        c = s[i]
-        if c == "'":
-            j = i + 1
-            while j < n and s[j] != "'":
-                j += 1
-            i = j + 1
-            continue
-        if c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        elif (depth == 0 and low.startswith(w, i)
-              and (i == 0 or not (low[i - 1].isalnum()
-                                  or low[i - 1] == "_"))
-              and (i + len(w) == n or not (low[i + len(w)].isalnum()
-                                           or low[i + len(w)] == "_"))):
-            return i
-        i += 1
-    return -1
+    binds inside a SET string literal (``SET msg = 'no where clause'``).
+    Delegates to the CASE-aware scanner: a keyword inside a CASE...END
+    span is an expression fragment in every grammar here, never a split
+    point."""
+    return _find_kw_outside_case(s, word)
 
 
 def _strip_outer_parens(s: str) -> str:
@@ -409,18 +393,22 @@ def _find_kw_outside_case(s: str, word: str, start: int = 0) -> int:
     depth, case_depth, i, n = 0, 0, start, len(s)
 
     def word_at(kw: str, i: int) -> bool:
+        # a '.'-qualified name (t.end, s.when) is a COLUMN reference,
+        # never the keyword
         return (low.startswith(kw, i)
                 and (i == 0 or not (low[i - 1].isalnum()
-                                    or low[i - 1] == "_"))
+                                    or low[i - 1] in "._"))
                 and (i + len(kw) == n
                      or not (low[i + len(kw)].isalnum()
                              or low[i + len(kw)] == "_")))
 
     while i < n:
         c = s[i]
-        if c == "'":
+        if c in "'\"":
+            # opaque span: single-quoted literal or double-quoted
+            # literal/identifier — keywords inside never match
             j = i + 1
-            while j < n and s[j] != "'":
+            while j < n and s[j] != c:
                 j += 1
             i = j + 1
             continue
@@ -593,6 +581,23 @@ def run_merge(
     data_cols = tgt._empty_df().columns
     col_types = {f.name: f.dataType
                  for f in tgt._empty_df().schema.fields}
+    # Spark resolves identifiers case-insensitively; canonicalize every
+    # parsed column name to the target schema's spelling so the guards
+    # below can't be bypassed by a case variant (SET day vs ON t.Day)
+    cf = {c.lower(): c for c in data_cols}
+    unknown_keys = [k for k in keys if k.lower() not in cf]
+    if unknown_keys:
+        raise ValueError(
+            f"MERGE ON key columns not in the target schema: "
+            f"{unknown_keys} (target columns: {data_cols})")
+    keys = [cf[k.lower()] for k in keys]
+    for cl in clauses:
+        if cl.get("set"):
+            cl["set"] = {cf.get(c.lower(), c): e
+                         for c, e in cl["set"].items()}
+        if cl.get("insert"):
+            cl["insert"] = {cf.get(c.lower(), c): e
+                            for c, e in cl["insert"].items()}
     for cl in clauses:
         # typo'd column names must refuse, not silently drop the
         # assignment (the merge would claim the rows and rewrite them
@@ -613,6 +618,16 @@ def run_merge(
                 f"MERGE cannot UPDATE the ON-key column(s) {bad_keys}: "
                 "a key change is a DELETE + INSERT, not an upsert — "
                 "write it as two clauses/statements")
+        # an explicit INSERT list must cover the ON keys: omitting one
+        # would insert NULL-key rows, which the latest-per-key dedup
+        # then collapses into ONE row — silent row loss vs SQL
+        if cl.get("insert") is not None and cl["action"] == "insert":
+            lost = [k for k in keys if k not in cl["insert"]]
+            if lost:
+                raise ValueError(
+                    f"MERGE INSERT column list must include the ON-key "
+                    f"column(s) {lost}: omitted keys would insert as "
+                    "NULL and collapse in the keyed upsert")
 
     dup = (source.groupBy(*keys).count().filter("count > 1").limit(1)
            .collect())
@@ -622,6 +637,22 @@ def run_merge(
             f"{tuple(dup[0][k] for k in keys)!r} — SQL MERGE forbids "
             "multiple source rows matching one target row (pre-aggregate "
             "the source)")
+    # duplicate TARGET keys among the MATCHED keys would make the keyed
+    # upsert rewrite/delete EVERY same-key target row — including rows a
+    # conditional clause never claimed — so refuse BEFORE claiming, from
+    # a key-columns-only semi-join plan (cheaper than re-running the
+    # full clause-resolved join)
+    tdup = (tgt.scan().select(*keys)
+            .join(F.broadcast(source.select(*keys).distinct()),
+                  on=keys, how="left_semi")
+            .groupBy(*keys).count().filter("count > 1").limit(1)
+            .collect())
+    if tdup:
+        raise ValueError(
+            "MERGE target has multiple rows per key "
+            f"{tuple(tdup[0][k] for k in keys)!r} — the keyed upsert "
+            "cannot apply per-row clauses to duplicate target keys; "
+            "deduplicate the target first")
 
     # matched decision: key join (broadcast-friendly source side); the
     # join on=names collapses key columns, so __matched needs a
@@ -645,18 +676,6 @@ def run_merge(
         claimed = claimed | cond
     tagged = joined.withColumn("__action", action) \
                    .filter(F.col("__action").isNotNull())
-    # duplicate TARGET keys would collapse mixed clause outcomes through
-    # the upsert's latest-per-key dedup (seq ties broken arbitrarily) —
-    # merge_into's natural-key contract assumes a key-unique target, so
-    # refuse loudly instead of silently picking a winner
-    tdup = (tagged.groupBy(*keys).count().filter("count > 1").limit(1)
-            .collect())
-    if tdup:
-        raise ValueError(
-            "MERGE target has multiple rows per key "
-            f"{tuple(tdup[0][k] for k in keys)!r} — the keyed upsert "
-            "cannot apply per-row clauses to duplicate target keys; "
-            "deduplicate the target first")
 
     def out_col(c: str):
         # per-action value: update -> SET expr else t.c; insert -> INSERT

@@ -576,3 +576,67 @@ AND mreg.day = chg.day
     with pytest.raises(ValueError, match="target has multiple rows"):
         run_merge(spark, stmt + "WHEN MATCHED THEN UPDATE SET value = 1",
                   {"mreg": t}, led)
+
+
+def test_merge_sql_second_review_regressions(spark, tmp_path):
+    """Unclaimed duplicate target rows refuse BEFORE claiming; case
+    variants canonicalize (no key-guard bypass, no false refusal);
+    INSERT lists must cover the ON keys; 't.end'-style qualified names
+    and double-quoted literals don't confuse the clause scanner."""
+    from open_finance_lakehouse_spark.sql import run_merge
+
+    t = _merge_target(spark, tmp_path, "mrev2")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    src = _src(spark, [("s1", "2026-01-01", 100.0)])
+    stmt = ("MERGE INTO mrev2 t USING chg s ON t.series_id = s.series_id "
+            "AND t.day = s.day ")
+
+    # case-variant key in ON must still trip the key-SET guard
+    with pytest.raises(ValueError, match="ON-key column"):
+        run_merge(spark,
+                  "MERGE INTO mrev2 t USING chg s ON t.series_id = "
+                  "s.series_id AND t.Day = s.Day WHEN MATCHED THEN "
+                  "UPDATE SET day = date_add(t.day, 1)",
+                  {"mrev2": t}, led, source=src)
+    # case-variant SET column is legal (Spark resolves it)
+    res = run_merge(spark, stmt + "WHEN MATCHED THEN UPDATE SET "
+                    "Value = t.value + s.delta",
+                    {"mrev2": t}, led, source=src)
+    assert res["rows"] > 0
+    assert (t.refresh().scan()
+            .filter("series_id='s1' AND day=date'2026-01-01'")
+            .first()["value"] == 101.0)
+
+    # INSERT list omitting an ON key refuses (NULL keys would collapse)
+    with pytest.raises(ValueError, match="must include the ON-key"):
+        run_merge(spark, stmt + "WHEN NOT MATCHED THEN INSERT (value) "
+                  "VALUES (s.delta)", {"mrev2": t}, led, source=src)
+
+    # duplicate target keys refuse even when the clause is CONDITIONAL
+    # and would claim only one of the duplicates
+    t.append(spark.sql("""SELECT 's1' AS series_id,
+        date'2026-01-01' AS day, cast(999.0 AS double) AS value"""))
+    with pytest.raises(ValueError, match="target has multiple rows"):
+        run_merge(spark, stmt + "WHEN MATCHED AND t.value < 500 "
+                  "THEN DELETE", {"mrev2": t}, led, source=src)
+    # both duplicate rows still present: nothing was claimed or dropped
+    assert (t.refresh().scan()
+            .filter("series_id='s1' AND day=date'2026-01-01'")
+            .count() == 2)
+
+
+def test_merge_sql_scanner_edges(spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import _merge_clauses
+
+    # a double-quoted literal containing WHEN/THEN is opaque
+    cls = _merge_clauses(
+        'when matched then update set note = "updated when matched" '
+        'when not matched then insert *')
+    assert len(cls) == 2 and cls[0]["action"] == "update"
+    assert cls[1]["action"] == "insert" and cls[1]["insert"] is None
+    # a qualified column named like a keyword does not close the CASE
+    cls = _merge_clauses(
+        "when matched then update set value = "
+        "case when t.delta > 0 then 1 else 0 end")
+    assert len(cls) == 1
+    assert "case when" in cls[0]["set"]["value"].lower()
