@@ -18,6 +18,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import DataFrame
+
 from open_finance_lakehouse_spark.format.table import LakeTable
 from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
 from open_finance_lakehouse_spark.session import build_session
@@ -233,8 +235,10 @@ def main(argv=None):
     ru.add_argument("--master", default=None)
 
     sq = sub.add_parser("sql", help="run SQL over registered tables "
-                                    "(DELETE FROM / UPDATE ... SET route "
-                                    "to the DML operators; needs --ledger)")
+                                    "(DELETE/UPDATE/MERGE route to the DML "
+                                    "operators — needs --ledger; OPTIMIZE/"
+                                    "VACUUM/DESCRIBE HISTORY/RESTORE route "
+                                    "to the maintenance operators)")
     sq.add_argument("--register", action="append", default=[],
                     metavar="NAME=LOCATION",
                     help="repeatable view registrations")
@@ -403,18 +407,32 @@ def _execute(spark, args) -> dict:
         from open_finance_lakehouse_spark.sql import (
             register_tables,
             run_dml,
+            run_maintenance_sql,
             run_merge,
             run_sql,
         )
 
         views = dict(kv.split("=", 1) for kv in args.register)
-        head = args.query.lstrip().split(None, 1)[0].lower() if args.query.strip() else ""
+        toks = args.query.split()
+        head = toks[0].lower() if toks else ""
+        # `DESCRIBE HISTORY` is ours; a plain `DESCRIBE <view>` stays a
+        # catalog query through the view path
+        is_hist = (head == "describe" and len(toks) > 1
+                   and toks[1].lower() == "history")
         if head in ("delete", "update", "merge"):
             if not args.ledger:
                 raise SystemExit("DML statements require --ledger")
             runner = run_merge if head == "merge" else run_dml
             out = runner(spark, args.query, views,
                          CheckpointLedger(args.ledger))
+        elif head in ("optimize", "vacuum", "restore") or is_hist:
+            res = run_maintenance_sql(
+                spark, args.query, views,
+                ledger=CheckpointLedger(args.ledger) if args.ledger
+                else None)
+            out = ({"rows": [r.asDict() for r in
+                             res.limit(args.limit).collect()]}
+                   if isinstance(res, DataFrame) else res)
         else:
             reg = register_tables(spark, views)
             rows = [r.asDict() for r in

@@ -707,3 +707,172 @@ def run_merge(
         tgt, batch, ledger, job_id or f"sql-merge-{tgt_name}",
         source_token=source_token or f"sql-{uuid.uuid4().hex}",
         key=keys)
+
+
+# ------------------------------------------------------ maintenance SQL
+
+#: the clustering key interleaves exactly these axes (functions/curves.py
+#: pins the bit layout); ``OPTIMIZE ... ZORDER BY`` validates against them
+#: so a typo'd column list refuses instead of silently clustering on
+#: something else
+CURVE_AXES = ("clip_id", "dur_ms", "sr_hz")
+
+#: Delta's default VACUUM retention — the SQL surface keeps it so a bare
+#: ``VACUUM t`` is as safe here as there (concurrent writers' staged files
+#: and recent time-travel reads survive); tests/benches pass RETAIN 0 HOURS
+DEFAULT_VACUUM_RETAIN_HOURS = 168
+
+
+def run_maintenance_sql(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+    ledger=None,
+    job_id: str | None = None,
+) -> "dict | DataFrame":
+    """Lower the maintenance statements a Delta/Iceberg user types onto
+    the maintenance operators — the last SQL surface the reference's
+    silver lane uses that the DML triad (DELETE/UPDATE/MERGE) left out
+    (/root/reference/ofl/transform/spark/silver.py:368-373 runs literal
+    ``OPTIMIZE ... ZORDER BY`` and ``VACUUM ... RETAIN n HOURS``).
+
+    Grammar (case-insensitive, trailing ``;`` tolerated)::
+
+        OPTIMIZE <t>                            -> compact (bin-packing)
+        OPTIMIZE <t> ZORDER BY (c1, c2, c3)     -> cluster_global zorder
+        VACUUM <t> [RETAIN <n> HOURS] [DRY RUN] -> expire + orphan GC
+        DESCRIBE HISTORY <t>                    -> history() DataFrame
+        RESTORE [TABLE] <t> TO VERSION AS OF <snapshot_id>
+        RESTORE [TABLE] <t> TO TIMESTAMP AS OF <epoch_ms>
+
+    Semantics and knobs follow the CLI lanes exactly (flags > declared
+    ``maintenance.*`` table config > defaults): OPTIMIZE reads the
+    table's declared target size, ZORDER BY requires the engine's pinned
+    curve axes (any order) because the bit-interleave layout is part of
+    the table contract, and VACUUM maps ``RETAIN n HOURS`` onto BOTH
+    halves of the two-phase expire — snapshots older than the horizon
+    expire, and the GC grace window equals the horizon so files a
+    concurrent writer staged inside it survive (Delta's retention
+    contract). ``VACUUM ... DRY RUN`` is a pure preview: no snapshot
+    expires, no file deletes; it returns the table-relative orphan paths
+    GC would remove NOW (Delta's DRY RUN shape). RESTORE takes ``VERSION AS OF``
+    a snapshot id (frost versions ARE snapshot ids) or ``TIMESTAMP AS
+    OF`` epoch milliseconds — the engine-wide time-travel convention
+    (``asOfTimestampMs``); the rollback is itself a new CAS-committed
+    snapshot, so it is concurrency-safe and revertable.
+
+    OPTIMIZE and VACUUM mutate through checkpointed jobs and require
+    ``ledger``; DESCRIBE HISTORY is read-only and RESTORE is a pure
+    metadata commit — both run without one.
+    """
+    import re
+    import time
+
+    def resolve(name: str) -> LakeTable:
+        if name not in tables:
+            raise ValueError(
+                f"maintenance SQL references unknown table {name!r}; "
+                f"known: {sorted(tables)}")
+        t = tables[name]
+        return t if isinstance(t, LakeTable) else LakeTable.load(spark, t)
+
+    def need_ledger(verb: str):
+        if ledger is None:
+            raise ValueError(
+                f"{verb} runs a checkpointed maintenance job and needs a "
+                "ledger (CLI: pass --ledger)")
+
+    s = statement.strip().rstrip(";").strip()
+
+    m = re.fullmatch(
+        rf"optimize\s+({_IDENT})"
+        rf"(?:\s+zorder\s+by\s*\(([^)]+)\))?", s, re.I)
+    if m:
+        from open_finance_lakehouse_spark.operators.config import (
+            maintenance_config,
+        )
+
+        name = m.group(1)
+        table = resolve(name)
+        need_ledger("OPTIMIZE")
+        cfg = maintenance_config(table)
+        jid = job_id or f"sql-optimize-{name}"
+        if m.group(2) is None:
+            from open_finance_lakehouse_spark.operators.compact import (
+                compact,
+            )
+
+            return compact(table, ledger, jid,
+                           target_bytes=cfg["target_bytes"],
+                           concurrency=cfg["concurrency"])
+        cols = [c.strip() for c in m.group(2).split(",")]
+        if sorted(cols) != sorted(CURVE_AXES):
+            raise ValueError(
+                f"ZORDER BY {cols} — the clustering key interleaves "
+                f"exactly {list(CURVE_AXES)} (any order); other column "
+                "sets would need a different bit layout, which is part "
+                "of the table contract")
+        from open_finance_lakehouse_spark.operators.cluster import (
+            cluster_global,
+        )
+
+        return cluster_global(table, ledger, jid, curve="zorder",
+                              target_bytes=cfg["target_bytes"],
+                              exchange=cfg["cluster_exchange"])
+
+    m = re.fullmatch(
+        rf"vacuum\s+({_IDENT})"
+        rf"(?:\s+retain\s+(\d+)\s+hours?)?"
+        rf"(\s+dry\s+run)?", s, re.I)
+    if m:
+        name = m.group(1)
+        table = resolve(name)
+        hours = (int(m.group(2)) if m.group(2) is not None
+                 else DEFAULT_VACUUM_RETAIN_HOURS)
+        horizon_ms = hours * 3_600_000
+        if m.group(3):
+            # preview: nothing expires, nothing deletes — the orphan set
+            # under the SAME grace the real run would use
+            orphans = table.delete_orphans(grace_ms=horizon_ms,
+                                           dry_run=True)
+            return {"operation": "vacuum", "table": table.meta.name,
+                    "dry_run": True, "retain_hours": hours,
+                    "orphans": sorted(orphans)}
+        from open_finance_lakehouse_spark.operators.config import (
+            maintenance_config,
+        )
+        from open_finance_lakehouse_spark.operators.expire import expire
+
+        need_ledger("VACUUM")
+        cfg = maintenance_config(table)
+        now_ms = int(time.time() * 1000)
+        return expire(table, ledger, job_id or f"sql-vacuum-{name}",
+                      retain_last=cfg["retain_last"],
+                      older_than_ms=now_ms - horizon_ms,
+                      gc_grace_ms=horizon_ms)
+
+    m = re.fullmatch(rf"describe\s+history\s+({_IDENT})", s, re.I)
+    if m:
+        from pyspark.sql import functions as F
+
+        return resolve(m.group(1)).history().orderBy(
+            F.desc("sequence_number"))
+
+    m = re.fullmatch(
+        rf"restore\s+(?:table\s+)?({_IDENT})\s+to\s+"
+        rf"(version|timestamp)\s+as\s+of\s+(\d+)", s, re.I)
+    if m:
+        table = resolve(m.group(1))
+        n = int(m.group(3))
+        sid = (n if m.group(2).lower() == "version"
+               else table.snapshot_id_as_of(n))
+        snap = table.rollback(sid)
+        return {"operation": "restore", "table": table.meta.name,
+                "restored_to": sid,
+                "new_snapshot_id": snap.snapshot_id}
+
+    raise ValueError(
+        "run_maintenance_sql handles OPTIMIZE [ZORDER BY (...)], VACUUM "
+        "[RETAIN n HOURS] [DRY RUN], DESCRIBE HISTORY, and RESTORE "
+        f"[TABLE] <t> TO VERSION|TIMESTAMP AS OF <n>; got: "
+        f"{statement[:80]!r}")

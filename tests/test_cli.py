@@ -329,3 +329,34 @@ def test_parse_where_equality_value_containing_in_word():
     (p,) = _parse_where(["transcript = call in progress"])
     assert p.column == "transcript"
     assert p.lo == "call in progress" and p.hi == "call in progress"
+
+
+def test_cli_sql_maintenance_statements(spark, tmp_path, capsys):
+    loc = str(tmp_path / "sqlmaint")
+    _run(capsys, ["synth", "--table", loc, "--rows", "40",
+                  "--buckets", "2", "--records-per-file", "4"])
+    led = str(tmp_path / "led")
+
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--ledger", led, "--query", "OPTIMIZE clips"])
+    assert out["operation"] == "compact" and out["partitions_rewritten"] > 0
+
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--ledger", led,
+                        "--query", "VACUUM clips RETAIN 0 HOURS"])
+    assert out["operation"] == "expire"
+    assert out["orphans_deleted"] > 0
+
+    # DESCRIBE HISTORY renders rows; plain DESCRIBE stays a catalog query
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--query", "DESCRIBE HISTORY clips"])
+    assert out["rows"][0]["is_current"] is True
+
+    t = LakeTable.load(spark, loc)
+    good = t.current_snapshot_id()
+    t.replace(t.scan().limit(5))
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--query",
+                        f"RESTORE TABLE clips TO VERSION AS OF {good}"])
+    assert out["operation"] == "restore" and out["restored_to"] == good
+    assert LakeTable.load(spark, loc).scan().count() == 40

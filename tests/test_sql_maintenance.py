@@ -1,0 +1,171 @@
+"""Maintenance SQL front door: OPTIMIZE / VACUUM / DESCRIBE HISTORY /
+RESTORE lowered onto the maintenance operators — the literal statements
+the reference's silver lane runs against Delta
+(/root/reference/ofl/transform/spark/silver.py:368-373)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import DataFrame
+
+from open_finance_lakehouse_spark.format.table import LakeTable
+from open_finance_lakehouse_spark.plans.ledger import CheckpointLedger
+from open_finance_lakehouse_spark.sources.synth import (
+    CLIP_SCHEMA_DDL,
+    synth_clips,
+)
+from open_finance_lakehouse_spark.sql import run_maintenance_sql
+
+
+def _table(spark, tmp_path, name, n=60, **kw):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), name, CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, n, **kw), max_records_per_file=6)
+    return t
+
+
+def _content(t):
+    return sorted(
+        tuple(r) for r in
+        t.refresh().scan().select("clip_id", "dur_ms", "sr_hz",
+                                  "codec", "transcript").collect())
+
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    t = _table(spark, tmp_path, "mopt")
+    before_files = len(t.live_files())
+    before = _content(t)
+    res = run_maintenance_sql(
+        spark, "OPTIMIZE mopt;", {"mopt": t},
+        ledger=CheckpointLedger(str(tmp_path / "led")))
+    assert res["operation"] == "compact"
+    assert res["partitions_rewritten"] > 0
+    t.refresh()
+    assert len(t.live_files()) < before_files
+    assert _content(t) == before
+
+
+def test_optimize_zorder_by_clusters(spark, tmp_path):
+    t = _table(spark, tmp_path, "mzo")
+    before = _content(t)
+    res = run_maintenance_sql(
+        # permuted axis order is legal — the bit layout is pinned
+        spark, "OPTIMIZE mzo ZORDER BY (dur_ms, clip_id, sr_hz)",
+        {"mzo": t}, ledger=CheckpointLedger(str(tmp_path / "led")))
+    assert res["operation"].startswith("cluster_global[zorder")
+    assert _content(t) == before
+
+
+def test_optimize_zorder_refuses_other_columns(spark, tmp_path):
+    t = _table(spark, tmp_path, "mzbad", n=10)
+    with pytest.raises(ValueError, match="interleaves exactly"):
+        run_maintenance_sql(
+            spark, "OPTIMIZE mzbad ZORDER BY (dur_ms, codec)",
+            {"mzbad": t}, ledger=CheckpointLedger(str(tmp_path / "led")))
+
+
+def test_optimize_and_vacuum_require_ledger(spark, tmp_path):
+    t = _table(spark, tmp_path, "mled", n=10)
+    with pytest.raises(ValueError, match="needs a ledger"):
+        run_maintenance_sql(spark, "OPTIMIZE mled", {"mled": t})
+    with pytest.raises(ValueError, match="needs a ledger"):
+        run_maintenance_sql(spark, "VACUUM mled RETAIN 0 HOURS",
+                            {"mled": t})
+
+
+def test_vacuum_expires_and_collects(spark, tmp_path):
+    t = _table(spark, tmp_path, "mvac")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    before = _content(t)
+    run_maintenance_sql(spark, "OPTIMIZE mvac", {"mvac": t}, ledger=led)
+    t.refresh()
+    res = run_maintenance_sql(
+        spark, "VACUUM mvac RETAIN 0 HOURS", {"mvac": t}, ledger=led)
+    assert res["operation"] == "expire"
+    assert len(res["expired_snapshots"]) > 0
+    assert res["orphans_deleted"] > 0  # the pre-compaction small files
+    assert _content(t) == before
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    t = _table(spark, tmp_path, "mdry", n=20)
+    # a planted stray is the canonical would-be GC victim
+    part_dir = sorted(glob.glob(os.path.join(t.location, "data", "*")))[0]
+    stray = os.path.join(part_dir, "stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    n_snaps = len(t.snapshots())
+    res = run_maintenance_sql(
+        spark, "VACUUM mdry RETAIN 0 HOURS DRY RUN", {"mdry": t})
+    assert res["dry_run"] is True and res["retain_hours"] == 0
+    # orphan paths are table-relative (delete_orphans contract)
+    assert os.path.relpath(stray, t.location) in res["orphans"]
+    assert os.path.exists(stray)              # preview deleted nothing
+    assert len(t.refresh().snapshots()) == n_snaps  # and expired nothing
+
+
+def test_vacuum_default_retention_spares_recent_files(spark, tmp_path):
+    t = _table(spark, tmp_path, "mgrace", n=20)
+    part_dir = sorted(glob.glob(os.path.join(t.location, "data", "*")))[0]
+    stray = os.path.join(part_dir, "stray.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    # bare VACUUM retains 168h (Delta's default): the fresh stray is
+    # inside the grace window and must NOT be listed
+    res = run_maintenance_sql(spark, "VACUUM mgrace DRY RUN", {"mgrace": t})
+    assert res["retain_hours"] == 168
+    assert stray not in res["orphans"]
+
+
+def test_describe_history_latest_first(spark, tmp_path):
+    t = _table(spark, tmp_path, "mhist", n=10)
+    t.append(synth_clips(spark, 5, id_offset=1000), max_records_per_file=6)
+    out = run_maintenance_sql(spark, "DESCRIBE HISTORY mhist", {"mhist": t})
+    assert isinstance(out, DataFrame)
+    rows = out.collect()
+    assert len(rows) == len(t.snapshots())
+    assert rows[0]["is_current"] is True
+    seqs = [r["sequence_number"] for r in rows]
+    assert seqs == sorted(seqs, reverse=True)
+
+
+def test_restore_version_and_timestamp(spark, tmp_path):
+    t = _table(spark, tmp_path, "mres", n=20)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    good = _content(t)
+    sid = t.current_snapshot_id()
+    ts = t.meta.snapshot(sid).timestamp_ms
+    # TIMESTAMP AS OF resolves by wall-clock ms: keep the next commit out
+    # of the captured millisecond so the resolution is unambiguous
+    import time
+    time.sleep(0.05)
+    t.append(synth_clips(spark, 5, id_offset=1000), max_records_per_file=6)
+    assert _content(t) != good
+
+    res = run_maintenance_sql(
+        spark, f"RESTORE TABLE mres TO VERSION AS OF {sid}",
+        {"mres": t}, ledger=led)
+    assert res["operation"] == "restore" and res["restored_to"] == sid
+    assert _content(t) == good
+
+    # the restore itself is revertable: roll forward by timestamp —
+    # epoch-ms, the engine-wide time-travel convention
+    t.append(synth_clips(spark, 5, id_offset=1000), max_records_per_file=6)
+    res = run_maintenance_sql(
+        spark, f"RESTORE mres TO TIMESTAMP AS OF {ts}", {"mres": t})
+    assert res["restored_to"] == sid
+    assert _content(t) == good
+
+
+def test_unknown_statement_refuses(spark, tmp_path):
+    t = _table(spark, tmp_path, "munk", n=5)
+    with pytest.raises(ValueError, match="run_maintenance_sql handles"):
+        run_maintenance_sql(spark, "ANALYZE TABLE munk", {"munk": t})
+    with pytest.raises(ValueError, match="unknown table"):
+        run_maintenance_sql(spark, "OPTIMIZE nope", {"munk": t},
+                            ledger=CheckpointLedger(str(tmp_path / "l")))
