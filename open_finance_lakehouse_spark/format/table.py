@@ -1090,6 +1090,53 @@ class LakeTable:
 
     # ---------------------------------------------------------- maintenance
 
+    @staticmethod
+    def _select_expirable(
+        meta: md.TableMetadata,
+        retain_last: int,
+        older_than_ms: "int | None",
+    ) -> "tuple[list[md.Snapshot], list[int]]":
+        """The expire-snapshots keep/drop decision as a pure function of
+        the metadata — shared by the committing ``expire_snapshots`` and
+        the read-only ``would_expire`` preview so the two can never
+        disagree (the VACUUM DRY RUN contract depends on that)."""
+        ordered = sorted(meta.snapshots, key=lambda s: s.sequence_number)
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        chain: list[int] = []
+        cur = meta.current_snapshot_id
+        while cur is not None and cur in by_id:
+            chain.append(cur)
+            cur = by_id[cur].parent_id
+        keep_ids = set(chain[: max(retain_last, 1)])
+        if meta.current_snapshot_id is not None:
+            keep_ids.add(meta.current_snapshot_id)
+        kept, dropped = [], []
+        for s in ordered:
+            old_enough = (older_than_ms is None
+                          or s.timestamp_ms < older_than_ms)
+            # unpublished write-audit-publish snapshots are immune:
+            # they are off-ancestry BY DESIGN while awaiting audit
+            # (publish clears the marker or consumes the entry, drop
+            # removes it — "staged" in the log always means pending)
+            awaiting_audit = s.summary.get("staged") == "true"
+            if s.snapshot_id in keep_ids or not old_enough \
+                    or awaiting_audit:
+                kept.append(s)
+            else:
+                dropped.append(s.snapshot_id)
+        return kept, dropped
+
+    def would_expire(
+        self,
+        retain_last: int = 1,
+        older_than_ms: int | None = None,
+    ) -> list[int]:
+        """Snapshot ids ``expire_snapshots`` WOULD drop, without
+        committing anything — the expiry half of a VACUUM dry run."""
+        self.refresh()
+        return self._select_expirable(self.meta, retain_last,
+                                      older_than_ms)[1]
+
     def expire_snapshots(
         self,
         retain_last: int = 1,
@@ -1109,30 +1156,8 @@ class LakeTable:
         """
 
         def build(meta: md.TableMetadata):
-            ordered = sorted(meta.snapshots, key=lambda s: s.sequence_number)
-            by_id = {s.snapshot_id: s for s in meta.snapshots}
-            chain: list[int] = []
-            cur = meta.current_snapshot_id
-            while cur is not None and cur in by_id:
-                chain.append(cur)
-                cur = by_id[cur].parent_id
-            keep_ids = set(chain[: max(retain_last, 1)])
-            if meta.current_snapshot_id is not None:
-                keep_ids.add(meta.current_snapshot_id)
-            kept, dropped = [], []
-            for s in ordered:
-                old_enough = (older_than_ms is None
-                              or s.timestamp_ms < older_than_ms)
-                # unpublished write-audit-publish snapshots are immune:
-                # they are off-ancestry BY DESIGN while awaiting audit
-                # (publish clears the marker or consumes the entry, drop
-                # removes it — "staged" in the log always means pending)
-                awaiting_audit = s.summary.get("staged") == "true"
-                if s.snapshot_id in keep_ids or not old_enough \
-                        or awaiting_audit:
-                    kept.append(s)
-                else:
-                    dropped.append(s.snapshot_id)
+            kept, dropped = self._select_expirable(meta, retain_last,
+                                                   older_than_ms)
             # last_snapshot_id survives the expire untouched — expired ids
             # are never re-issued (snapshot ids are lifetime-unique)
             snap_meta = dc_replace(meta, properties=dict(meta.properties),
@@ -1146,22 +1171,35 @@ class LakeTable:
         self._try_commit(build)
         return self._expired
 
-    def reachable_paths(self) -> set[str]:
-        """All file paths (data + manifests) referenced by any live snapshot."""
+    def reachable_paths(
+            self, exclude_snapshots: "set[int] | None" = None) -> set[str]:
+        """All file paths (data + manifests) referenced by any live
+        snapshot — minus ``exclude_snapshots``, which lets a VACUUM
+        preview compute reachability AS IF those snapshots had already
+        expired (files shared with a kept snapshot stay reachable)."""
         reach: set[str] = set()
+        skip = exclude_snapshots or ()
         for s in self.meta.snapshots:
+            if s.snapshot_id in skip:
+                continue
             for m in s.manifests:
                 reach.add(m)
                 reach.update(e.file_path for e in mf.read_manifest(self.location, m))
         return reach
 
     def delete_orphans(self, grace_ms: int = 0, dry_run: bool = False,
-                       distributed: "bool | str" = "auto") -> list[str]:
+                       distributed: "bool | str" = "auto",
+                       exclude_snapshots: "set[int] | None" = None,
+                       ) -> list[str]:
         """Delete data/manifest files unreachable from any live snapshot.
 
         ``grace_ms`` protects in-flight staged files (a writer may have
         staged data not yet committed) — the standard orphan-GC safety
-        window.
+        window. ``exclude_snapshots`` drops the named snapshots from the
+        reachability walk — used ONLY by dry runs to preview what a
+        subsequent expire+GC would remove (a mutating call with it set
+        would break snapshot isolation for readers of those snapshots,
+        so it is refused).
 
         The DISTRIBUTED path lists per-partition directories as Spark
         tasks, reads reachability from the manifest parquet as a relation,
@@ -1171,6 +1209,11 @@ class LakeTable:
         snapshot log suggests ≥10k files; tiny tables keep the
         dependency-free walk (a Spark job costs more than walking a few
         hundred entries)."""
+        if exclude_snapshots and not dry_run:
+            raise ValueError(
+                "exclude_snapshots is a dry-run-only preview knob; a "
+                "mutating GC that skipped live snapshots would delete "
+                "files their readers can still reach")
         self.refresh()
         now = time.time()
         if distributed == "auto":
@@ -1178,9 +1221,11 @@ class LakeTable:
             # summary sums undercount once expire drops append snapshots
             distributed = self.live_file_count() >= 10_000
         if distributed:
-            victims = self._find_orphans_distributed(grace_ms, now)
+            victims = self._find_orphans_distributed(
+                grace_ms, now, exclude_snapshots)
         else:
-            victims = self._find_orphans_walk(grace_ms, now)
+            victims = self._find_orphans_walk(
+                grace_ms, now, exclude_snapshots)
         if not dry_run:
             root = self.location
             if distributed and len(victims) > 64:
@@ -1194,8 +1239,10 @@ class LakeTable:
             md.sweep_stale_tmp(self.location, max_age_ms=max(grace_ms, 1))
         return sorted(victims)
 
-    def _find_orphans_walk(self, grace_ms: int, now: float) -> list[str]:
-        reach = self.reachable_paths()
+    def _find_orphans_walk(self, grace_ms: int, now: float,
+                           exclude_snapshots: "set[int] | None" = None,
+                           ) -> list[str]:
+        reach = self.reachable_paths(exclude_snapshots)
         victims: list[str] = []
         for sub in ("data", os.path.join("metadata", "manifests")):
             base = os.path.join(self.location, sub)
@@ -1210,7 +1257,9 @@ class LakeTable:
                     victims.append(rel)
         return victims
 
-    def _find_orphans_distributed(self, grace_ms: int, now: float) -> list[str]:
+    def _find_orphans_distributed(self, grace_ms: int, now: float,
+                                  exclude_snapshots:
+                                  "set[int] | None" = None) -> list[str]:
         """Spark-side orphan discovery: listing fans out one task per
         partition directory (on a real deployment each task lists its shard
         of the shared store), reachable data paths come from scanning the
@@ -1218,7 +1267,9 @@ class LakeTable:
         victims off the driver."""
         sc = self.spark.sparkContext
         location = self.location
+        skip = exclude_snapshots or ()
         manifest_rels = sorted({m for s in self.meta.snapshots
+                                if s.snapshot_id not in skip
                                 for m in s.manifests})
         dirs = [os.path.join("metadata", "manifests")]
         data_base = os.path.join(location, "data")

@@ -722,6 +722,13 @@ CURVE_AXES = ("clip_id", "dur_ms", "sr_hz")
 #: and recent time-travel reads survive); tests/benches pass RETAIN 0 HOURS
 DEFAULT_VACUUM_RETAIN_HOURS = 168
 
+#: Delta refuses ``VACUUM ... RETAIN n HOURS`` below its default horizon
+#: unless ``spark.databricks.delta.retentionDurationCheck.enabled=false``
+#: — a short horizon silently breaks concurrent writers (their staged
+#: files age out of the grace window) and time-travel readers. Same
+#: contract here, under the engine's conf prefix.
+VACUUM_RETENTION_CHECK_CONF = "spark.ofl.vacuum.retentionCheck.enabled"
+
 
 def run_maintenance_sql(
     spark: SparkSession,
@@ -753,9 +760,15 @@ def run_maintenance_sql(
     halves of the two-phase expire — snapshots older than the horizon
     expire, and the GC grace window equals the horizon so files a
     concurrent writer staged inside it survive (Delta's retention
-    contract). ``VACUUM ... DRY RUN`` is a pure preview: no snapshot
-    expires, no file deletes; it returns the table-relative orphan paths
-    GC would remove NOW (Delta's DRY RUN shape). RESTORE takes ``VERSION AS OF``
+    contract). A horizon below the 168 h default refuses unless
+    ``spark.ofl.vacuum.retentionCheck.enabled=false`` (Delta's
+    retentionDurationCheck — a typo'd ``RETAIN 0`` must not eat a
+    concurrent writer's staged files). ``VACUUM ... DRY RUN`` is a pure
+    preview: no snapshot expires, no file deletes; it returns the
+    would-expire snapshot ids plus the table-relative orphan paths the
+    REAL run would then remove — reachability is computed as if the
+    would-expire set were already gone, so files held only by expiring
+    snapshots show up (Delta's DRY RUN shape). RESTORE takes ``VERSION AS OF``
     a snapshot id (frost versions ARE snapshot ids) or ``TIMESTAMP AS
     OF`` epoch milliseconds — the engine-wide time-travel convention
     (``asOfTimestampMs``); the rollback is itself a new CAS-committed
@@ -806,7 +819,9 @@ def run_maintenance_sql(
                            target_bytes=cfg["target_bytes"],
                            concurrency=cfg["concurrency"])
         cols = [c.strip() for c in m.group(2).split(",")]
-        if sorted(cols) != sorted(CURVE_AXES):
+        # SQL identifiers are case-insensitive — `ZORDER BY (DUR_MS, ...)`
+        # is the same statement as the lowercase spelling
+        if sorted(c.lower() for c in cols) != sorted(CURVE_AXES):
             raise ValueError(
                 f"ZORDER BY {cols} — the clustering key interleaves "
                 f"exactly {list(CURVE_AXES)} (any order); other column "
@@ -825,27 +840,50 @@ def run_maintenance_sql(
         rf"(?:\s+retain\s+(\d+)\s+hours?)?"
         rf"(\s+dry\s+run)?", s, re.I)
     if m:
+        from open_finance_lakehouse_spark.operators.config import (
+            maintenance_config,
+        )
+
         name = m.group(1)
         table = resolve(name)
         hours = (int(m.group(2)) if m.group(2) is not None
                  else DEFAULT_VACUUM_RETAIN_HOURS)
+        if (hours < DEFAULT_VACUUM_RETAIN_HOURS
+                and str(spark.conf.get(VACUUM_RETENTION_CHECK_CONF,
+                                       "true")).lower() != "false"):
+            # Delta's retentionDurationCheck: a sub-default horizon can
+            # delete files a concurrent writer staged minutes ago and
+            # break readers time-travelling inside it — demand an
+            # explicit opt-out rather than honoring a typo'd 0
+            raise ValueError(
+                f"VACUUM {name} RETAIN {hours} HOURS is below the "
+                f"default {DEFAULT_VACUUM_RETAIN_HOURS} h horizon; "
+                "concurrent writers' staged files and time-travel "
+                "readers inside the window would break. Set "
+                f"{VACUUM_RETENTION_CHECK_CONF}=false to allow it")
         horizon_ms = hours * 3_600_000
+        cfg = maintenance_config(table)
+        now_ms = int(time.time() * 1000)
         if m.group(3):
-            # preview: nothing expires, nothing deletes — the orphan set
-            # under the SAME grace the real run would use
-            orphans = table.delete_orphans(grace_ms=horizon_ms,
-                                           dry_run=True)
+            # preview: nothing expires, nothing deletes. The REAL run
+            # expires snapshots first and THEN walks reachability, so a
+            # faithful preview must compute reachability AS IF the
+            # would-expire set were gone — otherwise files held only by
+            # expiring snapshots are invisible to the dry run yet
+            # deleted by the run it claims to preview
+            would = table.would_expire(
+                retain_last=cfg["retain_last"],
+                older_than_ms=now_ms - horizon_ms)
+            orphans = table.delete_orphans(
+                grace_ms=horizon_ms, dry_run=True,
+                exclude_snapshots=set(would))
             return {"operation": "vacuum", "table": table.meta.name,
                     "dry_run": True, "retain_hours": hours,
+                    "would_expire_snapshots": would,
                     "orphans": sorted(orphans)}
-        from open_finance_lakehouse_spark.operators.config import (
-            maintenance_config,
-        )
         from open_finance_lakehouse_spark.operators.expire import expire
 
         need_ledger("VACUUM")
-        cfg = maintenance_config(table)
-        now_ms = int(time.time() * 1000)
         return expire(table, ledger, job_id or f"sql-vacuum-{name}",
                       retain_last=cfg["retain_last"],
                       older_than_ms=now_ms - horizon_ms,

@@ -341,9 +341,17 @@ def test_cli_sql_maintenance_statements(spark, tmp_path, capsys):
                         "--ledger", led, "--query", "OPTIMIZE clips"])
     assert out["operation"] == "compact" and out["partitions_rewritten"] > 0
 
-    out = _run(capsys, ["sql", "--register", f"clips={loc}",
-                        "--ledger", led,
-                        "--query", "VACUUM clips RETAIN 0 HOURS"])
+    # sub-default horizons need the Delta-style retention-check opt-out
+    from open_finance_lakehouse_spark.sql import VACUUM_RETENTION_CHECK_CONF
+
+    prev = spark.conf.get(VACUUM_RETENTION_CHECK_CONF, "true")
+    spark.conf.set(VACUUM_RETENTION_CHECK_CONF, "false")
+    try:
+        out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                            "--ledger", led,
+                            "--query", "VACUUM clips RETAIN 0 HOURS"])
+    finally:
+        spark.conf.set(VACUUM_RETENTION_CHECK_CONF, prev)
     assert out["operation"] == "expire"
     assert out["orphans_deleted"] > 0
 

@@ -17,7 +17,23 @@ from open_finance_lakehouse_spark.sources.synth import (
     CLIP_SCHEMA_DDL,
     synth_clips,
 )
-from open_finance_lakehouse_spark.sql import run_maintenance_sql
+from open_finance_lakehouse_spark.sql import (
+    VACUUM_RETENTION_CHECK_CONF,
+    run_maintenance_sql,
+)
+from contextlib import contextmanager
+
+
+@contextmanager
+def _retention_check_off(spark):
+    """Delta-style opt-out: sub-default RETAIN horizons refuse unless the
+    session conf disables the check (tests exercise 0-hour horizons)."""
+    prev = spark.conf.get(VACUUM_RETENTION_CHECK_CONF, "true")
+    spark.conf.set(VACUUM_RETENTION_CHECK_CONF, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(VACUUM_RETENTION_CHECK_CONF, prev)
 
 
 def _table(spark, tmp_path, name, n=60, **kw):
@@ -74,7 +90,7 @@ def test_optimize_and_vacuum_require_ledger(spark, tmp_path):
     with pytest.raises(ValueError, match="needs a ledger"):
         run_maintenance_sql(spark, "OPTIMIZE mled", {"mled": t})
     with pytest.raises(ValueError, match="needs a ledger"):
-        run_maintenance_sql(spark, "VACUUM mled RETAIN 0 HOURS",
+        run_maintenance_sql(spark, "VACUUM mled RETAIN 200 HOURS",
                             {"mled": t})
 
 
@@ -84,8 +100,9 @@ def test_vacuum_expires_and_collects(spark, tmp_path):
     before = _content(t)
     run_maintenance_sql(spark, "OPTIMIZE mvac", {"mvac": t}, ledger=led)
     t.refresh()
-    res = run_maintenance_sql(
-        spark, "VACUUM mvac RETAIN 0 HOURS", {"mvac": t}, ledger=led)
+    with _retention_check_off(spark):
+        res = run_maintenance_sql(
+            spark, "VACUUM mvac RETAIN 0 HOURS", {"mvac": t}, ledger=led)
     assert res["operation"] == "expire"
     assert len(res["expired_snapshots"]) > 0
     assert res["orphans_deleted"] > 0  # the pre-compaction small files
@@ -100,8 +117,9 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     with open(stray, "wb") as f:
         f.write(b"junk")
     n_snaps = len(t.snapshots())
-    res = run_maintenance_sql(
-        spark, "VACUUM mdry RETAIN 0 HOURS DRY RUN", {"mdry": t})
+    with _retention_check_off(spark):
+        res = run_maintenance_sql(
+            spark, "VACUUM mdry RETAIN 0 HOURS DRY RUN", {"mdry": t})
     assert res["dry_run"] is True and res["retain_hours"] == 0
     # orphan paths are table-relative (delete_orphans contract)
     assert os.path.relpath(stray, t.location) in res["orphans"]
@@ -119,7 +137,75 @@ def test_vacuum_default_retention_spares_recent_files(spark, tmp_path):
     # inside the grace window and must NOT be listed
     res = run_maintenance_sql(spark, "VACUUM mgrace DRY RUN", {"mgrace": t})
     assert res["retain_hours"] == 168
-    assert stray not in res["orphans"]
+    assert os.path.relpath(stray, t.location) not in res["orphans"]
+
+
+def test_vacuum_retention_check_refuses_short_horizon(spark, tmp_path):
+    """Delta's retentionDurationCheck: RETAIN below the 168 h default
+    refuses loudly (a typo'd 0 must not eat staged files) unless the
+    session conf explicitly opts out — and the check guards the real run
+    and the dry run alike."""
+    t = _table(spark, tmp_path, "mchk", n=10)
+    led = CheckpointLedger(str(tmp_path / "led"))
+    for stmt in ("VACUUM mchk RETAIN 1 HOURS",
+                 "VACUUM mchk RETAIN 167 HOURS DRY RUN"):
+        with pytest.raises(ValueError, match="below the default"):
+            run_maintenance_sql(spark, stmt, {"mchk": t}, ledger=led)
+    # the boundary itself and the opt-out both pass
+    res = run_maintenance_sql(
+        spark, "VACUUM mchk RETAIN 168 HOURS DRY RUN", {"mchk": t})
+    assert res["retain_hours"] == 168
+    with _retention_check_off(spark):
+        res = run_maintenance_sql(
+            spark, "VACUUM mchk RETAIN 1 HOURS DRY RUN", {"mchk": t})
+    assert res["retain_hours"] == 1
+
+
+def test_vacuum_dry_run_previews_expire_released_files(spark, tmp_path):
+    """The real VACUUM expires snapshots FIRST and then GCs, so files
+    held only by would-expire snapshots are deleted — the preview must
+    list them (reachability as-if-expired), and the real run must delete
+    exactly the previewed set."""
+    t = _table(spark, tmp_path, "mprev")
+    led = CheckpointLedger(str(tmp_path / "led"))
+    before = _content(t)
+    run_maintenance_sql(spark, "OPTIMIZE mprev", {"mprev": t}, ledger=led)
+    t.refresh()
+    # pre-compaction small files are reachable ONLY via the pre-compact
+    # append snapshot — live-reachability alone would preview nothing
+    assert t.delete_orphans(grace_ms=0, dry_run=True) == []
+    with _retention_check_off(spark):
+        preview = run_maintenance_sql(
+            spark, "VACUUM mprev RETAIN 0 HOURS DRY RUN", {"mprev": t})
+        assert preview["would_expire_snapshots"]
+        assert preview["orphans"]
+        for rel in preview["orphans"]:
+            assert os.path.exists(os.path.join(t.location, rel))
+        res = run_maintenance_sql(
+            spark, "VACUUM mprev RETAIN 0 HOURS", {"mprev": t}, ledger=led)
+    assert sorted(res["expired_snapshots"]) == \
+        sorted(preview["would_expire_snapshots"])
+    assert res["orphans_deleted"] == len(preview["orphans"])
+    for rel in preview["orphans"]:
+        assert not os.path.exists(os.path.join(t.location, rel))
+    assert _content(t) == before
+
+
+def test_delete_orphans_refuses_mutating_exclusion(spark, tmp_path):
+    t = _table(spark, tmp_path, "mexcl", n=10)
+    sid = t.current_snapshot_id()
+    with pytest.raises(ValueError, match="dry-run-only"):
+        t.delete_orphans(dry_run=False, exclude_snapshots={sid})
+
+
+def test_optimize_zorder_uppercase_columns(spark, tmp_path):
+    """SQL identifiers are case-insensitive — the uppercase spelling of
+    the pinned axes is the same statement."""
+    t = _table(spark, tmp_path, "mzup", n=12)
+    res = run_maintenance_sql(
+        spark, "OPTIMIZE mzup ZORDER BY (CLIP_ID, DUR_MS, SR_HZ)",
+        {"mzup": t}, ledger=CheckpointLedger(str(tmp_path / "led")))
+    assert res["operation"].startswith("cluster_global[zorder")
 
 
 def test_describe_history_latest_first(spark, tmp_path):
