@@ -236,9 +236,12 @@ def main(argv=None):
 
     sq = sub.add_parser("sql", help="run SQL over registered tables "
                                     "(DELETE/UPDATE/MERGE route to the DML "
-                                    "operators — needs --ledger; OPTIMIZE/"
-                                    "VACUUM/DESCRIBE HISTORY/RESTORE route "
-                                    "to the maintenance operators)")
+                                    "operators — needs --ledger; INSERT "
+                                    "INTO/OVERWRITE and ALTER TABLE route "
+                                    "to the write/evolution primitives; "
+                                    "OPTIMIZE/VACUUM/DESCRIBE HISTORY/"
+                                    "RESTORE route to the maintenance "
+                                    "operators)")
     sq.add_argument("--register", action="append", default=[],
                     metavar="NAME=LOCATION",
                     help="repeatable view registrations")
@@ -406,7 +409,9 @@ def _execute(spark, args) -> dict:
     elif args.cmd == "sql":
         from open_finance_lakehouse_spark.sql import (
             register_tables,
+            run_alter,
             run_dml,
+            run_insert,
             run_maintenance_sql,
             run_merge,
             run_sql,
@@ -425,6 +430,10 @@ def _execute(spark, args) -> dict:
             runner = run_merge if head == "merge" else run_dml
             out = runner(spark, args.query, views,
                          CheckpointLedger(args.ledger))
+        elif head == "insert":
+            out = run_insert(spark, args.query, views)
+        elif head == "alter":
+            out = run_alter(spark, args.query, views)
         elif head in ("optimize", "vacuum", "restore") or is_hist:
             res = run_maintenance_sql(
                 spark, args.query, views,

@@ -1333,6 +1333,27 @@ class LakeTable:
 
         return self._try_commit(build)
 
+    def set_properties(self, set_props: "dict | None" = None,
+                       unset: "list[str] | None" = None) -> None:
+        """Table-property evolution as a CAS metadata commit — the
+        ``ALTER TABLE SET/UNSET TBLPROPERTIES`` primitive. Values store
+        as given (the readers parse: ``operators/config.py`` coerces
+        ``maintenance.*`` strings, contract enforcement reads
+        ``contract``); KEY validation is the SQL front door's job so
+        this primitive stays namespace-agnostic like Delta's."""
+
+        set_props = dict(set_props or {})
+        unset = list(unset or [])
+
+        def build(meta: md.TableMetadata):
+            props = dict(meta.properties)
+            for k in unset:
+                props.pop(k, None)
+            props.update(set_props)
+            return meta.snapshot(), dc_replace(meta, properties=props)
+
+        self._try_commit(build)
+
     def update_schema(self, new_ddl: str) -> None:
         """Schema evolution as a CAS metadata commit: ADD COLUMN and WIDEN
         TYPE only (the safe subset — drops/renames/narrowing refuse).

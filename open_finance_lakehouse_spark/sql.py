@@ -709,6 +709,297 @@ def run_merge(
         key=keys)
 
 
+# ---------------------------------------------------------- INSERT SQL
+
+
+def run_insert(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+) -> dict:
+    """``INSERT INTO|OVERWRITE [TABLE] <t> [(cols)] VALUES ...|SELECT ...``
+    lowered onto ``LakeTable.append`` / ``replace`` — the write half of
+    the SQL surface (the reference's gold models land with
+    ``INSERT OVERWRITE``-equivalent full rebuilds,
+    /root/reference/ofl/transform/gold/runner.py:150-162).
+
+    The source body is handed VERBATIM to ``spark.sql`` with every entry
+    in ``tables`` registered as a temp view first — Spark's parser owns
+    literals, expressions, and subqueries, so anything a SELECT can
+    produce can be inserted (``VALUES`` rows become
+    ``SELECT * FROM VALUES ...``). Column semantics are positional, the
+    ANSI INSERT contract: with a column list, the list must name every
+    target column exactly once (the format has no column defaults, so a
+    partial list cannot be satisfied); without one, source arity must
+    equal the target's. Values cast to the declared column types through
+    the session's cast semantics (ANSI mode: malformed values raise
+    rather than silently nulling). ``INSERT INTO`` appends one snapshot;
+    ``INSERT OVERWRITE`` replaces the table in one snapshot (Delta's
+    dynamic-partition-overwrite subtleties don't apply — overwrite here
+    is whole-table, the reference's full-rebuild shape). Write-time
+    contract enforcement (``contract`` table property) applies unchanged
+    — a violating INSERT refuses and commits nothing. Inserting FROM the
+    target table itself is safe: the append stages new files from the
+    pre-insert snapshot (copy-on-write, never in-place).
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    s = statement.strip().rstrip(";").strip()
+    m = re.match(
+        rf"insert\s+(into|overwrite)\s+(?:table\s+)?({_IDENT})\s*"
+        rf"(?:\(([^)]+)\)\s*)?(values\b.*|select\b.*)$",
+        s, re.I | re.S)
+    if not m:
+        raise ValueError(
+            "run_insert handles INSERT INTO|OVERWRITE [TABLE] <t> "
+            f"[(cols)] VALUES ...|SELECT ...; got: {statement[:80]!r}")
+    mode, name, col_list, body = (m.group(1).lower(), m.group(2),
+                                  m.group(3), m.group(4))
+    if name not in tables:
+        raise ValueError(f"INSERT target {name!r} not in tables; "
+                         f"known: {sorted(tables)}")
+    tgt = tables[name]
+    if not isinstance(tgt, LakeTable):
+        tgt = LakeTable.load(spark, tgt)
+
+    # the source may SELECT from any registered table (including the
+    # target — its scan is pinned to the pre-insert snapshot)
+    register_tables(spark, tables)
+    if body.lower().startswith("values"):
+        src = spark.sql(f"SELECT * FROM {body}")
+    else:
+        src = spark.sql(body)
+
+    fields = tgt._empty_df().schema.fields
+    data_cols = [f.name for f in fields]
+    if col_list is not None:
+        cols = [c.strip().strip("`") for c in col_list.split(",")]
+        cf = {c.lower(): c for c in data_cols}
+        unknown = [c for c in cols if c.lower() not in cf]
+        if unknown:
+            raise ValueError(
+                f"INSERT column list names unknown columns {unknown} "
+                f"(target columns: {data_cols})")
+        canon = [cf[c.lower()] for c in cols]
+        if len(set(canon)) != len(canon):
+            dupes = sorted({c for c in canon if canon.count(c) > 1})
+            raise ValueError(f"INSERT column list repeats {dupes}")
+        missing = [c for c in data_cols if c not in canon]
+        if missing:
+            raise ValueError(
+                f"INSERT column list omits {missing} — the format has "
+                "no column defaults, so every target column must be "
+                "named (pass NULL explicitly for absent values)")
+        if len(src.columns) != len(canon):
+            raise ValueError(
+                f"INSERT source produces {len(src.columns)} columns for "
+                f"a {len(canon)}-column list")
+        src = src.toDF(*canon)
+    else:
+        if len(src.columns) != len(data_cols):
+            raise ValueError(
+                f"INSERT source produces {len(src.columns)} columns; "
+                f"{name} has {len(data_cols)} ({data_cols})")
+        src = src.toDF(*data_cols)
+    aligned = src.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields])
+
+    snap = (tgt.replace(aligned) if mode == "overwrite"
+            else tgt.append(aligned))
+    return {"operation": f"insert_{mode}", "table": tgt.meta.name,
+            "rows": int(snap.summary.get("added_records", 0)),
+            "snapshot_id": snap.snapshot_id}
+
+
+# ---------------------------------------------------------- ALTER SQL
+
+#: maintenance.* values the engine can act on — SET TBLPROPERTIES
+#: validates against these so a typo'd knob or value refuses instead of
+#: silently riding along until some maintenance job trips over it
+_PROP_ENUMS = {
+    "maintenance.curve": {"zorder", "hilbert", "none"},
+    "maintenance.cluster_mode": {"global", "per-partition"},
+    "maintenance.snr_gate": {"off", "serial", "overlap"},
+    "maintenance.cluster_exchange": {"auto", "local", "range"},
+}
+
+
+def run_alter(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+) -> dict:
+    """``ALTER TABLE`` lowered onto the engine's evolution primitives —
+    the DDL statements a Delta/Iceberg user types, routed to the right
+    machinery for each shape:
+
+    - ``ADD COLUMN[S] [(]c1 TYPE[, ...][)]`` and ``ALTER COLUMN c TYPE t``
+      → ``update_schema``: METADATA-ONLY commits (add / widen never move
+      bytes — old files project NULL / upcast at read);
+    - ``DROP COLUMN c`` and ``RENAME COLUMN a TO b`` →
+      ``rewrite_schema``: COPY-ON-WRITE (frost's name-keyed schema has no
+      Iceberg field-ids, so these must rewrite bytes — one atomic
+      replace snapshot, concurrent appends conflict loudly);
+    - ``SET/UNSET TBLPROPERTIES ('k'='v', ...)`` → ``set_properties``:
+      a CAS properties commit. ``maintenance.*`` keys validate against
+      the knob registry (operators/config.py) — ints parse, enums match
+      — because a typo'd knob silently falling back to defaults is the
+      exact failure the registry exists to prevent; other namespaces
+      (``contract``, user metadata) store as-is, Delta-style.
+
+    Widening/narrowing rules, partition-column protection, and the
+    rewrite's snapshot semantics are the primitives' own (see their
+    docstrings); this front door only parses and routes.
+    """
+    import re
+
+    from open_finance_lakehouse_spark.operators.config import (
+        MAINTENANCE_DEFAULTS,
+        _BOOL_KEYS,
+        _INT_KEYS,
+    )
+
+    s = statement.strip().rstrip(";").strip()
+    m = re.match(rf"alter\s+table\s+({_IDENT})\s+(.+)$", s, re.I | re.S)
+    if not m:
+        raise ValueError(
+            f"run_alter handles ALTER TABLE <t> ...; got: {statement[:80]!r}")
+    name, rest = m.group(1), m.group(2).strip()
+    if name not in tables:
+        raise ValueError(f"ALTER target {name!r} not in tables; "
+                         f"known: {sorted(tables)}")
+    tgt = tables[name]
+    if not isinstance(tgt, LakeTable):
+        tgt = LakeTable.load(spark, tgt)
+    fields = tgt._empty_df().schema.fields
+    cf = {f.name.lower(): f.name for f in fields}
+
+    def ddl_of(parts: "list[tuple[str, str]]") -> str:
+        return ", ".join(f"`{n}` {t}" for n, t in parts)
+
+    cur = [(f.name, f.dataType.simpleString()) for f in fields]
+
+    m = re.match(r"add\s+columns?\s+(.+)$", rest, re.I | re.S)
+    if m:
+        inner = m.group(1).strip()
+        if inner.startswith("(") and inner.endswith(")"):
+            inner = inner[1:-1]
+        adds = []
+        for spec in _split_top(inner, ","):
+            cm = re.match(rf"\s*`?({_IDENT})`?\s+(.+?)\s*$", spec, re.S)
+            if not cm:
+                raise ValueError(f"ADD COLUMNS: cannot parse {spec!r} "
+                                 "as '<name> <type>'")
+            cn, ct = cm.group(1), " ".join(cm.group(2).split())
+            if cn.lower() in cf:
+                raise ValueError(f"ADD COLUMNS: {cn!r} already exists "
+                                 f"(as {cf[cn.lower()]!r})")
+            adds.append((cn, ct))
+        dup = {c for c, _ in adds if [x for x, _ in adds].count(c) > 1}
+        if dup:
+            raise ValueError(f"ADD COLUMNS repeats {sorted(dup)}")
+        tgt.update_schema(ddl_of(cur + adds))
+        return {"operation": "add_columns", "table": tgt.meta.name,
+                "added": [c for c, _ in adds]}
+
+    m = re.match(rf"alter\s+column\s+`?({_IDENT})`?\s+type\s+(.+)$",
+                 rest, re.I | re.S)
+    if m:
+        cn = m.group(1)
+        if cn.lower() not in cf:
+            raise ValueError(f"ALTER COLUMN: no column {cn!r} in "
+                             f"{[c for c, _ in cur]}")
+        cn = cf[cn.lower()]
+        nt = " ".join(m.group(2).split())
+        tgt.update_schema(ddl_of(
+            [(c, nt if c == cn else t) for c, t in cur]))
+        return {"operation": "alter_column_type", "table": tgt.meta.name,
+                "column": cn, "type": nt}
+
+    m = re.match(rf"drop\s+column\s+`?({_IDENT})`?$", rest, re.I)
+    if m:
+        cn = m.group(1)
+        if cn.lower() not in cf:
+            raise ValueError(f"DROP COLUMN: no column {cn!r} in "
+                             f"{[c for c, _ in cur]}")
+        cn = cf[cn.lower()]
+        snap = tgt.rewrite_schema(ddl_of(
+            [(c, t) for c, t in cur if c != cn]))
+        return {"operation": "drop_column", "table": tgt.meta.name,
+                "column": cn, "snapshot_id": snap.snapshot_id}
+
+    m = re.match(rf"rename\s+column\s+`?({_IDENT})`?\s+to\s+`?({_IDENT})`?$",
+                 rest, re.I)
+    if m:
+        old, new = m.group(1), m.group(2)
+        if old.lower() not in cf:
+            raise ValueError(f"RENAME COLUMN: no column {old!r} in "
+                             f"{[c for c, _ in cur]}")
+        old = cf[old.lower()]
+        if new.lower() in cf and new.lower() != old.lower():
+            raise ValueError(f"RENAME COLUMN: {new!r} already exists")
+        snap = tgt.rewrite_schema(
+            ddl_of([(new if c == old else c, t) for c, t in cur]),
+            mapping={new: old})
+        return {"operation": "rename_column", "table": tgt.meta.name,
+                "renamed": {old: new}, "snapshot_id": snap.snapshot_id}
+
+    m = re.match(r"(un)?set\s+tblproperties\s*\((.+)\)$", rest, re.I | re.S)
+    if m:
+        unsetting = m.group(1) is not None
+        entries = []
+        for item in _split_top(m.group(2), ","):
+            if unsetting:
+                km = re.fullmatch(r"\s*'([^']+)'\s*", item)
+                if not km:
+                    raise ValueError(
+                        f"UNSET TBLPROPERTIES: expected 'key', got "
+                        f"{item.strip()!r}")
+                entries.append(km.group(1))
+            else:
+                km = re.fullmatch(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item)
+                if not km:
+                    raise ValueError(
+                        f"SET TBLPROPERTIES: expected 'key'='value', got "
+                        f"{item.strip()!r}")
+                entries.append((km.group(1), km.group(2)))
+        if unsetting:
+            tgt.set_properties(unset=entries)
+            return {"operation": "unset_tblproperties",
+                    "table": tgt.meta.name, "unset": entries}
+        known = {f"maintenance.{k}" for k in MAINTENANCE_DEFAULTS}
+        for k, v in entries:
+            if k.startswith("maintenance."):
+                if k not in known:
+                    raise ValueError(
+                        f"unknown maintenance property {k!r}; expected "
+                        f"one of {sorted(known)}")
+                short = k[len("maintenance."):]
+                if short in _INT_KEYS:
+                    try:
+                        int(v)
+                    except ValueError:
+                        raise ValueError(
+                            f"{k!r} must be an integer, got {v!r}")
+                elif short in _BOOL_KEYS and v.lower() not in (
+                        "true", "false", "1", "0", "yes", "no"):
+                    raise ValueError(f"{k!r} must be boolean, got {v!r}")
+                elif k in _PROP_ENUMS and v.lower() not in _PROP_ENUMS[k]:
+                    raise ValueError(
+                        f"{k!r} must be one of "
+                        f"{sorted(_PROP_ENUMS[k])}, got {v!r}")
+        tgt.set_properties(set_props=dict(entries))
+        return {"operation": "set_tblproperties", "table": tgt.meta.name,
+                "set": dict(entries)}
+
+    raise ValueError(
+        "run_alter handles ADD COLUMN[S], ALTER COLUMN ... TYPE, DROP "
+        "COLUMN, RENAME COLUMN ... TO, and SET/UNSET TBLPROPERTIES; "
+        f"got: ALTER TABLE {name} {rest[:60]!r}")
+
+
 # ------------------------------------------------------ maintenance SQL
 
 #: the clustering key interleaves exactly these axes (functions/curves.py

@@ -360,6 +360,18 @@ def test_cli_sql_maintenance_statements(spark, tmp_path, capsys):
                         "--query", "DESCRIBE HISTORY clips"])
     assert out["rows"][0]["is_current"] is True
 
+    # INSERT and ALTER route through the sql lane too (no ledger needed)
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--query",
+                        "INSERT INTO clips VALUES ('cli_x', "
+                        "CAST('b' AS BINARY), 8000, 10, 'pcm16', 'hi')"])
+    assert out["operation"] == "insert_into" and out["rows"] == 1
+    out = _run(capsys, ["sql", "--register", f"clips={loc}",
+                        "--query", "ALTER TABLE clips SET TBLPROPERTIES "
+                                   "('owner'='cli')"])
+    assert out["operation"] == "set_tblproperties"
+    assert LakeTable.load(spark, loc).meta.properties["owner"] == "cli"
+
     t = LakeTable.load(spark, loc)
     good = t.current_snapshot_id()
     t.replace(t.scan().limit(5))
@@ -367,4 +379,4 @@ def test_cli_sql_maintenance_statements(spark, tmp_path, capsys):
                         "--query",
                         f"RESTORE TABLE clips TO VERSION AS OF {good}"])
     assert out["operation"] == "restore" and out["restored_to"] == good
-    assert LakeTable.load(spark, loc).scan().count() == 40
+    assert LakeTable.load(spark, loc).scan().count() == 41  # 40 + INSERT

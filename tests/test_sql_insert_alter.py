@@ -1,0 +1,209 @@
+"""INSERT INTO/OVERWRITE and ALTER TABLE SQL front doors, lowered onto
+append/replace and the schema/property evolution primitives — the write
+and DDL half of the SQL surface (the reference's gold models land full
+rebuilds, /root/reference/ofl/transform/gold/runner.py:150-162)."""
+
+from __future__ import annotations
+
+import pytest
+
+from open_finance_lakehouse_spark.format.table import (
+    LakeTable,
+    SchemaEvolutionError,
+)
+from open_finance_lakehouse_spark.operators.config import maintenance_config
+from open_finance_lakehouse_spark.sources.synth import (
+    CLIP_SCHEMA_DDL,
+    synth_clips,
+)
+from open_finance_lakehouse_spark.sql import run_alter, run_insert
+
+
+def _table(spark, tmp_path, name, n=20, **kw):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), name, CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, n, **kw), max_records_per_file=8)
+    return t
+
+
+def _ids(t):
+    return sorted(r["clip_id"] for r in
+                  t.refresh().scan().select("clip_id").collect())
+
+
+# ------------------------------------------------------------- INSERT
+
+def test_insert_values_positional(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins1")
+    res = run_insert(
+        spark,
+        "INSERT INTO ins1 VALUES "
+        "('zz_1', CAST('ab' AS BINARY), 16000, 1200, 'pcm16', 'hello'), "
+        "('zz_2', CAST('cd' AS BINARY), 8000, 900, 'ulaw', 'world');",
+        {"ins1": t})
+    assert res["operation"] == "insert_into" and res["rows"] == 2
+    ids = _ids(t)
+    assert "zz_1" in ids and "zz_2" in ids and len(ids) == 22
+    row = {r["clip_id"]: r for r in t.scan().collect()}["zz_1"]
+    assert row["sr_hz"] == 16000 and row["transcript"] == "hello"
+
+
+def test_insert_with_shuffled_column_list(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins2", n=5)
+    res = run_insert(
+        spark,
+        "INSERT INTO ins2 (transcript, clip_id, codec, dur_ms, sr_hz, "
+        "bytes) VALUES ('t', 'zz_9', 'pcm16', 50, 8000, "
+        "CAST('x' AS BINARY))",
+        {"ins2": t})
+    assert res["rows"] == 1
+    row = {r["clip_id"]: r for r in t.refresh().scan().collect()}["zz_9"]
+    assert row["transcript"] == "t" and row["dur_ms"] == 50
+
+
+def test_insert_select_cross_and_self(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins3", n=6)
+    n0 = len(_ids(t))
+    res = run_insert(
+        spark,
+        "INSERT INTO ins3 SELECT concat(clip_id, '_copy'), bytes, sr_hz, "
+        "dur_ms, codec, transcript FROM ins3",
+        {"ins3": t})
+    assert res["rows"] == n0
+    assert len(_ids(t)) == 2 * n0
+
+    # overwrite from the target itself: stages from the pre-insert
+    # snapshot, lands as ONE replace
+    res = run_insert(
+        spark,
+        "INSERT OVERWRITE ins3 SELECT * FROM ins3 "
+        "WHERE clip_id NOT LIKE '%_copy'",
+        {"ins3": t})
+    assert res["operation"] == "insert_overwrite" and res["rows"] == n0
+    assert len(_ids(t)) == n0
+
+
+def test_insert_casts_to_declared_types(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins4", n=3)
+    # string sr_hz/dur_ms cast to the declared ints
+    run_insert(
+        spark,
+        "INSERT INTO ins4 VALUES ('zz_c', CAST('b' AS BINARY), '44100', "
+        "'10', 'pcm16', 'x')",
+        {"ins4": t})
+    row = {r["clip_id"]: r for r in t.refresh().scan().collect()}["zz_c"]
+    assert row["sr_hz"] == 44100 and isinstance(row["sr_hz"], int)
+
+
+def test_insert_refusals(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins5", n=3)
+    with pytest.raises(ValueError, match="omits"):
+        run_insert(spark, "INSERT INTO ins5 (clip_id) VALUES ('a')",
+                   {"ins5": t})
+    with pytest.raises(ValueError, match="produces 2 columns"):
+        run_insert(spark, "INSERT INTO ins5 VALUES ('a', 'b')",
+                   {"ins5": t})
+    with pytest.raises(ValueError, match="unknown columns"):
+        run_insert(
+            spark,
+            "INSERT INTO ins5 (clip_id, nope, bytes, sr_hz, dur_ms, "
+            "codec) VALUES (1,2,3,4,5,6)", {"ins5": t})
+    with pytest.raises(ValueError, match="not in tables"):
+        run_insert(spark, "INSERT INTO ghost VALUES (1)", {"ins5": t})
+
+
+# -------------------------------------------------------------- ALTER
+
+def test_alter_add_columns_metadata_only(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt1")
+    files_before = sorted(f.file_path for f in t.live_files())
+    res = run_alter(
+        spark, "ALTER TABLE alt1 ADD COLUMNS (speaker string, score "
+        "double)", {"alt1": t})
+    assert res["added"] == ["speaker", "score"]
+    t.refresh()
+    # add is metadata-only: not one byte moved
+    assert sorted(f.file_path for f in t.live_files()) == files_before
+    rows = t.scan().select("clip_id", "speaker", "score").collect()
+    assert rows and all(r["speaker"] is None and r["score"] is None
+                        for r in rows)
+
+
+def test_alter_column_widen_and_refuse_narrow(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt2", n=4)
+    res = run_alter(spark, "ALTER TABLE alt2 ALTER COLUMN dur_ms TYPE "
+                    "bigint", {"alt2": t})
+    assert res["type"] == "bigint"
+    t.refresh()
+    assert dict(t.scan().dtypes)["dur_ms"] == "bigint"
+    with pytest.raises(SchemaEvolutionError, match="not a widening"):
+        run_alter(spark, "ALTER TABLE alt2 ALTER COLUMN dur_ms TYPE int",
+                  {"alt2": t})
+
+
+def test_alter_drop_and_rename_copy_on_write(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt3", n=8)
+    before = sorted((r["clip_id"], r["transcript"])
+                    for r in t.scan().collect())
+    run_alter(spark, "ALTER TABLE alt3 DROP COLUMN codec", {"alt3": t})
+    t.refresh()
+    assert "codec" not in t.scan().columns
+    res = run_alter(spark, "ALTER TABLE alt3 RENAME COLUMN transcript "
+                    "TO text", {"alt3": t})
+    assert res["renamed"] == {"transcript": "text"}
+    t.refresh()
+    after = sorted((r["clip_id"], r["text"]) for r in t.scan().collect())
+    assert after == before
+
+    # the bucket column cannot be dropped — the table would be unroutable
+    with pytest.raises(SchemaEvolutionError, match="no successor"):
+        run_alter(spark, "ALTER TABLE alt3 DROP COLUMN clip_id",
+                  {"alt3": t})
+
+
+def test_alter_tblproperties_roundtrip(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt4", n=3)
+    res = run_alter(
+        spark, "ALTER TABLE alt4 SET TBLPROPERTIES "
+        "('maintenance.target_bytes'='1048576', "
+        "'maintenance.curve'='hilbert', 'owner'='ingest-team')",
+        {"alt4": t})
+    assert res["operation"] == "set_tblproperties"
+    t.refresh()
+    cfg = maintenance_config(t)
+    assert cfg["target_bytes"] == 1048576 and cfg["curve"] == "hilbert"
+    assert t.meta.properties["owner"] == "ingest-team"
+
+    run_alter(spark, "ALTER TABLE alt4 UNSET TBLPROPERTIES "
+              "('maintenance.curve', 'owner')", {"alt4": t})
+    t.refresh()
+    assert maintenance_config(t)["curve"] == "zorder"  # back to default
+    assert "owner" not in t.meta.properties
+
+
+def test_alter_tblproperties_validates_maintenance_keys(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt5", n=3)
+    with pytest.raises(ValueError, match="unknown maintenance property"):
+        run_alter(spark, "ALTER TABLE alt5 SET TBLPROPERTIES "
+                  "('maintenance.target_byte'='1')", {"alt5": t})
+    with pytest.raises(ValueError, match="must be an integer"):
+        run_alter(spark, "ALTER TABLE alt5 SET TBLPROPERTIES "
+                  "('maintenance.target_bytes'='big')", {"alt5": t})
+    with pytest.raises(ValueError, match="must be one of"):
+        run_alter(spark, "ALTER TABLE alt5 SET TBLPROPERTIES "
+                  "('maintenance.curve'='zordr')", {"alt5": t})
+
+
+def test_alter_refusals(spark, tmp_path):
+    t = _table(spark, tmp_path, "alt6", n=3)
+    with pytest.raises(ValueError, match="already exists"):
+        run_alter(spark, "ALTER TABLE alt6 ADD COLUMN CLIP_ID string",
+                  {"alt6": t})
+    with pytest.raises(ValueError, match="no column"):
+        run_alter(spark, "ALTER TABLE alt6 DROP COLUMN ghost", {"alt6": t})
+    with pytest.raises(ValueError, match="run_alter handles"):
+        run_alter(spark, "ALTER TABLE alt6 CLUSTER BY (x)", {"alt6": t})
+    with pytest.raises(ValueError, match="not in tables"):
+        run_alter(spark, "ALTER TABLE ghost DROP COLUMN x", {"alt6": t})
