@@ -727,7 +727,8 @@ def run_insert(
     in ``tables`` registered as a temp view first — Spark's parser owns
     literals, expressions, and subqueries, so anything a SELECT can
     produce can be inserted (``VALUES`` rows become
-    ``SELECT * FROM VALUES ...``). Column semantics are positional, the
+    ``SELECT * FROM VALUES ...``; ``WITH ... SELECT`` CTE bodies pass
+    through). Column semantics are positional, the
     ANSI INSERT contract: with a column list, the list must name every
     target column exactly once (the format has no column defaults, so a
     partial list cannot be satisfied); without one, source arity must
@@ -749,7 +750,7 @@ def run_insert(
     s = statement.strip().rstrip(";").strip()
     m = re.match(
         rf"insert\s+(into|overwrite)\s+(?:table\s+)?({_IDENT})\s*"
-        rf"(?:\(([^)]+)\)\s*)?(values\b.*|select\b.*)$",
+        rf"(?:\(([^)]+)\)\s*)?(values\b.*|select\b.*|with\b.*)$",
         s, re.I | re.S)
     if not m:
         raise ValueError(
@@ -806,14 +807,62 @@ def run_insert(
     aligned = src.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields])
 
-    snap = (tgt.replace(aligned) if mode == "overwrite"
-            else tgt.append(aligned))
+    if mode == "overwrite":
+        from open_finance_lakehouse_spark.quality import contracts as qc
+
+        # replace() is the raw maintenance primitive and does not gate on
+        # the table contract — but a USER statement must: an OVERWRITE
+        # that lands violating rows is the same quiet corruption the
+        # append gate exists to stop. Mirror append's tag-once shape so
+        # the source evaluates exactly once (a re-evaluated
+        # nondeterministic SELECT could pass validation and then stage
+        # different rows).
+        contract = qc.Contract.from_properties(tgt.meta.properties)
+        if contract is not None:
+            tagged = qc.tag_violations(aligned, contract).persist()
+            try:
+                sample = [r.asDict() for r in tagged.filter(
+                    F.col(qc.VIOLATION_COL).isNotNull()).limit(5).collect()]
+                if sample:
+                    raise qc.ContractViolation(
+                        f"INSERT OVERWRITE {tgt.meta.name} rejected: "
+                        f"contract violations (sample of ≤5): "
+                        f"{[r[qc.VIOLATION_COL] for r in sample]}",
+                        sample)
+                snap = tgt.replace(tagged.drop(qc.VIOLATION_COL))
+            finally:
+                tagged.unpersist()
+        else:
+            snap = tgt.replace(aligned)
+    else:
+        snap = tgt.append(aligned)
     return {"operation": f"insert_{mode}", "table": tgt.meta.name,
             "rows": int(snap.summary.get("added_records", 0)),
             "snapshot_id": snap.snapshot_id}
 
 
 # ---------------------------------------------------------- ALTER SQL
+
+def _split_types(s: str) -> list[str]:
+    """Split a column-spec list on commas outside BOTH ``()`` and ``<>``
+    — DDL types nest commas in both (``decimal(10,2)``,
+    ``struct<a: int, b: string>``), and ``_split_top`` tracks only
+    parens because ``<`` is a comparison operator in its predicate
+    grammar."""
+    out, buf, depth = [], [], 0
+    for c in s:
+        if c in "(<":
+            depth += 1
+        elif c in ")>":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+    out.append("".join(buf))
+    return out
+
 
 #: maintenance.* values the engine can act on — SET TBLPROPERTIES
 #: validates against these so a typo'd knob or value refuses instead of
@@ -887,7 +936,7 @@ def run_alter(
         if inner.startswith("(") and inner.endswith(")"):
             inner = inner[1:-1]
         adds = []
-        for spec in _split_top(inner, ","):
+        for spec in _split_types(inner):
             cm = re.match(rf"\s*`?({_IDENT})`?\s+(.+?)\s*$", spec, re.S)
             if not cm:
                 raise ValueError(f"ADD COLUMNS: cannot parse {spec!r} "

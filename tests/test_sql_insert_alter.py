@@ -97,6 +97,17 @@ def test_insert_casts_to_declared_types(spark, tmp_path):
     assert row["sr_hz"] == 44100 and isinstance(row["sr_hz"], int)
 
 
+def test_insert_cte_body(spark, tmp_path):
+    t = _table(spark, tmp_path, "ins6", n=4)
+    res = run_insert(
+        spark,
+        "INSERT INTO ins6 WITH src AS (SELECT * FROM ins6 WHERE "
+        "dur_ms >= 0) SELECT concat(clip_id, '_c'), bytes, sr_hz, "
+        "dur_ms, codec, transcript FROM src",
+        {"ins6": t})
+    assert res["rows"] == 4 and len(_ids(t)) == 8
+
+
 def test_insert_refusals(spark, tmp_path):
     t = _table(spark, tmp_path, "ins5", n=3)
     with pytest.raises(ValueError, match="omits"):
@@ -114,6 +125,31 @@ def test_insert_refusals(spark, tmp_path):
         run_insert(spark, "INSERT INTO ghost VALUES (1)", {"ins5": t})
 
 
+def test_insert_enforces_contract_on_both_paths(spark, tmp_path):
+    """append() gates on the table contract natively; the OVERWRITE path
+    must too — a user statement landing violating rows is quiet
+    corruption either way."""
+    from open_finance_lakehouse_spark.quality.contracts import (
+        Contract,
+        ContractViolation,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "insc"), "insc", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2},
+        contract=Contract(not_null=["transcript"]))
+    t.append(synth_clips(spark, 4), max_records_per_file=4)
+    before = _ids(t)
+    bad = ("VALUES ('zz_bad', CAST('b' AS BINARY), 8000, 10, 'pcm16', "
+           "NULL)")
+    with pytest.raises(ContractViolation):
+        run_insert(spark, f"INSERT INTO insc {bad}", {"insc": t})
+    with pytest.raises(ContractViolation):
+        run_insert(spark, f"INSERT OVERWRITE insc {bad}", {"insc": t})
+    assert _ids(t) == before  # nothing landed on either refusal
+
+
 # -------------------------------------------------------------- ALTER
 
 def test_alter_add_columns_metadata_only(spark, tmp_path):
@@ -129,6 +165,21 @@ def test_alter_add_columns_metadata_only(spark, tmp_path):
     rows = t.scan().select("clip_id", "speaker", "score").collect()
     assert rows and all(r["speaker"] is None and r["score"] is None
                         for r in rows)
+
+
+def test_alter_add_nested_and_parameterized_types(spark, tmp_path):
+    """Commas nest inside both () and <> in DDL types — the column-spec
+    split must not break them apart."""
+    t = _table(spark, tmp_path, "alt7", n=3)
+    res = run_alter(
+        spark,
+        "ALTER TABLE alt7 ADD COLUMNS (price decimal(10,2), "
+        "meta struct<lang: string, rev: int>)", {"alt7": t})
+    assert res["added"] == ["price", "meta"]
+    t.refresh()
+    types = dict(t.scan().dtypes)
+    assert types["price"] == "decimal(10,2)"
+    assert types["meta"].startswith("struct<lang:string")
 
 
 def test_alter_column_widen_and_refuse_narrow(spark, tmp_path):
