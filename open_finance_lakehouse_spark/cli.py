@@ -410,7 +410,9 @@ def _execute(spark, args) -> dict:
         from open_finance_lakehouse_spark.sql import (
             register_tables,
             run_alter,
+            run_create_table,
             run_dml,
+            run_drop_table,
             run_insert,
             run_maintenance_sql,
             run_merge,
@@ -434,6 +436,10 @@ def _execute(spark, args) -> dict:
             out = run_insert(spark, args.query, views)
         elif head == "alter":
             out = run_alter(spark, args.query, views)
+        elif head == "create":
+            out = run_create_table(spark, args.query, views)
+        elif head == "drop":
+            out = run_drop_table(spark, args.query, views)
         elif head in ("optimize", "vacuum", "restore") or is_hist:
             res = run_maintenance_sql(
                 spark, args.query, views,

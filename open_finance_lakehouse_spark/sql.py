@@ -875,6 +875,53 @@ _PROP_ENUMS = {
 }
 
 
+def _parse_prop_pairs(inner: str, ctx: str) -> dict:
+    """``'k'='v', ...`` → dict, for TBLPROPERTIES clauses."""
+    import re
+
+    props = {}
+    for item in _split_top(inner, ","):
+        km = re.fullmatch(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item)
+        if not km:
+            raise ValueError(
+                f"{ctx}: expected 'key'='value', got {item.strip()!r}")
+        props[km.group(1)] = km.group(2)
+    return props
+
+
+def _validate_maintenance_props(props: dict) -> None:
+    """``maintenance.*`` keys validate against the knob registry
+    (operators/config.py) — a typo'd knob or off-enum value refuses
+    instead of silently riding along until a maintenance job trips."""
+    from open_finance_lakehouse_spark.operators.config import (
+        MAINTENANCE_DEFAULTS,
+        _BOOL_KEYS,
+        _INT_KEYS,
+    )
+
+    known = {f"maintenance.{k}" for k in MAINTENANCE_DEFAULTS}
+    for k, v in props.items():
+        if not k.startswith("maintenance."):
+            continue
+        if k not in known:
+            raise ValueError(
+                f"unknown maintenance property {k!r}; expected one of "
+                f"{sorted(known)}")
+        short = k[len("maintenance."):]
+        if short in _INT_KEYS:
+            try:
+                int(v)
+            except ValueError:
+                raise ValueError(f"{k!r} must be an integer, got {v!r}")
+        elif short in _BOOL_KEYS and str(v).lower() not in (
+                "true", "false", "1", "0", "yes", "no"):
+            raise ValueError(f"{k!r} must be boolean, got {v!r}")
+        elif k in _PROP_ENUMS and str(v).lower() not in _PROP_ENUMS[k]:
+            raise ValueError(
+                f"{k!r} must be one of {sorted(_PROP_ENUMS[k])}, "
+                f"got {v!r}")
+
+
 def run_alter(
     spark: SparkSession,
     statement: str,
@@ -903,12 +950,6 @@ def run_alter(
     docstrings); this front door only parses and routes.
     """
     import re
-
-    from open_finance_lakehouse_spark.operators.config import (
-        MAINTENANCE_DEFAULTS,
-        _BOOL_KEYS,
-        _INT_KEYS,
-    )
 
     s = statement.strip().rstrip(";").strip()
     m = re.match(rf"alter\s+table\s+({_IDENT})\s+(.+)$", s, re.I | re.S)
@@ -998,55 +1039,248 @@ def run_alter(
     m = re.match(r"(un)?set\s+tblproperties\s*\((.+)\)$", rest, re.I | re.S)
     if m:
         unsetting = m.group(1) is not None
-        entries = []
-        for item in _split_top(m.group(2), ","):
-            if unsetting:
+        if unsetting:
+            keys = []
+            for item in _split_top(m.group(2), ","):
                 km = re.fullmatch(r"\s*'([^']+)'\s*", item)
                 if not km:
                     raise ValueError(
                         f"UNSET TBLPROPERTIES: expected 'key', got "
                         f"{item.strip()!r}")
-                entries.append(km.group(1))
-            else:
-                km = re.fullmatch(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item)
-                if not km:
-                    raise ValueError(
-                        f"SET TBLPROPERTIES: expected 'key'='value', got "
-                        f"{item.strip()!r}")
-                entries.append((km.group(1), km.group(2)))
-        if unsetting:
-            tgt.set_properties(unset=entries)
+                keys.append(km.group(1))
+            tgt.set_properties(unset=keys)
             return {"operation": "unset_tblproperties",
-                    "table": tgt.meta.name, "unset": entries}
-        known = {f"maintenance.{k}" for k in MAINTENANCE_DEFAULTS}
-        for k, v in entries:
-            if k.startswith("maintenance."):
-                if k not in known:
-                    raise ValueError(
-                        f"unknown maintenance property {k!r}; expected "
-                        f"one of {sorted(known)}")
-                short = k[len("maintenance."):]
-                if short in _INT_KEYS:
-                    try:
-                        int(v)
-                    except ValueError:
-                        raise ValueError(
-                            f"{k!r} must be an integer, got {v!r}")
-                elif short in _BOOL_KEYS and v.lower() not in (
-                        "true", "false", "1", "0", "yes", "no"):
-                    raise ValueError(f"{k!r} must be boolean, got {v!r}")
-                elif k in _PROP_ENUMS and v.lower() not in _PROP_ENUMS[k]:
-                    raise ValueError(
-                        f"{k!r} must be one of "
-                        f"{sorted(_PROP_ENUMS[k])}, got {v!r}")
-        tgt.set_properties(set_props=dict(entries))
+                    "table": tgt.meta.name, "unset": keys}
+        props = _parse_prop_pairs(m.group(2), "SET TBLPROPERTIES")
+        _validate_maintenance_props(props)
+        tgt.set_properties(set_props=props)
         return {"operation": "set_tblproperties", "table": tgt.meta.name,
-                "set": dict(entries)}
+                "set": props}
 
     raise ValueError(
         "run_alter handles ADD COLUMN[S], ALTER COLUMN ... TYPE, DROP "
         "COLUMN, RENAME COLUMN ... TO, and SET/UNSET TBLPROPERTIES; "
         f"got: ALTER TABLE {name} {rest[:60]!r}")
+
+
+# ----------------------------------------------------- CREATE/DROP SQL
+
+
+def run_create_table(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+) -> dict:
+    """``CREATE TABLE`` lowered onto ``LakeTable.create`` — the last
+    lifecycle statement the SQL surface lacked. Grammar (clauses in the
+    standard order users type them)::
+
+        CREATE TABLE [IF NOT EXISTS] <t>
+            [(c1 TYPE, ...)]                      -- omitted for CTAS
+            [USING frost]
+            [PARTITIONED BY (bucket(<n>, <col>))]
+            [LOCATION '<path>']
+            [TBLPROPERTIES ('k'='v', ...)]
+            [AS SELECT ...]                       -- CTAS
+
+    The engine is path-addressed (no catalog): the table's location is
+    the ``LOCATION`` clause, or the path the name is registered to in
+    ``tables`` (CLI ``--register name=path`` where nothing exists yet).
+    ``PARTITIONED BY`` takes the Iceberg bucket transform — the only
+    spec the format defines. CTAS derives the schema from the SELECT
+    (explicit column defs + AS together refuse, as in Spark) and lands
+    the rows as the first append; ``TBLPROPERTIES`` pass through
+    ``maintenance.*`` validation like ALTER's SET. ``IF NOT EXISTS`` on
+    an existing table is a no-op returning ``created: False`` — without
+    it, an existing table refuses (the format never overwrites
+    metadata).
+    """
+    import re
+
+    s = statement.strip().rstrip(";").strip()
+    m = re.match(
+        rf"create\s+table\s+(if\s+not\s+exists\s+)?({_IDENT})\s*(.*)$",
+        s, re.I | re.S)
+    if not m:
+        raise ValueError(
+            f"run_create_table handles CREATE TABLE [IF NOT EXISTS] "
+            f"<t> ...; got: {statement[:80]!r}")
+    if_not_exists, name, rest = bool(m.group(1)), m.group(2), m.group(3)
+
+    # optional leading balanced-paren column block (absent for pure CTAS)
+    ddl = None
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth, i = 0, 0
+        for i, c in enumerate(rest):
+            depth += (c == "(") - (c == ")")
+            if depth == 0:
+                break
+        if depth != 0:
+            raise ValueError("CREATE TABLE: unbalanced column list parens")
+        inner = rest[1:i]
+        parts = []
+        for spec in _split_types(inner):
+            cm = re.match(rf"\s*`?({_IDENT})`?\s+(.+?)\s*$", spec, re.S)
+            if not cm:
+                raise ValueError(f"CREATE TABLE: cannot parse {spec!r} "
+                                 "as '<name> <type>'")
+            parts.append((cm.group(1), " ".join(cm.group(2).split())))
+        ddl = ", ".join(f"`{n}` {t}" for n, t in parts)
+        rest = rest[i + 1:].lstrip()
+
+    um = re.match(r"using\s+(\w+)\s*", rest, re.I)
+    if um:
+        if um.group(1).lower() != "frost":
+            raise ValueError(
+                f"USING {um.group(1)} — this engine's format is 'frost'")
+        rest = rest[um.end():]
+
+    spec = None
+    pm = re.match(
+        rf"partitioned\s+by\s*\(\s*bucket\s*\(\s*(\d+)\s*,\s*"
+        rf"`?({_IDENT})`?\s*\)\s*\)\s*", rest, re.I)
+    if pm:
+        spec = {"kind": "bucket", "column": pm.group(2),
+                "num_buckets": int(pm.group(1))}
+        rest = rest[pm.end():]
+    elif re.match(r"partitioned\s+by\b", rest, re.I):
+        raise ValueError(
+            "PARTITIONED BY takes the bucket transform — "
+            "PARTITIONED BY (bucket(<n>, <column>)) — the only partition "
+            "spec the format defines")
+
+    location = None
+    lm = re.match(r"location\s+'([^']+)'\s*", rest, re.I)
+    if lm:
+        location = lm.group(1)
+        rest = rest[lm.end():]
+
+    props = None
+    tm = re.match(r"tblproperties\s*\(", rest, re.I)
+    if tm:
+        depth, j = 0, tm.end() - 1
+        for j in range(tm.end() - 1, len(rest)):
+            depth += (rest[j] == "(") - (rest[j] == ")")
+            if depth == 0:
+                break
+        if depth != 0:
+            raise ValueError("CREATE TABLE: unbalanced TBLPROPERTIES")
+        props = _parse_prop_pairs(rest[tm.end():j], "TBLPROPERTIES")
+        _validate_maintenance_props(props)
+        rest = rest[j + 1:].lstrip()
+
+    ctas = None
+    am = re.match(r"as\s+((?:select|with)\b.*)$", rest, re.I | re.S)
+    if am:
+        ctas = am.group(1)
+    elif rest.strip():
+        raise ValueError(
+            f"CREATE TABLE: unrecognized trailing clause {rest[:60]!r}")
+
+    if ddl is None and ctas is None:
+        raise ValueError(
+            "CREATE TABLE needs a column list or AS SELECT (CTAS)")
+    if ddl is not None and ctas is not None:
+        raise ValueError(
+            "CREATE TABLE: explicit column defs and AS SELECT are "
+            "mutually exclusive (CTAS derives the schema)")
+
+    if location is None:
+        reg = tables.get(name)
+        if isinstance(reg, str):
+            location = reg
+        elif isinstance(reg, LakeTable):
+            location = reg.location
+        else:
+            raise ValueError(
+                f"CREATE TABLE {name}: the engine is path-addressed — "
+                "give a LOCATION '<path>' clause or register the name "
+                "to a path (CLI: --register name=path)")
+
+    try:
+        existing = LakeTable.load(spark, location)
+    except FileNotFoundError:
+        existing = None
+    if existing is not None:
+        if if_not_exists:
+            return {"operation": "create_table", "table": name,
+                    "location": location, "created": False}
+        raise ValueError(
+            f"CREATE TABLE {name}: a table already exists at "
+            f"{location} (the format never overwrites metadata; use "
+            "IF NOT EXISTS for create-if-absent)")
+
+    src = None
+    if ctas is not None:
+        register_tables(spark, tables)
+        src = spark.sql(ctas)
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in src.schema.fields)
+        if spec and spec["column"] not in src.columns:
+            raise ValueError(
+                f"PARTITIONED BY column {spec['column']!r} not in the "
+                f"CTAS output {src.columns}")
+
+    t = LakeTable.create(spark, location, name, ddl,
+                         partition_spec=spec, properties=props)
+    out = {"operation": "create_table", "table": name,
+           "location": location, "created": True, "rows": 0}
+    if src is not None:
+        snap = t.append(src)
+        out["rows"] = int(snap.summary.get("added_records", 0))
+    return out
+
+
+def run_drop_table(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "str | LakeTable"],
+) -> dict:
+    """``DROP TABLE [IF EXISTS] <t> PURGE`` — deletes the table tree.
+
+    The engine is path-addressed with no catalog, so a bare ``DROP
+    TABLE`` has nothing to deregister and the only meaningful drop is
+    deleting bytes — which is why ``PURGE`` is REQUIRED (Hive's
+    skip-the-trash keyword): an irreversible statement must say so
+    explicitly. ``IF EXISTS`` makes a missing table a no-op."""
+    import re
+    import shutil
+
+    s = statement.strip().rstrip(";").strip()
+    m = re.fullmatch(
+        rf"drop\s+table\s+(if\s+exists\s+)?({_IDENT})(\s+purge)?",
+        s, re.I)
+    if not m:
+        raise ValueError(
+            f"run_drop_table handles DROP TABLE [IF EXISTS] <t> PURGE; "
+            f"got: {statement[:80]!r}")
+    if_exists, name, purge = bool(m.group(1)), m.group(2), bool(m.group(3))
+    if not purge:
+        raise ValueError(
+            "DROP TABLE without PURGE has no effect here: the engine is "
+            "path-addressed (no catalog entry to remove). Add PURGE to "
+            "delete the table tree — this is irreversible")
+    reg = tables.get(name)
+    if isinstance(reg, LakeTable):
+        location = reg.location
+    elif isinstance(reg, str):
+        location = reg
+    elif if_exists:
+        return {"operation": "drop_table", "table": name, "dropped": False}
+    else:
+        raise ValueError(f"DROP TABLE {name!r}: not in tables; "
+                         f"known: {sorted(tables)}")
+    try:
+        LakeTable.load(spark, location)
+    except FileNotFoundError:
+        if if_exists:
+            return {"operation": "drop_table", "table": name,
+                    "dropped": False}
+        raise ValueError(f"DROP TABLE {name}: no table at {location}")
+    shutil.rmtree(location)
+    return {"operation": "drop_table", "table": name,
+            "location": location, "dropped": True}
 
 
 # ------------------------------------------------------ maintenance SQL

@@ -258,3 +258,96 @@ def test_alter_refusals(spark, tmp_path):
         run_alter(spark, "ALTER TABLE alt6 CLUSTER BY (x)", {"alt6": t})
     with pytest.raises(ValueError, match="not in tables"):
         run_alter(spark, "ALTER TABLE ghost DROP COLUMN x", {"alt6": t})
+
+
+# -------------------------------------------------------- CREATE/DROP
+
+def test_create_table_full_clause_chain(spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import (
+        run_create_table,
+        run_drop_table,
+    )
+
+    loc = str(tmp_path / "ct1")
+    res = run_create_table(
+        spark,
+        f"CREATE TABLE ct1 (clip_id string, dur_ms int, price "
+        f"decimal(10,2)) USING frost PARTITIONED BY (bucket(4, clip_id)) "
+        f"LOCATION '{loc}' TBLPROPERTIES "
+        f"('maintenance.curve'='hilbert', 'owner'='sql')",
+        {})
+    assert res["created"] is True
+    t = LakeTable.load(spark, loc)
+    assert t.meta.partition_spec == {"kind": "bucket", "column": "clip_id",
+                                     "num_buckets": 4}
+    assert t.meta.properties["maintenance.curve"] == "hilbert"
+    assert dict(t.scan().dtypes)["price"] == "decimal(10,2)"
+
+    # IF NOT EXISTS is a no-op on the existing table; bare CREATE refuses
+    res = run_create_table(
+        spark, f"CREATE TABLE IF NOT EXISTS ct1 (a int) LOCATION '{loc}'",
+        {})
+    assert res["created"] is False
+    with pytest.raises(ValueError, match="already exists"):
+        run_create_table(
+            spark, f"CREATE TABLE ct1 (a int) LOCATION '{loc}'", {})
+
+    # the write path works on the created table
+    from open_finance_lakehouse_spark.sql import run_insert as _ri
+    _ri(spark, "INSERT INTO ct1 VALUES ('a', 5, 1.25)",
+        {"ct1": t})
+    assert t.refresh().scan().count() == 1
+
+    # DROP requires PURGE; with it the tree is gone
+    with pytest.raises(ValueError, match="PURGE"):
+        run_drop_table(spark, "DROP TABLE ct1", {"ct1": loc})
+    res = run_drop_table(spark, "DROP TABLE ct1 PURGE", {"ct1": loc})
+    assert res["dropped"] is True
+    import os
+    assert not os.path.exists(loc)
+    res = run_drop_table(spark, "DROP TABLE IF EXISTS ct1 PURGE",
+                         {"ct1": loc})
+    assert res["dropped"] is False
+
+
+def test_create_table_as_select(spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    src = _table(spark, tmp_path, "ctsrc", n=10)
+    loc = str(tmp_path / "ct2")
+    res = run_create_table(
+        spark,
+        f"CREATE TABLE ct2 PARTITIONED BY (bucket(2, clip_id)) "
+        f"LOCATION '{loc}' AS SELECT clip_id, dur_ms, transcript "
+        f"FROM ctsrc WHERE dur_ms >= 0",
+        {"ctsrc": src})
+    assert res["created"] is True and res["rows"] == 10
+    t = LakeTable.load(spark, loc)
+    assert t.scan().columns == ["clip_id", "dur_ms", "transcript"]
+    assert t.scan().count() == 10
+
+
+def test_create_table_refusals(spark, tmp_path):
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    with pytest.raises(ValueError, match="path-addressed"):
+        run_create_table(spark, "CREATE TABLE nowhere (a int)", {})
+    loc = str(tmp_path / "ct3")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_create_table(
+            spark, f"CREATE TABLE ct3 (a int) LOCATION '{loc}' "
+            f"AS SELECT 1", {})
+    with pytest.raises(ValueError, match="column list or AS SELECT"):
+        run_create_table(spark, f"CREATE TABLE ct3 LOCATION '{loc}'", {})
+    with pytest.raises(ValueError, match="bucket transform"):
+        run_create_table(
+            spark, f"CREATE TABLE ct3 (a int) PARTITIONED BY (a) "
+            f"LOCATION '{loc}'", {})
+    with pytest.raises(ValueError, match="format is 'frost'"):
+        run_create_table(
+            spark, f"CREATE TABLE ct3 (a int) USING delta "
+            f"LOCATION '{loc}'", {})
+    with pytest.raises(ValueError, match="unknown maintenance property"):
+        run_create_table(
+            spark, f"CREATE TABLE ct3 (a int) LOCATION '{loc}' "
+            f"TBLPROPERTIES ('maintenance.curv'='zorder')", {})
