@@ -1159,12 +1159,19 @@ def run_create_table(
     props = None
     tm = re.match(r"tblproperties\s*\(", rest, re.I)
     if tm:
-        depth, j = 0, tm.end() - 1
+        # quote-aware scan: property VALUES may contain parens
+        # ('comment'='uses (parens)') — a blind depth count would close
+        # the clause inside the literal
+        depth, j, in_q = 0, tm.end() - 1, False
         for j in range(tm.end() - 1, len(rest)):
-            depth += (rest[j] == "(") - (rest[j] == ")")
-            if depth == 0:
-                break
-        if depth != 0:
+            c = rest[j]
+            if c == "'":
+                in_q = not in_q
+            elif not in_q:
+                depth += (c == "(") - (c == ")")
+                if depth == 0:
+                    break
+        if depth != 0 or in_q:
             raise ValueError("CREATE TABLE: unbalanced TBLPROPERTIES")
         props = _parse_prop_pairs(rest[tm.end():j], "TBLPROPERTIES")
         _validate_maintenance_props(props)

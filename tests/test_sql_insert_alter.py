@@ -327,6 +327,20 @@ def test_create_table_as_select(spark, tmp_path):
     assert t.scan().count() == 10
 
 
+def test_create_table_props_with_parens_in_values(spark, tmp_path):
+    """Property values may contain parens — the clause scan must not
+    close inside the quoted literal."""
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    loc = str(tmp_path / "ctp")
+    run_create_table(
+        spark,
+        f"CREATE TABLE ctp (a int) LOCATION '{loc}' TBLPROPERTIES "
+        f"('comment'='uses (parens) inside')", {})
+    t = LakeTable.load(spark, loc)
+    assert t.meta.properties["comment"] == "uses (parens) inside"
+
+
 def test_create_table_refusals(spark, tmp_path):
     from open_finance_lakehouse_spark.sql import run_create_table
 
