@@ -422,10 +422,10 @@ def _execute(spark, args) -> dict:
         views = dict(kv.split("=", 1) for kv in args.register)
         toks = args.query.split()
         head = toks[0].lower() if toks else ""
-        # `DESCRIBE HISTORY` is ours; a plain `DESCRIBE <view>` stays a
-        # catalog query through the view path
+        # `DESCRIBE HISTORY|DETAIL` is ours; a plain `DESCRIBE <view>`
+        # stays a catalog query through the view path
         is_hist = (head == "describe" and len(toks) > 1
-                   and toks[1].lower() == "history")
+                   and toks[1].lower() in ("history", "detail"))
         if head in ("delete", "update", "merge"):
             if not args.ledger:
                 raise SystemExit("DML statements require --ledger")
@@ -440,7 +440,7 @@ def _execute(spark, args) -> dict:
             out = run_create_table(spark, args.query, views)
         elif head == "drop":
             out = run_drop_table(spark, args.query, views)
-        elif head in ("optimize", "vacuum", "restore") or is_hist:
+        elif head in ("optimize", "vacuum", "restore", "show") or is_hist:
             res = run_maintenance_sql(
                 spark, args.query, views,
                 ledger=CheckpointLedger(args.ledger) if args.ledger

@@ -1330,6 +1330,8 @@ def run_maintenance_sql(
         OPTIMIZE <t> ZORDER BY (c1, c2, c3)     -> cluster_global zorder
         VACUUM <t> [RETAIN <n> HOURS] [DRY RUN] -> expire + orphan GC
         DESCRIBE HISTORY <t>                    -> history() DataFrame
+        DESCRIBE DETAIL <t>                     -> inventory/layout dict
+        SHOW TBLPROPERTIES <t> [('key')]        -> properties dict
         RESTORE [TABLE] <t> TO VERSION AS OF <snapshot_id>
         RESTORE [TABLE] <t> TO TIMESTAMP AS OF <epoch_ms>
 
@@ -1477,6 +1479,52 @@ def run_maintenance_sql(
         return resolve(m.group(1)).history().orderBy(
             F.desc("sequence_number"))
 
+    m = re.fullmatch(rf"describe\s+detail\s+({_IDENT})", s, re.I)
+    if m:
+        from pyspark.sql import functions as F
+
+        table = resolve(m.group(1))
+        # inventory totals as Spark-side aggregates over the manifest
+        # relation — DESCRIBE DETAIL on a million-file table must not
+        # walk files on the driver
+        agg = (table.files_df()
+               .agg(F.count("*").alias("nf"),
+                    F.sum("file_size_bytes").alias("b"),
+                    F.sum("record_count").alias("r"))
+               .first())
+        spec = table.meta.partition_spec or {}
+        return {
+            "format": "frost",
+            "name": table.meta.name,
+            "location": table.location,
+            "partition_spec": spec,
+            "partition_columns": ([spec["column"]] if spec else []),
+            "num_files": int(agg["nf"] or 0),
+            "size_in_bytes": int(agg["b"] or 0),
+            "num_records": int(agg["r"] or 0),
+            "current_snapshot_id": table.current_snapshot_id(),
+            "num_snapshots": len(table.meta.snapshots),
+            "schema": table.meta.schema_ddl,
+            "properties": dict(table.meta.properties),
+        }
+
+    m = re.fullmatch(
+        rf"show\s+tblproperties\s+({_IDENT})(?:\s*\(\s*'([^']+)'\s*\))?",
+        s, re.I)
+    if m:
+        table = resolve(m.group(1))
+        props = dict(table.meta.properties)
+        if m.group(2) is not None:
+            k = m.group(2)
+            if k not in props:
+                raise ValueError(
+                    f"table {table.meta.name} has no property {k!r}; "
+                    f"set: {sorted(props)}")
+            return {"operation": "show_tblproperties",
+                    "table": table.meta.name, "properties": {k: props[k]}}
+        return {"operation": "show_tblproperties",
+                "table": table.meta.name, "properties": props}
+
     m = re.fullmatch(
         rf"restore\s+(?:table\s+)?({_IDENT})\s+to\s+"
         rf"(version|timestamp)\s+as\s+of\s+(\d+)", s, re.I)
@@ -1492,6 +1540,6 @@ def run_maintenance_sql(
 
     raise ValueError(
         "run_maintenance_sql handles OPTIMIZE [ZORDER BY (...)], VACUUM "
-        "[RETAIN n HOURS] [DRY RUN], DESCRIBE HISTORY, and RESTORE "
-        f"[TABLE] <t> TO VERSION|TIMESTAMP AS OF <n>; got: "
-        f"{statement[:80]!r}")
+        "[RETAIN n HOURS] [DRY RUN], DESCRIBE HISTORY|DETAIL, SHOW "
+        "TBLPROPERTIES, and RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS "
+        f"OF <n>; got: {statement[:80]!r}")

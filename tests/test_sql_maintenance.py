@@ -220,6 +220,28 @@ def test_describe_history_latest_first(spark, tmp_path):
     assert seqs == sorted(seqs, reverse=True)
 
 
+def test_describe_detail_and_show_tblproperties(spark, tmp_path):
+    t = _table(spark, tmp_path, "mdet", n=30)
+    t.set_properties({"owner": "audio-platform"})
+    t.refresh()
+    det = run_maintenance_sql(spark, "DESCRIBE DETAIL mdet", {"mdet": t})
+    assert det["format"] == "frost" and det["name"] == "mdet"
+    assert det["num_records"] == 30 and det["num_files"] > 0
+    assert det["size_in_bytes"] > 0
+    assert det["partition_columns"] == ["clip_id"]
+    assert det["properties"]["owner"] == "audio-platform"
+
+    out = run_maintenance_sql(spark, "SHOW TBLPROPERTIES mdet",
+                              {"mdet": t})
+    assert out["properties"]["owner"] == "audio-platform"
+    out = run_maintenance_sql(spark, "SHOW TBLPROPERTIES mdet ('owner')",
+                              {"mdet": t})
+    assert out["properties"] == {"owner": "audio-platform"}
+    with pytest.raises(ValueError, match="no property"):
+        run_maintenance_sql(spark, "SHOW TBLPROPERTIES mdet ('ghost')",
+                            {"mdet": t})
+
+
 def test_restore_version_and_timestamp(spark, tmp_path):
     t = _table(spark, tmp_path, "mres", n=20)
     led = CheckpointLedger(str(tmp_path / "led"))
