@@ -365,3 +365,28 @@ def test_create_table_refusals(spark, tmp_path):
         run_create_table(
             spark, f"CREATE TABLE ct3 (a int) LOCATION '{loc}' "
             f"TBLPROPERTIES ('maintenance.curv'='zorder')", {})
+
+
+def test_create_table_imports_plain_parquet_dir(spark, tmp_path):
+    """The CONVERT-TO-DELTA migration shape: CTAS over Spark's
+    parquet.`/path` table syntax imports a plain parquet directory into
+    a governed table — the body goes verbatim to spark.sql, so the
+    reader handles layout/compression, and the engine lands it as one
+    append with stats and bucket routing."""
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    raw = str(tmp_path / "raw_parquet")
+    _table(spark, tmp_path, "impsrc", n=15).scan() \
+        .select("clip_id", "dur_ms", "transcript") \
+        .write.parquet(raw)
+
+    loc = str(tmp_path / "imported")
+    res = run_create_table(
+        spark,
+        f"CREATE TABLE imported PARTITIONED BY (bucket(2, clip_id)) "
+        f"LOCATION '{loc}' AS SELECT * FROM parquet.`{raw}`",
+        {})
+    assert res["rows"] == 15
+    t = LakeTable.load(spark, loc)
+    assert t.scan().count() == 15
+    assert t.meta.partition_spec["num_buckets"] == 2
