@@ -13,7 +13,13 @@ Capabilities (see SURVEY.md for the blueprint and reference citations):
   SNR verification, and space-filling-curve keys (``functions/``);
 - a checkpoint + lineage ledger giving file-granularity resume (``plans/``);
 - deterministic synthetic clip-table generation (``sources/``);
-- a streaming maintenance-metrics lane (``streaming/``).
+- a streaming maintenance-metrics lane (``streaming/``);
+- a complete SQL front door (``sql.py``): SELECT over registered views,
+  the DML triad (DELETE / UPDATE / MERGE INTO), INSERT INTO/OVERWRITE,
+  table lifecycle (CREATE TABLE incl. CTAS, DROP TABLE PURGE), schema
+  and property evolution (ALTER TABLE), and the maintenance statements
+  (OPTIMIZE, VACUUM, DESCRIBE HISTORY/DETAIL, SHOW TBLPROPERTIES,
+  RESTORE) — each lowered onto the engine primitives above.
 
 Everything here derives from public knowledge only: the Apache Spark /
 PySpark API, the Apache Iceberg/Delta specs as published, and the reference

@@ -416,7 +416,7 @@ def _execute(spark, args) -> dict:
             run_insert,
             run_maintenance_sql,
             run_merge,
-            run_sql,
+            run_select,
         )
 
         views = dict(kv.split("=", 1) for kv in args.register)
@@ -451,7 +451,8 @@ def _execute(spark, args) -> dict:
         else:
             reg = register_tables(spark, views)
             rows = [r.asDict() for r in
-                    run_sql(spark, args.query).limit(args.limit).collect()]
+                    run_select(spark, args.query, views)
+                    .limit(args.limit).collect()]
             out = {"registration": reg, "rows": rows}
     else:
         from open_finance_lakehouse_spark.operators.config import (

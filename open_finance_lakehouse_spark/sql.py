@@ -75,6 +75,62 @@ def run_sql(spark: SparkSession, query: str) -> DataFrame:
     return spark.sql(query)
 
 
+def run_select(
+    spark: SparkSession,
+    query: str,
+    tables: dict[str, "str | LakeTable"],
+) -> DataFrame:
+    """Read-path front door: register ``tables`` as views, honor inline
+    time travel — ``FROM <t> VERSION AS OF <snapshot_id>`` / ``FROM <t>
+    TIMESTAMP AS OF <epoch_ms>`` (the Delta syntax) — and hand the
+    query to ``spark.sql``.
+
+    Each travelled mention is rewritten to a fresh view name pinned at
+    the resolved snapshot, so one query can join a table to its own
+    past (``SELECT ... FROM t JOIN t VERSION AS OF 3 USING (k)``). The
+    scan is quote-aware: a string literal containing 'version as of' is
+    never rewritten. Only registered table names rewrite — anything
+    else is left for Spark's parser to reject, keeping error messages
+    native."""
+    import re
+
+    def quote_spans(s: str) -> list[tuple[int, int]]:
+        spans, i, n = [], 0, len(s)
+        while i < n:
+            if s[i] in "'\"":
+                q, j = s[i], i + 1
+                while j < n and s[j] != q:
+                    j += 1
+                spans.append((i, j))
+                i = j + 1
+            else:
+                i += 1
+        return spans
+
+    register_tables(spark, tables)
+    spans = quote_spans(query)
+    out, used = [], 0
+    pat = re.compile(
+        rf"\b({_IDENT})\s+(version|timestamp)\s+as\s+of\s+(\d+)\b", re.I)
+    for m in pat.finditer(query):
+        if any(a <= m.start() <= b for a, b in spans):
+            continue
+        name, kind, n = m.group(1), m.group(2).lower(), int(m.group(3))
+        if name not in tables:
+            continue
+        t = tables[name]
+        if not isinstance(t, LakeTable):
+            t = LakeTable.load(spark, t)
+        sid = n if kind == "version" else t.snapshot_id_as_of(n)
+        view = f"{name}__asof_{sid}"
+        register_view(t, view, snapshot_id=sid)
+        out.append(query[used:m.start()])
+        out.append(view)
+        used = m.end()
+    out.append(query[used:])
+    return spark.sql("".join(out))
+
+
 # ------------------------------------------------------------------ DML
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"

@@ -390,3 +390,44 @@ def test_create_table_imports_plain_parquet_dir(spark, tmp_path):
     t = LakeTable.load(spark, loc)
     assert t.scan().count() == 15
     assert t.meta.partition_spec["num_buckets"] == 2
+
+
+# ----------------------------------------------------- SELECT time travel
+
+def test_select_inline_time_travel(spark, tmp_path):
+    """Delta's inline FROM t VERSION|TIMESTAMP AS OF syntax on the read
+    path — each travelled mention pins its own view, so one query can
+    join the present to the past."""
+    from open_finance_lakehouse_spark.sql import run_select
+
+    t = _table(spark, tmp_path, "tt1", n=10)
+    v1 = t.current_snapshot_id()
+    ts1 = t.meta.snapshot(v1).timestamp_ms
+    import time as _time
+    _time.sleep(0.05)
+    t.append(synth_clips(spark, 5, id_offset=900), max_records_per_file=8)
+
+    n_now = run_select(spark, "SELECT count(*) AS n FROM tt1",
+                       {"tt1": t}).first()["n"]
+    n_v1 = run_select(
+        spark, f"SELECT count(*) AS n FROM tt1 VERSION AS OF {v1}",
+        {"tt1": t}).first()["n"]
+    n_ts = run_select(
+        spark, f"SELECT count(*) AS n FROM tt1 TIMESTAMP AS OF {ts1}",
+        {"tt1": t}).first()["n"]
+    assert (n_now, n_v1, n_ts) == (15, 10, 10)
+
+    # join the table to its own past in ONE query
+    row = run_select(
+        spark,
+        f"SELECT count(*) AS added FROM tt1 a LEFT ANTI JOIN "
+        f"tt1 VERSION AS OF {v1} b ON a.clip_id = b.clip_id",
+        {"tt1": t}).first()
+    assert row["added"] == 5
+
+    # quote-awareness: a literal containing the phrase is untouched
+    row = run_select(
+        spark,
+        "SELECT 'tt1 VERSION AS OF 1' AS s, count(*) AS n FROM tt1",
+        {"tt1": t}).first()
+    assert row["s"] == "tt1 VERSION AS OF 1" and row["n"] == 15
