@@ -61,7 +61,20 @@ class Contract:
         raw = (properties or {}).get(PROPERTY_KEY)
         if not raw:
             return None
-        return Contract(**json.loads(raw))
+        # a malformed property must explain ITSELF: the raw JSONDecodeError
+        # surfaces at the first WRITE after the bad SET — far from the
+        # statement that caused it — and names neither the property nor
+        # the expected shape
+        try:
+            return Contract(**json.loads(raw))
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f"table property {PROPERTY_KEY!r} is not a valid contract: "
+                f"{e}. Expected JSON like "
+                '\'{"not_null": ["clip_id"], "unique": ["clip_id"], '
+                '"bounds": {"sr_hz": [1, 192000]}, '
+                '"allowed": {"codec": ["pcm", "opus"]}}\' '
+                f"(got {raw[:120]!r})") from e
 
 
 def check_schema(df: DataFrame, table_schema) -> None:

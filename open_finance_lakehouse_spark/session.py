@@ -121,4 +121,16 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addPyFile(package_zip())  # --py-files equivalent
+    # register format("frost") on every engine session: Delta/Iceberg get
+    # their source registered by the session extension jars; the Python
+    # data source's equivalent is this one registry call. Without it a
+    # user's first spark.read.format("frost") dies with
+    # DATA_SOURCE_NOT_FOUND. Import is deferred (frost_source imports
+    # pandas/pyarrow) and re-registration over an existing session is a
+    # no-op overwrite, so getOrCreate() reuse stays safe.
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        register_frost_source,
+    )
+
+    register_frost_source(spark)
     return spark

@@ -948,15 +948,22 @@ def _parse_prop_pairs(inner: str, ctx: str) -> dict:
 def _validate_maintenance_props(props: dict) -> None:
     """``maintenance.*`` keys validate against the knob registry
     (operators/config.py) — a typo'd knob or off-enum value refuses
-    instead of silently riding along until a maintenance job trips."""
+    instead of silently riding along until a maintenance job trips.
+    The ``contract`` property validates as Contract JSON for the same
+    reason: a malformed contract otherwise surfaces as a parse error at
+    the first WRITE, statements away from the SET that caused it."""
     from open_finance_lakehouse_spark.operators.config import (
         MAINTENANCE_DEFAULTS,
         _BOOL_KEYS,
         _INT_KEYS,
     )
+    from open_finance_lakehouse_spark.quality import contracts as qc
 
     known = {f"maintenance.{k}" for k in MAINTENANCE_DEFAULTS}
     for k, v in props.items():
+        if k == qc.PROPERTY_KEY:
+            qc.Contract.from_properties({k: v})  # raises with the shape
+            continue
         if not k.startswith("maintenance."):
             continue
         if k not in known:

@@ -715,6 +715,11 @@ class FrostDataSource(DataSource):
     the plain stream; row-changing commits arrive as delete+insert pairs
     instead of killing the query. ``changeShardBytes`` bounds per-task
     memory of a row-changing commit's diff (default 512 MiB).
+
+    Delta-compat aliases (frost snapshot ids ARE the table's versions,
+    so these are exact synonyms, not approximations): ``startingVersion``
+    = ``startingSnapshotId``, ``endingVersion`` = ``endingSnapshotId``,
+    ``versionAsOf`` = ``snapshotId``.
     """
 
     @classmethod
@@ -727,6 +732,23 @@ class FrostDataSource(DataSource):
             raise ValueError("frost source requires option('location', ...)")
         return loc
 
+    def _opt(self, canonical: str, alias: str):
+        """Resolve an option that also has a Delta-compat spelling.
+
+        Frost snapshot ids ARE the table's versions (RESTORE/time travel
+        use them interchangeably), so Delta's ``startingVersion`` /
+        ``endingVersion`` / ``versionAsOf`` are EXACT aliases of the
+        ``*SnapshotId`` options — a Delta user's muscle-memory read works
+        unchanged. Giving both spellings with different values is
+        ambiguous and refuses."""
+        v, a = self.options.get(canonical), self.options.get(alias)
+        if v is not None and a is not None and str(v) != str(a):
+            raise ValueError(
+                f"{canonical}={v!r} and its alias {alias}={a!r} disagree "
+                "— give one (they are the same option: frost snapshot "
+                "ids are the table's versions)")
+        return v if v is not None else a
+
     def _cdc(self) -> bool:
         return (str(self.options.get("readChangeFeed", "false")).lower()
                 in ("true", "1", "yes"))
@@ -736,7 +758,7 @@ class FrostDataSource(DataSource):
                                     DEFAULT_CHANGE_SHARD_BYTES))
 
     def _snapshot_id(self) -> int | None:
-        sid = self.options.get("snapshotId")
+        sid = self._opt("snapshotId", "versionAsOf")
         ts = self.options.get("asOfTimestampMs")
         if sid is not None and ts is not None:
             raise ValueError(
@@ -768,13 +790,13 @@ class FrostDataSource(DataSource):
 
     def reader(self, schema: StructType):
         if self._cdc():
-            start = self.options.get("startingSnapshotId")
+            start = self._opt("startingSnapshotId", "startingVersion")
             if start is not None and str(start).lower() == "latest":
                 raise ValueError(
                     "startingSnapshotId='latest' is a STREAM start; a "
                     "batch change feed needs a concrete id (or omit for "
                     "a genesis replay)")
-            end = self.options.get("endingSnapshotId")
+            end = self._opt("endingSnapshotId", "endingVersion")
             return FrostChangeFeedBatchReader(
                 schema, self._location(),
                 int(start) if start is not None else None,
@@ -793,7 +815,7 @@ class FrostDataSource(DataSource):
         return FrostStreamReader(schema, self._location(), skip, starting)
 
     def _resolve_starting(self) -> str | None:
-        starting = self.options.get("startingSnapshotId")
+        starting = self._opt("startingSnapshotId", "startingVersion")
         ts = self.options.get("startingTimestampMs")
         if ts is not None:
             if starting is not None:

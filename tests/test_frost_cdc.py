@@ -246,3 +246,32 @@ def test_stream_cdc_initial_load_is_live_state(spark, history, tmp_path):
     assert got.filter(F.col(cl.CHANGE_TYPE_COL) != cl.INSERT).count() == 0
     live = t.scan()
     assert _multiset_equal(got.select(live.columns), live)
+
+
+def test_delta_compat_version_aliases(spark, history):
+    """Delta muscle memory works verbatim: ``startingVersion`` /
+    ``endingVersion`` are exact synonyms of the ``*SnapshotId`` options
+    (frost snapshot ids ARE the table's versions), and giving both
+    spellings with DIFFERENT values refuses instead of picking one."""
+    t, snaps = history
+    canonical = _cdc_read(spark, t, start=snaps[1], end=snaps[3])
+    alias = (spark.read.format("frost").option("location", t.location)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", snaps[1])
+             .option("endingVersion", snaps[3]).load())
+    assert _multiset_equal(canonical, alias)
+    with pytest.raises(Exception, match="disagree"):
+        (spark.read.format("frost").option("location", t.location)
+         .option("readChangeFeed", "true")
+         .option("startingSnapshotId", snaps[1])
+         .option("startingVersion", snaps[2]).load()).collect()
+
+
+def test_version_as_of_alias_time_travel(spark, history):
+    """Batch time travel: ``versionAsOf`` (Delta) == ``snapshotId``."""
+    t, snaps = history
+    a = (spark.read.format("frost").option("location", t.location)
+         .option("snapshotId", snaps[1]).load())
+    b = (spark.read.format("frost").option("location", t.location)
+         .option("versionAsOf", snaps[1]).load())
+    assert _multiset_equal(a, b) and a.count() > 0

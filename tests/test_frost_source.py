@@ -795,3 +795,35 @@ def test_frost_pushdown_null_count_pruning(spark, tmp_path):
     rd = FrostBatchReader(t._empty_df().schema, t.location)
     rd.pushFilters([IsNull(("v",)), IsNotNull(("v",))])
     assert len(rd.partitions()) == 1  # only the mixed file survives
+
+
+def test_build_session_registers_frost_out_of_the_box(tmp_path):
+    """A user's FIRST ``spark.read.format("frost")`` on a fresh
+    ``build_session`` session must work without a manual
+    ``register_frost_source`` call (Delta/Iceberg get their sources
+    registered by session extensions; this is the Python-data-source
+    equivalent). Needs its own process: the shared test session has long
+    since registered the source."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = textwrap.dedent(f"""
+        from open_finance_lakehouse_spark.session import build_session
+        from open_finance_lakehouse_spark.format.table import LakeTable
+
+        spark = build_session("reg_probe", master="local[2]",
+                              shuffle_partitions=2)
+        loc = {str(tmp_path / "t")!r}
+        t = LakeTable.create(spark, loc, "t", "`a` int")
+        t.append(spark.range(3).selectExpr("cast(id as int) as a"))
+        print("COUNT=", spark.read.format("frost").load(loc).count())
+    """)
+    env = {**os.environ,
+           "PYTHONPATH": repo + os.pathsep + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "COUNT= 3" in r.stdout

@@ -431,3 +431,54 @@ def test_select_inline_time_travel(spark, tmp_path):
         "SELECT 'tt1 VERSION AS OF 1' AS s, count(*) AS n FROM tt1",
         {"tt1": t}).first()
     assert row["s"] == "tt1 VERSION AS OF 1" and row["n"] == 15
+
+
+# ------------------------------------------------- contract property SQL
+
+def test_set_tblproperties_rejects_malformed_contract(spark, tmp_path):
+    """A contract the JSON grammar can't parse must refuse AT THE SET —
+    stored as-is it surfaces as an opaque JSONDecodeError at the first
+    INSERT, statements away from the typo that caused it."""
+    t = _table(spark, tmp_path, "cprop1", n=3)
+    with pytest.raises(ValueError, match="contract.*Expected JSON"):
+        run_alter(
+            spark,
+            "ALTER TABLE cprop1 SET TBLPROPERTIES "
+            "('contract'='sr_hz > 0; dur_ms >= 0')",
+            {"cprop1": t})
+    # wrong keys refuse too (valid JSON, invalid Contract shape)
+    with pytest.raises(ValueError, match="contract"):
+        run_alter(
+            spark,
+            'ALTER TABLE cprop1 SET TBLPROPERTIES '
+            '(\'contract\'=\'{"nonnull": ["clip_id"]}\')',
+            {"cprop1": t})
+    assert "contract" not in t.refresh().meta.properties
+
+
+def test_contract_set_via_sql_gates_inserts(spark, tmp_path):
+    """The valid shape lands via ALTER and the NEXT insert enforces it:
+    the SQL surface and the write gate share one property."""
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+
+    t = _table(spark, tmp_path, "cprop2", n=3)
+    run_alter(
+        spark,
+        'ALTER TABLE cprop2 SET TBLPROPERTIES '
+        '(\'contract\'=\'{"bounds": {"sr_hz": [1, 192000]}}\')',
+        {"cprop2": t})
+    with pytest.raises(ContractViolation):
+        run_insert(
+            spark,
+            "INSERT INTO cprop2 VALUES "
+            "('bad_1', CAST('x' AS BINARY), -5, 100, 'pcm16', 't')",
+            {"cprop2": t})
+    res = run_insert(
+        spark,
+        "INSERT INTO cprop2 VALUES "
+        "('ok_1', CAST('x' AS BINARY), 16000, 100, 'pcm16', 't')",
+        {"cprop2": t})
+    assert res["rows"] == 1
+    assert "bad_1" not in _ids(t) and "ok_1" in _ids(t)
