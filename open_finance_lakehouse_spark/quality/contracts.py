@@ -52,9 +52,39 @@ class Contract:
     unique: list[str] = field(default_factory=list)   # in-batch key combo
     bounds: dict[str, list] = field(default_factory=dict)  # col -> [lo, hi]
     allowed: dict[str, list] = field(default_factory=dict)  # col -> values
+    checks: dict[str, str] = field(default_factory=dict)  # name -> bool SQL
+
+    def empty(self) -> bool:
+        return not (self.not_null or self.unique or self.bounds
+                    or self.allowed or self.checks)
 
     def to_property(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
+
+    def _validate_shape(self) -> None:
+        """Value-shape check beyond the constructor's key check: a
+        contract with ``"bounds": 5`` constructs fine and only explodes
+        inside ``tag_violations`` — at the first WRITE, with an
+        AttributeError that names neither the property nor the rule."""
+        def all_str(xs):
+            return isinstance(xs, list) and all(
+                isinstance(x, str) for x in xs)
+
+        if not (all_str(self.not_null) and all_str(self.unique)):
+            raise ValueError("not_null/unique must be lists of column "
+                             "names")
+        if not (isinstance(self.bounds, dict) and all(
+                isinstance(v, list) and len(v) == 2
+                for v in self.bounds.values())):
+            raise ValueError('bounds must map column -> [lo, hi]')
+        if not (isinstance(self.allowed, dict) and all(
+                isinstance(v, list) for v in self.allowed.values())):
+            raise ValueError("allowed must map column -> list of values")
+        if not (isinstance(self.checks, dict) and all(
+                isinstance(k, str) and isinstance(v, str) and v.strip()
+                for k, v in self.checks.items())):
+            raise ValueError("checks must map constraint name -> boolean "
+                             "SQL expression")
 
     @staticmethod
     def from_properties(properties: dict) -> "Contract | None":
@@ -66,14 +96,17 @@ class Contract:
         # statement that caused it — and names neither the property nor
         # the expected shape
         try:
-            return Contract(**json.loads(raw))
+            c = Contract(**json.loads(raw))
+            c._validate_shape()
+            return c
         except (ValueError, TypeError) as e:
             raise ValueError(
                 f"table property {PROPERTY_KEY!r} is not a valid contract: "
                 f"{e}. Expected JSON like "
                 '\'{"not_null": ["clip_id"], "unique": ["clip_id"], '
                 '"bounds": {"sr_hz": [1, 192000]}, '
-                '"allowed": {"codec": ["pcm", "opus"]}}\' '
+                '"allowed": {"codec": ["pcm", "opus"]}, '
+                '"checks": {"dur_positive": "dur_ms > 0"}}\' '
                 f"(got {raw[:120]!r})") from e
 
 
@@ -105,6 +138,15 @@ def tag_violations(df: DataFrame, contract: Contract) -> DataFrame:
         reasons.append(F.when(
             F.col(c).isNotNull() & ~F.col(c).isin(list(values)),
             F.lit(f"allowed:{c}")))
+    # CHECK constraints (ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)):
+    # violated only when the expression evaluates to exactly FALSE — a
+    # NULL result passes, consistent with bounds/allowed above (require
+    # values via not_null). Sorted iteration keeps the "first violated
+    # rule" tag deterministic across runs.
+    for cname in sorted(contract.checks):
+        reasons.append(F.when(
+            F.expr(f"({contract.checks[cname]})") == F.lit(False),
+            F.lit(f"check:{cname}")))
     out = df
     if contract.unique:
         w = Window.partitionBy(*contract.unique)

@@ -937,11 +937,16 @@ def _parse_prop_pairs(inner: str, ctx: str) -> dict:
 
     props = {}
     for item in _split_top(inner, ","):
-        km = re.fullmatch(r"\s*'([^']+)'\s*=\s*'([^']*)'\s*", item)
+        # '' inside a literal is SQL's escaped single quote — a contract
+        # check like "codec in ('pcm')" renders (SHOW CREATE TABLE) and
+        # re-parses through this doubling
+        km = re.fullmatch(
+            r"\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*", item)
         if not km:
             raise ValueError(
                 f"{ctx}: expected 'key'='value', got {item.strip()!r}")
-        props[km.group(1)] = km.group(2)
+        props[km.group(1).replace("''", "'")] = \
+            km.group(2).replace("''", "'")
     return props
 
 
@@ -1007,6 +1012,12 @@ def run_alter(
       — because a typo'd knob silently falling back to defaults is the
       exact failure the registry exists to prevent; other namespaces
       (``contract``, user metadata) store as-is, Delta-style.
+    - ``ADD CONSTRAINT <name> CHECK (<expr>)`` / ``DROP CONSTRAINT
+      [IF EXISTS] <name>`` → the named check joins the table's contract
+      (one property, so every writer enforces it). Delta's discipline:
+      the expression must analyze boolean against the table schema AND
+      every existing row must already satisfy it (NULL passes — require
+      values via ``not_null``), or the ADD refuses with a row sample.
 
     Widening/narrowing rules, partition-column protection, and the
     rewrite's snapshot semantics are the primitives' own (see their
@@ -1099,6 +1110,88 @@ def run_alter(
         return {"operation": "rename_column", "table": tgt.meta.name,
                 "renamed": {old: new}, "snapshot_id": snap.snapshot_id}
 
+    m = re.match(rf"add\s+constraint\s+`?({_IDENT})`?\s+check\s*\((.+)\)$",
+                 rest, re.I | re.S)
+    if m:
+        from pyspark.sql import functions as F
+
+        from open_finance_lakehouse_spark.quality import contracts as qc
+
+        cname, expr = m.group(1), " ".join(m.group(2).split())
+        c = qc.Contract.from_properties(tgt.meta.properties) or qc.Contract()
+        clash = next((k for k in c.checks if k.lower() == cname.lower()),
+                     None)
+        if clash is not None:
+            raise ValueError(
+                f"ADD CONSTRAINT: {tgt.meta.name} already has a CHECK "
+                f"constraint {clash!r} ({c.checks[clash]!r}); DROP it "
+                "first to replace it")
+        # the expression must analyze against the TABLE schema and be
+        # boolean NOW — stored unvalidated it explodes at the first
+        # write, statements away from the typo
+        try:
+            probe = tgt._empty_df().selectExpr(f"({expr}) AS __check")
+        except Exception as e:
+            raise ValueError(
+                f"ADD CONSTRAINT {cname}: CHECK expression {expr!r} does "
+                f"not analyze against the table schema: {e}") from e
+        dt = probe.schema[0].dataType.simpleString()
+        if dt != "boolean":
+            raise ValueError(
+                f"ADD CONSTRAINT {cname}: CHECK expression {expr!r} is "
+                f"{dt}, not boolean")
+        # Delta's ADD CONSTRAINT discipline: EXISTING rows must already
+        # satisfy the constraint, else the table would be in violation
+        # of its own declared contract from the first second. NULL
+        # results pass (the write gate's semantics, see tag_violations).
+        show = [f.name for f in tgt._empty_df().schema.fields
+                if f.dataType.simpleString() != "binary"][:4]
+        try:
+            # also rejects expressions legal in SELECT but not per-row
+            # (aggregates/windows): the write gate evaluates the check
+            # row-wise, so it must be filterable
+            bad = (tgt.scan().filter(F.expr(f"({expr})") == F.lit(False))
+                   .select(*show).limit(5).collect())
+        except Exception as e:
+            raise ValueError(
+                f"ADD CONSTRAINT {cname}: CHECK expression {expr!r} is "
+                f"not a per-row predicate: {e}") from e
+        if bad:
+            raise ValueError(
+                f"ADD CONSTRAINT {cname}: existing rows violate {expr!r} "
+                f"(sample of ≤5): {[r.asDict() for r in bad]}")
+        c.checks[cname] = expr
+        tgt.set_properties(set_props={qc.PROPERTY_KEY: c.to_property()})
+        return {"operation": "add_constraint", "table": tgt.meta.name,
+                "constraint": cname, "check": expr}
+
+    m = re.match(rf"drop\s+constraint\s+(if\s+exists\s+)?`?({_IDENT})`?$",
+                 rest, re.I)
+    if m:
+        from open_finance_lakehouse_spark.quality import contracts as qc
+
+        if_exists, cname = bool(m.group(1)), m.group(2)
+        c = qc.Contract.from_properties(tgt.meta.properties)
+        key = next((k for k in (c.checks if c else {})
+                    if k.lower() == cname.lower()), None)
+        if key is None:
+            if if_exists:
+                return {"operation": "drop_constraint",
+                        "table": tgt.meta.name, "dropped": None}
+            raise ValueError(
+                f"DROP CONSTRAINT: no CHECK constraint {cname!r} on "
+                f"{tgt.meta.name}; have: {sorted(c.checks) if c else []}")
+        del c.checks[key]
+        if c.empty():
+            # an all-empty contract unsets the property so writers keep
+            # the no-contract fast path (append commits without the
+            # tag-violations job)
+            tgt.set_properties(unset=[qc.PROPERTY_KEY])
+        else:
+            tgt.set_properties(set_props={qc.PROPERTY_KEY: c.to_property()})
+        return {"operation": "drop_constraint", "table": tgt.meta.name,
+                "dropped": key}
+
     m = re.match(r"(un)?set\s+tblproperties\s*\((.+)\)$", rest, re.I | re.S)
     if m:
         unsetting = m.group(1) is not None
@@ -1122,7 +1215,8 @@ def run_alter(
 
     raise ValueError(
         "run_alter handles ADD COLUMN[S], ALTER COLUMN ... TYPE, DROP "
-        "COLUMN, RENAME COLUMN ... TO, and SET/UNSET TBLPROPERTIES; "
+        "COLUMN, RENAME COLUMN ... TO, ADD CONSTRAINT ... CHECK (...), "
+        "DROP CONSTRAINT [IF EXISTS], and SET/UNSET TBLPROPERTIES; "
         f"got: ALTER TABLE {name} {rest[:60]!r}")
 
 
@@ -1395,6 +1489,7 @@ def run_maintenance_sql(
         DESCRIBE HISTORY <t>                    -> history() DataFrame
         DESCRIBE DETAIL <t>                     -> inventory/layout dict
         SHOW TBLPROPERTIES <t> [('key')]        -> properties dict
+        SHOW CREATE TABLE <t>                   -> round-trippable DDL
         RESTORE [TABLE] <t> TO VERSION AS OF <snapshot_id>
         RESTORE [TABLE] <t> TO TIMESTAMP AS OF <epoch_ms>
 
@@ -1588,6 +1683,34 @@ def run_maintenance_sql(
         return {"operation": "show_tblproperties",
                 "table": table.meta.name, "properties": props}
 
+    m = re.fullmatch(rf"show\s+create\s+table\s+({_IDENT})", s, re.I)
+    if m:
+        table = resolve(m.group(1))
+        # the rendered statement ROUND-TRIPS through run_create_table:
+        # every clause is the grammar that function parses, and property
+        # values escape embedded single quotes SQL-style ('')
+        def esc(v: str) -> str:
+            return str(v).replace("'", "''")
+
+        cols = ",\n".join(
+            f"  `{f.name}` {f.dataType.simpleString()}"
+            for f in table._empty_df().schema.fields)
+        lines = [f"CREATE TABLE {table.meta.name} (", cols,
+                 ") USING frost"]
+        spec = table.meta.partition_spec
+        if spec:
+            lines.append(f"PARTITIONED BY (bucket({spec['num_buckets']}, "
+                         f"{spec['column']}))")
+        lines.append(f"LOCATION '{table.location}'")
+        props = dict(table.meta.properties)
+        if props:
+            body = ",\n  ".join(f"'{esc(k)}'='{esc(v)}'"
+                                for k, v in sorted(props.items()))
+            lines.append(f"TBLPROPERTIES (\n  {body})")
+        return {"operation": "show_create_table",
+                "table": table.meta.name,
+                "statement": "\n".join(lines)}
+
     m = re.fullmatch(
         rf"restore\s+(?:table\s+)?({_IDENT})\s+to\s+"
         rf"(version|timestamp)\s+as\s+of\s+(\d+)", s, re.I)
@@ -1604,5 +1727,5 @@ def run_maintenance_sql(
     raise ValueError(
         "run_maintenance_sql handles OPTIMIZE [ZORDER BY (...)], VACUUM "
         "[RETAIN n HOURS] [DRY RUN], DESCRIBE HISTORY|DETAIL, SHOW "
-        "TBLPROPERTIES, and RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS "
-        f"OF <n>; got: {statement[:80]!r}")
+        "TBLPROPERTIES, SHOW CREATE TABLE, and RESTORE [TABLE] <t> TO "
+        f"VERSION|TIMESTAMP AS OF <n>; got: {statement[:80]!r}")

@@ -187,3 +187,32 @@ def test_register_tables_tolerates_half_created_dir(spark, tmp_path):
                                            for x in w)
     with pytest.raises(ValueError, match="on_missing"):
         register_tables(spark, {}, on_missing="skip")
+
+
+def test_contract_checks_tag_and_gate(spark, tmp_path):
+    """`checks` (named boolean SQL expressions — the CHECK-constraint
+    rule class) gate writes through the same tag column as the built-in
+    rules: FALSE violates, NULL passes, and the dead-letter split
+    carries the `check:<name>` reason."""
+    from open_finance_lakehouse_spark.quality.contracts import (
+        VIOLATION_COL,
+        tag_violations,
+    )
+
+    c = Contract(checks={"v_small": "v < 50", "graded": "grade != 'z'"})
+    df = _df(spark, [("k1", 5.0, "a"),      # passes both
+                     ("k2", 99.0, "a"),     # v_small FALSE
+                     ("k3", None, "z"),     # v_small NULL-passes; graded FALSE
+                     ("k4", None, None)])   # both NULL -> passes
+    tags = {r["k"]: r[VIOLATION_COL]
+            for r in tag_violations(df, c).collect()}
+    assert tags == {"k1": None, "k2": "check:v_small",
+                    "k3": "check:graded", "k4": None}
+
+    t = LakeTable.create(spark, str(tmp_path / "ckt"), "ckt", DDL,
+                         contract=c)
+    dead = LakeTable.create(spark, str(tmp_path / "ckdl"), "ckdl",
+                            DDL + ", _violation STRING")
+    t.append(df, on_violation="dead_letter", dead_letter=dead)
+    assert sorted(r["k"] for r in t.scan().collect()) == ["k1", "k4"]
+    assert sorted(r["k"] for r in dead.scan().collect()) == ["k2", "k3"]

@@ -482,3 +482,148 @@ def test_contract_set_via_sql_gates_inserts(spark, tmp_path):
         {"cprop2": t})
     assert res["rows"] == 1
     assert "bad_1" not in _ids(t) and "ok_1" in _ids(t)
+
+
+# -------------------------------------------------- CHECK constraints
+
+def test_add_constraint_gates_subsequent_writes(spark, tmp_path):
+    """Delta's ADD CONSTRAINT ... CHECK: the named predicate joins the
+    table contract (ONE property — every writer enforces it), so the
+    next INSERT of a violating row refuses while conforming rows land."""
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+
+    t = _table(spark, tmp_path, "ck1", n=5)
+    res = run_alter(
+        spark,
+        "ALTER TABLE ck1 ADD CONSTRAINT dur_nonneg CHECK (dur_ms >= 0)",
+        {"ck1": t})
+    assert res["operation"] == "add_constraint"
+    assert res["constraint"] == "dur_nonneg"
+    with pytest.raises(ContractViolation, match="check:dur_nonneg"):
+        run_insert(
+            spark,
+            "INSERT INTO ck1 VALUES "
+            "('bad_1', CAST('x' AS BINARY), 8000, -5, 'pcm16', 't')",
+            {"ck1": t})
+    run_insert(
+        spark,
+        "INSERT INTO ck1 VALUES "
+        "('ok_1', CAST('x' AS BINARY), 8000, 5, 'pcm16', 't')",
+        {"ck1": t})
+    assert "ok_1" in _ids(t) and "bad_1" not in _ids(t)
+
+
+def test_add_constraint_refuses_existing_violations(spark, tmp_path):
+    """Delta discipline: a constraint EXISTING rows already violate must
+    refuse at the ADD (with a row sample), else the table is born in
+    violation of its own declared contract."""
+    t = _table(spark, tmp_path, "ck2", n=5)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        run_alter(
+            spark,
+            "ALTER TABLE ck2 ADD CONSTRAINT impossible "
+            "CHECK (sr_hz > 1000000000)",
+            {"ck2": t})
+    assert "contract" not in t.refresh().meta.properties
+
+
+def test_add_constraint_expression_validation(spark, tmp_path):
+    """Bad expressions refuse AT THE ADD, not at the first write:
+    unknown columns, non-boolean results, aggregates (legal in SELECT
+    but not per-row), and duplicate names (case-insensitive)."""
+    t = _table(spark, tmp_path, "ck3", n=3)
+    with pytest.raises(ValueError, match="does not analyze"):
+        run_alter(spark, "ALTER TABLE ck3 ADD CONSTRAINT c1 "
+                  "CHECK (no_such_col > 0)", {"ck3": t})
+    with pytest.raises(ValueError, match="not boolean"):
+        run_alter(spark, "ALTER TABLE ck3 ADD CONSTRAINT c2 "
+                  "CHECK (dur_ms + 1)", {"ck3": t})
+    with pytest.raises(ValueError, match="per-row"):
+        run_alter(spark, "ALTER TABLE ck3 ADD CONSTRAINT c3 "
+                  "CHECK (max(dur_ms) > 0)", {"ck3": t})
+    run_alter(spark, "ALTER TABLE ck3 ADD CONSTRAINT dur_ok "
+              "CHECK (dur_ms >= 0)", {"ck3": t})
+    with pytest.raises(ValueError, match="already has"):
+        run_alter(spark, "ALTER TABLE ck3 ADD CONSTRAINT DUR_OK "
+                  "CHECK (dur_ms >= 1)", {"ck3": t})
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    """SQL CHECK semantics: a NULL result satisfies the constraint
+    (violation requires an explicit FALSE) — require values with
+    not_null, not with CHECK. Consistent with the bounds/allowed rules."""
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+
+    t = _table(spark, tmp_path, "ck4", n=3)
+    run_alter(spark, "ALTER TABLE ck4 ADD CONSTRAINT transcript_nonempty "
+              "CHECK (length(transcript) > 0)", {"ck4": t})
+    # NULL transcript: check evaluates NULL -> passes
+    run_insert(
+        spark,
+        "INSERT INTO ck4 VALUES "
+        "('null_1', CAST('x' AS BINARY), 8000, 5, 'pcm16', NULL)",
+        {"ck4": t})
+    assert "null_1" in _ids(t)
+    # empty string: check evaluates FALSE -> refuses
+    with pytest.raises(ContractViolation, match="transcript_nonempty"):
+        run_insert(
+            spark,
+            "INSERT INTO ck4 VALUES "
+            "('emp_1', CAST('x' AS BINARY), 8000, 5, 'pcm16', '')",
+            {"ck4": t})
+
+
+def test_drop_constraint(spark, tmp_path):
+    """DROP CONSTRAINT removes the gate; dropping the LAST rule unsets
+    the property so writers regain the no-contract fast path; unknown
+    names refuse unless IF EXISTS."""
+    t = _table(spark, tmp_path, "ck5", n=3)
+    run_alter(spark, "ALTER TABLE ck5 ADD CONSTRAINT dur_pos "
+              "CHECK (dur_ms > 0)", {"ck5": t})
+    res = run_alter(spark, "ALTER TABLE ck5 DROP CONSTRAINT dur_pos",
+                    {"ck5": t})
+    assert res["dropped"] == "dur_pos"
+    assert "contract" not in t.refresh().meta.properties
+    run_insert(  # previously-gated row now lands
+        spark,
+        "INSERT INTO ck5 VALUES "
+        "('neg_1', CAST('x' AS BINARY), 8000, -5, 'pcm16', 't')",
+        {"ck5": t})
+    assert "neg_1" in _ids(t)
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        run_alter(spark, "ALTER TABLE ck5 DROP CONSTRAINT nope",
+                  {"ck5": t})
+    res = run_alter(spark, "ALTER TABLE ck5 DROP CONSTRAINT IF EXISTS "
+                    "nope", {"ck5": t})
+    assert res["dropped"] is None
+
+
+def test_drop_constraint_preserves_other_rules(spark, tmp_path):
+    """Dropping one named check keeps the contract's other rules (and
+    other checks) intact — the property is rewritten, not cleared."""
+    import json
+
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+
+    t = _table(spark, tmp_path, "ck6", n=3)
+    t.set_properties(set_props={
+        "contract": json.dumps({"bounds": {"sr_hz": [1, 192000]}})})
+    run_alter(spark, "ALTER TABLE ck6 ADD CONSTRAINT dur_pos "
+              "CHECK (dur_ms > 0)", {"ck6": t})
+    run_alter(spark, "ALTER TABLE ck6 DROP CONSTRAINT dur_pos",
+              {"ck6": t})
+    props = t.refresh().meta.properties
+    assert json.loads(props["contract"])["bounds"] == {
+        "sr_hz": [1, 192000]}
+    with pytest.raises(ContractViolation):  # bounds rule still gates
+        run_insert(
+            spark,
+            "INSERT INTO ck6 VALUES "
+            "('bad_1', CAST('x' AS BINARY), -5, 5, 'pcm16', 't')",
+            {"ck6": t})

@@ -277,3 +277,69 @@ def test_unknown_statement_refuses(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown table"):
         run_maintenance_sql(spark, "OPTIMIZE nope", {"munk": t},
                             ledger=CheckpointLedger(str(tmp_path / "l")))
+
+
+# ------------------------------------------------- SHOW CREATE TABLE
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """The rendered DDL is not documentation — it RE-CREATES the table:
+    schema, bucket spec, and every property (including a contract whose
+    CHECK expression contains quoted string literals, exercising the
+    SQL '' escape) parse back through run_create_table, and the clone's
+    contract actually gates writes."""
+    import json
+
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+    from open_finance_lakehouse_spark.sql import run_alter, run_create_table
+
+    t = _table(spark, tmp_path, "sct1", n=6)
+    t.set_properties(set_props={"owner": "it's the audio team",
+                                "maintenance.target_bytes": "1048576"})
+    run_alter(spark, "ALTER TABLE sct1 ADD CONSTRAINT codec_known "
+              "CHECK (codec IN ('pcm16', 'ulaw', 'alaw', 'opus'))", {"sct1": t})
+
+    res = run_maintenance_sql(spark, "SHOW CREATE TABLE sct1", {"sct1": t})
+    stmt = res["statement"]
+    assert stmt.startswith("CREATE TABLE sct1 (")
+    assert "PARTITIONED BY (bucket(2, clip_id))" in stmt
+    assert "''" in stmt  # the quoted literals escaped SQL-style
+
+    clone_loc = str(tmp_path / "sct1_clone")
+    stmt2 = (stmt.replace("CREATE TABLE sct1 ", "CREATE TABLE sct2 ")
+             .replace(f"LOCATION '{t.location}'",
+                      f"LOCATION '{clone_loc}'"))
+    run_create_table(spark, stmt2, {})
+    t2 = LakeTable.load(spark, clone_loc)
+    # DDL text may differ in case/backticks; the parsed schema must not
+    assert t2._empty_df().schema == t._empty_df().schema
+    assert t2.meta.partition_spec == t.meta.partition_spec
+    assert dict(t2.meta.properties) == dict(t.refresh().meta.properties)
+    assert json.loads(t2.meta.properties["contract"])["checks"] == {
+        "codec_known": "codec IN ('pcm16', 'ulaw', 'alaw', 'opus')"}
+    with pytest.raises(ContractViolation, match="codec_known"):
+        t2.append(synth_clips(spark, 3).selectExpr(
+            "clip_id", "bytes", "sr_hz", "dur_ms",
+            "'mp3' AS codec", "transcript"))
+
+
+def test_show_create_table_minimal(spark, tmp_path):
+    """A property-less unpartitioned table renders without the optional
+    clauses and still round-trips."""
+    loc = str(tmp_path / "plain")
+    t = LakeTable.create(spark, loc, "plain", "`a` int, `b` string")
+    res = run_maintenance_sql(spark, "show create table plain",
+                              {"plain": t})
+    stmt = res["statement"]
+    assert "TBLPROPERTIES" not in stmt and "PARTITIONED BY" not in stmt
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    clone_loc = str(tmp_path / "plain2")
+    run_create_table(
+        spark,
+        stmt.replace("CREATE TABLE plain ", "CREATE TABLE plain2 ")
+        .replace(f"LOCATION '{loc}'", f"LOCATION '{clone_loc}'"),
+        {})
+    assert LakeTable.load(spark, clone_loc)._empty_df().schema == \
+        t._empty_df().schema
