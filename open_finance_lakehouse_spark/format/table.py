@@ -1435,6 +1435,11 @@ class LakeTable:
             raise SchemaEvolutionError(
                 f"mapping sources {unknown} not in the current schema "
                 f"{old_names}")
+        # fail fast BEFORE staging: a contract rule referencing a column
+        # this rewrite drops would otherwise break every later write,
+        # statements away from the cause (the in-build call below is the
+        # authoritative one — it reads the properties at commit time)
+        self._carry_contract(self.meta.properties, new_ddl, mapping)
 
         def source_of(name: str) -> str | None:
             if name in mapping:
@@ -1477,8 +1482,11 @@ class LakeTable:
                     f"table head moved ({head} -> "
                     f"{meta.current_snapshot_id}) while the schema rewrite "
                     "was staging — retry against the new head")
-            evolved = dc_replace(meta, properties=dict(meta.properties),
-                                 schema_ddl=new_ddl, partition_spec=new_spec)
+            evolved = dc_replace(
+                meta,
+                properties=self._carry_contract(meta.properties, new_ddl,
+                                                mapping),
+                schema_ddl=new_ddl, partition_spec=new_spec)
             snap = evolved.next_snapshot(
                 "replace", manifests,
                 {"added_files": len(entries),
@@ -1488,9 +1496,65 @@ class LakeTable:
 
         try:
             return self._try_commit(build)
-        except CommitConflict:
+        except (CommitConflict, SchemaEvolutionError):
             self._discard_staged(entries, manifests)
             raise
+
+    def _carry_contract(self, properties: dict, new_ddl: str,
+                        mapping: dict[str, str]) -> dict:
+        """The table's contract must survive a schema rewrite or the
+        rewrite must refuse — stored untouched, a rule naming a dropped
+        column breaks every later write with an analysis error far from
+        the ALTER that caused it (Delta likewise blocks dropping/renaming
+        constrained columns). Renamed columns carry their not_null /
+        unique / bounds / allowed rules forward under the new name;
+        dropped ones refuse. CHECK expressions are opaque — they are
+        re-analyzed against the new schema and refuse when they no
+        longer resolve (rename included: the expression still names the
+        old column; DROP CONSTRAINT first, re-add under the new name).
+        Returns the (possibly rewritten) properties dict."""
+        from open_finance_lakehouse_spark.quality import contracts as qc
+
+        contract = qc.Contract.from_properties(properties)
+        if contract is None:
+            return dict(properties)
+        renames = {old: new for new, old in mapping.items()}
+        new_names = {f.name for f in
+                     self.spark.createDataFrame([], new_ddl).schema.fields}
+
+        def carry(col: str, rule: str) -> str:
+            if col in renames:
+                return renames[col]
+            if col in new_names:
+                return col
+            raise SchemaEvolutionError(
+                f"column {col!r} is referenced by the table contract's "
+                f"{rule} rule and has no successor in the new schema — "
+                "drop the rule (DROP CONSTRAINT / edit the contract "
+                "property) before dropping the column")
+
+        carried = qc.Contract(
+            not_null=[carry(c, "not_null") for c in contract.not_null],
+            unique=[carry(c, "unique") for c in contract.unique],
+            bounds={carry(k, "bounds"): v
+                    for k, v in contract.bounds.items()},
+            allowed={carry(k, "allowed"): v
+                     for k, v in contract.allowed.items()},
+            checks=dict(contract.checks))
+        probe = self.spark.createDataFrame([], new_ddl)
+        for nm, ex in carried.checks.items():
+            try:
+                probe.selectExpr(f"({ex}) AS __c")
+            except Exception as e:
+                raise SchemaEvolutionError(
+                    f"CHECK constraint {nm!r} ({ex!r}) no longer analyzes "
+                    f"under the new schema: {e}. DROP CONSTRAINT {nm} "
+                    "before this rewrite (and re-add it against the new "
+                    "column names)") from e
+        props = dict(properties)
+        if carried != contract:
+            props[qc.PROPERTY_KEY] = carried.to_property()
+        return props
 
     def rewrite_partitioning(self, new_spec: dict | None,
                              max_records_per_file: int | None = None

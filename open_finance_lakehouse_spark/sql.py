@@ -1117,7 +1117,9 @@ def run_alter(
 
         from open_finance_lakehouse_spark.quality import contracts as qc
 
-        cname, expr = m.group(1), " ".join(m.group(2).split())
+        # strip only — collapsing interior whitespace would corrupt
+        # string literals inside the expression ('a  b' != 'a b')
+        cname, expr = m.group(1), m.group(2).strip()
         c = qc.Contract.from_properties(tgt.meta.properties) or qc.Contract()
         clash = next((k for k in c.checks if k.lower() == cname.lower()),
                      None)

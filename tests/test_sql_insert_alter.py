@@ -627,3 +627,66 @@ def test_drop_constraint_preserves_other_rules(spark, tmp_path):
             "INSERT INTO ck6 VALUES "
             "('bad_1', CAST('x' AS BINARY), -5, 5, 'pcm16', 't')",
             {"ck6": t})
+
+
+def test_schema_rewrite_carries_or_refuses_contract(spark, tmp_path):
+    """A schema rewrite must not orphan the contract: rules on a RENAMED
+    column carry forward under the new name (and keep gating), rules on
+    a DROPPED column refuse the rewrite, and an opaque CHECK expression
+    refuses whenever it no longer analyzes (rename included — the
+    expression still names the old column)."""
+    import json
+
+    from open_finance_lakehouse_spark.format.table import (
+        SchemaEvolutionError,
+    )
+    from open_finance_lakehouse_spark.quality.contracts import (
+        ContractViolation,
+    )
+
+    t = _table(spark, tmp_path, "cc1", n=3)
+    t.set_properties(set_props={
+        "contract": json.dumps({"bounds": {"sr_hz": [1, 192000]}})})
+
+    # dropping the ruled column refuses, naming the rule
+    with pytest.raises(SchemaEvolutionError, match="bounds"):
+        run_alter(spark, "ALTER TABLE cc1 DROP COLUMN sr_hz", {"cc1": t})
+
+    # renaming it carries the rule under the new name — and still gates
+    run_alter(spark, "ALTER TABLE cc1 RENAME COLUMN sr_hz TO sample_rate",
+              {"cc1": t})
+    c = json.loads(t.refresh().meta.properties["contract"])
+    assert c["bounds"] == {"sample_rate": [1, 192000]}
+    with pytest.raises(ContractViolation):
+        run_insert(
+            spark,
+            "INSERT INTO cc1 VALUES "
+            "('bad_1', CAST('x' AS BINARY), -5, 5, 'pcm16', 't')",
+            {"cc1": t})
+
+    # CHECK constraints are opaque expressions: both dropping AND
+    # renaming a referenced column refuse (DROP CONSTRAINT first)
+    run_alter(spark, "ALTER TABLE cc1 ADD CONSTRAINT dur_pos "
+              "CHECK (dur_ms > 0)", {"cc1": t})
+    for stmt in ("ALTER TABLE cc1 DROP COLUMN dur_ms",
+                 "ALTER TABLE cc1 RENAME COLUMN dur_ms TO duration_ms"):
+        with pytest.raises(SchemaEvolutionError, match="dur_pos"):
+            run_alter(spark, stmt, {"cc1": t})
+    # the advertised path works: drop the constraint, then evolve
+    run_alter(spark, "ALTER TABLE cc1 DROP CONSTRAINT dur_pos", {"cc1": t})
+    run_alter(spark, "ALTER TABLE cc1 RENAME COLUMN dur_ms TO duration_ms",
+              {"cc1": t})
+    assert "duration_ms" in [f.name for f in
+                             t.refresh()._empty_df().schema.fields]
+
+
+def test_add_constraint_preserves_literal_whitespace(spark, tmp_path):
+    """The stored CHECK expression keeps interior whitespace — a string
+    literal with two spaces must not silently become one space."""
+    import json
+
+    t = _table(spark, tmp_path, "cc2", n=3)
+    run_alter(spark, "ALTER TABLE cc2 ADD CONSTRAINT no_marker "
+              "CHECK (transcript != 'a  b')", {"cc2": t})
+    c = json.loads(t.refresh().meta.properties["contract"])
+    assert c["checks"]["no_marker"] == "transcript != 'a  b'"
