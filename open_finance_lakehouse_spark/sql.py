@@ -1492,6 +1492,7 @@ def run_maintenance_sql(
         DESCRIBE DETAIL <t>                     -> inventory/layout dict
         SHOW TBLPROPERTIES <t> [('key')]        -> properties dict
         SHOW CREATE TABLE <t>                   -> round-trippable DDL
+        SHOW PARTITIONS <t>                     -> per-partition inventory
         RESTORE [TABLE] <t> TO VERSION AS OF <snapshot_id>
         RESTORE [TABLE] <t> TO TIMESTAMP AS OF <epoch_ms>
 
@@ -1685,6 +1686,28 @@ def run_maintenance_sql(
         return {"operation": "show_tblproperties",
                 "table": table.meta.name, "properties": props}
 
+    m = re.fullmatch(rf"show\s+partitions\s+({_IDENT})", s, re.I)
+    if m:
+        from pyspark.sql import functions as F
+
+        table = resolve(m.group(1))
+        if not table.meta.partition_spec:
+            raise ValueError(
+                f"SHOW PARTITIONS: table {table.meta.name} is not "
+                "partitioned")
+        # one grouped aggregate over the manifest relation — O(partitions)
+        # rows reach the driver, never O(files)
+        rows = (table.files_df()
+                .groupBy("partition")
+                .agg(F.count("*").alias("num_files"),
+                     F.sum("file_size_bytes").alias("size_in_bytes"),
+                     F.sum("record_count").alias("num_records"))
+                .orderBy("partition")
+                .collect())
+        return {"operation": "show_partitions", "table": table.meta.name,
+                "partition_spec": dict(table.meta.partition_spec),
+                "partitions": [r.asDict() for r in rows]}
+
     m = re.fullmatch(rf"show\s+create\s+table\s+({_IDENT})", s, re.I)
     if m:
         table = resolve(m.group(1))
@@ -1729,5 +1752,6 @@ def run_maintenance_sql(
     raise ValueError(
         "run_maintenance_sql handles OPTIMIZE [ZORDER BY (...)], VACUUM "
         "[RETAIN n HOURS] [DRY RUN], DESCRIBE HISTORY|DETAIL, SHOW "
-        "TBLPROPERTIES, SHOW CREATE TABLE, and RESTORE [TABLE] <t> TO "
-        f"VERSION|TIMESTAMP AS OF <n>; got: {statement[:80]!r}")
+        "TBLPROPERTIES, SHOW CREATE TABLE, SHOW PARTITIONS, and RESTORE "
+        f"[TABLE] <t> TO VERSION|TIMESTAMP AS OF <n>; got: "
+        f"{statement[:80]!r}")

@@ -343,3 +343,23 @@ def test_show_create_table_minimal(spark, tmp_path):
         {})
     assert LakeTable.load(spark, clone_loc)._empty_df().schema == \
         t._empty_df().schema
+
+
+def test_show_partitions_inventory(spark, tmp_path):
+    """SHOW PARTITIONS returns the per-bucket inventory as ONE grouped
+    aggregate over the manifest relation (O(partitions) driver rows) and
+    refuses on unpartitioned tables."""
+    t = _table(spark, tmp_path, "msp", n=40)
+    res = run_maintenance_sql(spark, "SHOW PARTITIONS msp", {"msp": t})
+    assert res["operation"] == "show_partitions"
+    assert res["partition_spec"]["num_buckets"] == 2
+    parts = res["partitions"]
+    assert len(parts) == 2  # both buckets populated at n=40
+    assert sum(p["num_records"] for p in parts) == 40
+    assert all(p["num_files"] > 0 and p["size_in_bytes"] > 0
+               for p in parts)
+
+    flat = LakeTable.create(spark, str(tmp_path / "flat"), "flat",
+                            "`a` int")
+    with pytest.raises(ValueError, match="not partitioned"):
+        run_maintenance_sql(spark, "SHOW PARTITIONS flat", {"flat": flat})
