@@ -1363,3 +1363,36 @@ def test_doctor_reads_signals_and_advises(spark, tmp_path):
     assert rep2["signals"]["staged_pending"] == []
     assert rep2["signals"]["small_file_fraction"] < 0.5 or \
         rep2["signals"]["files"] <= 2
+
+
+def test_doctor_flags_oversized_partitions(spark, tmp_path, monkeypatch):
+    """The sf10 finding as an advisory: when the largest bucket partition
+    outgrows the local-sort cap, clustering auto-routes to the range
+    exchange (shuffle tax) — the doctor must recommend re-bucketing with
+    a sane power-of-two count BEFORE a maintenance run pays that tax."""
+    import importlib
+
+    cl = importlib.import_module(
+        "open_finance_lakehouse_spark.operators.cluster")
+    from open_finance_lakehouse_spark.operators.doctor import doctor
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "fat"), "fat", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 40, dur_max_ms=400))
+
+    # at the real 512 MB cap this toy table is healthy: no re-bucket advice
+    rep = doctor(t)
+    assert not any("re-bucket" in a for a in rep["advice"])
+
+    # shrink the cap below the toy partition size: advice must appear,
+    # carry the measured signal, and suggest MORE buckets than current
+    monkeypatch.setattr(cl, "LOCAL_SORT_MAX_PARTITION_BYTES", 4096)
+    rep2 = doctor(t)
+    assert rep2["signals"]["max_partition_mb"] > 0
+    hit = [a for a in rep2["advice"] if "re-bucket" in a]
+    assert hit and "rewrite-partitioning" in hit[0]
+    import re
+    n = int(re.search(r"~(\d+) buckets", hit[0]).group(1))
+    assert n > 2 and (n & (n - 1)) == 0  # > current count, power of two
