@@ -736,11 +736,13 @@ class FrostDataSource(DataSource):
         """Resolve an option that also has a Delta-compat spelling.
 
         Frost snapshot ids ARE the table's versions (RESTORE/time travel
-        use them interchangeably), so Delta's ``startingVersion`` /
-        ``endingVersion`` / ``versionAsOf`` are EXACT aliases of the
-        ``*SnapshotId`` options — a Delta user's muscle-memory read works
-        unchanged. Giving both spellings with different values is
-        ambiguous and refuses."""
+        use them interchangeably), so Delta's ``endingVersion`` /
+        ``versionAsOf`` are EXACT aliases of the ``*SnapshotId`` options
+        (both inclusive/point-in-time on both sides) — a Delta user's
+        muscle-memory read works unchanged. Giving both spellings with
+        different values is ambiguous and refuses.  ``startingVersion``
+        is NOT routed here: it differs by one commit (inclusive vs
+        frost's exclusive cursor) — see ``_starting_cursor``."""
         v, a = self.options.get(canonical), self.options.get(alias)
         if v is not None and a is not None and str(v) != str(a):
             raise ValueError(
@@ -748,6 +750,48 @@ class FrostDataSource(DataSource):
                 "— give one (they are the same option: frost snapshot "
                 "ids are the table's versions)")
         return v if v is not None else a
+
+    def _starting_cursor(self) -> str | None:
+        """Resolve the stream/CDC start cursor, translating Delta's
+        ``startingVersion`` to the frost cursor convention.
+
+        NOT an exact synonym: frost's ``startingSnapshotId`` is EXCLUSIVE
+        (deliver commits strictly after it) while Delta defines
+        ``startingVersion=N`` as INCLUSIVE (deliver version N onward) —
+        a pass-through alias would silently drop version N's changes,
+        the worst failure mode a CDC consumer can have.  The alias
+        therefore resolves to N's PARENT on the ancestry (0 = genesis
+        replay when N is the first commit); ``'latest'`` means the same
+        thing on both sides and passes through.  A version ahead of the
+        table or expired from the log refuses loudly (Delta's batch-CDF
+        behavior) instead of guessing a cursor."""
+        v = self.options.get("startingSnapshotId")
+        a = self.options.get("startingVersion")
+        if v is not None and a is not None:
+            raise ValueError(
+                "startingSnapshotId and startingVersion are both set — "
+                "they differ by one commit (frost's startingSnapshotId "
+                "is exclusive; Delta's startingVersion is inclusive): "
+                "give one")
+        if a is None:
+            return v
+        s = str(a)
+        if s.lower() == "latest":
+            return s
+        n = int(s)
+        meta = _load_meta(self._location())
+        snap = next(
+            (x for x in meta.snapshots if x.snapshot_id == n), None)
+        if snap is None:
+            if n > meta.last_snapshot_id:
+                raise ValueError(
+                    f"startingVersion={n} is ahead of the table's latest "
+                    f"version ({meta.last_snapshot_id}); give an existing "
+                    "version or 'latest'")
+            raise ValueError(
+                f"startingVersion={n} has been expired from the log — "
+                "the retention window must exceed the consumer lag")
+        return str(snap.parent_id if snap.parent_id is not None else 0)
 
     def _cdc(self) -> bool:
         return (str(self.options.get("readChangeFeed", "false")).lower()
@@ -790,7 +834,7 @@ class FrostDataSource(DataSource):
 
     def reader(self, schema: StructType):
         if self._cdc():
-            start = self._opt("startingSnapshotId", "startingVersion")
+            start = self._starting_cursor()
             if start is not None and str(start).lower() == "latest":
                 raise ValueError(
                     "startingSnapshotId='latest' is a STREAM start; a "
@@ -815,7 +859,7 @@ class FrostDataSource(DataSource):
         return FrostStreamReader(schema, self._location(), skip, starting)
 
     def _resolve_starting(self) -> str | None:
-        starting = self._opt("startingSnapshotId", "startingVersion")
+        starting = self._starting_cursor()
         ts = self.options.get("startingTimestampMs")
         if ts is not None:
             if starting is not None:

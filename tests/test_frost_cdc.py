@@ -249,22 +249,39 @@ def test_stream_cdc_initial_load_is_live_state(spark, history, tmp_path):
 
 
 def test_delta_compat_version_aliases(spark, history):
-    """Delta muscle memory works verbatim: ``startingVersion`` /
-    ``endingVersion`` are exact synonyms of the ``*SnapshotId`` options
-    (frost snapshot ids ARE the table's versions), and giving both
-    spellings with DIFFERENT values refuses instead of picking one."""
+    """Delta muscle memory works with Delta's MEANING, not just Delta's
+    spelling: ``endingVersion`` is an exact synonym of
+    ``endingSnapshotId`` (inclusive on both sides), but Delta's
+    ``startingVersion=N`` is INCLUSIVE while frost's
+    ``startingSnapshotId`` is exclusive — the alias must deliver version
+    N's own changes (``startingVersion=snaps[2]`` ==
+    ``startingSnapshotId=snaps[1]``), and giving both spellings refuses
+    because they differ by one commit."""
     t, snaps = history
     canonical = _cdc_read(spark, t, start=snaps[1], end=snaps[3])
     alias = (spark.read.format("frost").option("location", t.location)
              .option("readChangeFeed", "true")
-             .option("startingVersion", snaps[1])
+             .option("startingVersion", snaps[2])
              .option("endingVersion", snaps[3]).load())
     assert _multiset_equal(canonical, alias)
-    with pytest.raises(Exception, match="disagree"):
+    # the aliased read contains snaps[2]'s own changes (inclusive)
+    assert alias.filter(
+        F.col(cl.COMMIT_SNAPSHOT_COL) == snaps[2]).count() > 0
+    # startingVersion at the FIRST commit replays from genesis
+    genesis = (spark.read.format("frost").option("location", t.location)
+               .option("readChangeFeed", "true")
+               .option("startingVersion", snaps[1]).load())
+    full = _cdc_read(spark, t)  # no start = full log replay
+    assert _multiset_equal(genesis, full)
+    with pytest.raises(Exception, match="differ by one commit"):
         (spark.read.format("frost").option("location", t.location)
          .option("readChangeFeed", "true")
          .option("startingSnapshotId", snaps[1])
          .option("startingVersion", snaps[2]).load()).collect()
+    with pytest.raises(Exception, match="ahead of the table"):
+        (spark.read.format("frost").option("location", t.location)
+         .option("readChangeFeed", "true")
+         .option("startingVersion", snaps[-1] + 1000).load()).collect()
 
 
 def test_version_as_of_alias_time_travel(spark, history):
