@@ -1334,13 +1334,21 @@ class LakeTable:
         return self._try_commit(build)
 
     def set_properties(self, set_props: "dict | None" = None,
-                       unset: "list[str] | None" = None) -> None:
+                       unset: "list[str] | None" = None,
+                       transform=None) -> None:
         """Table-property evolution as a CAS metadata commit — the
         ``ALTER TABLE SET/UNSET TBLPROPERTIES`` primitive. Values store
         as given (the readers parse: ``operators/config.py`` coerces
         ``maintenance.*`` strings, contract enforcement reads
         ``contract``); KEY validation is the SQL front door's job so
-        this primitive stays namespace-agnostic like Delta's."""
+        this primitive stays namespace-agnostic like Delta's.
+
+        ``transform(props, meta) -> dict`` runs INSIDE the CAS against
+        the commit-time properties/metadata (re-run on every retry) —
+        the read-modify-write hook for callers that must merge into a
+        structured property (the contract's constraint list): composing
+        the merged value outside the CAS would silently drop a
+        concurrent editor's keys when this commit wins the retry."""
 
         set_props = dict(set_props or {})
         unset = list(unset or [])
@@ -1350,6 +1358,8 @@ class LakeTable:
             for k in unset:
                 props.pop(k, None)
             props.update(set_props)
+            if transform is not None:
+                props = transform(props, meta)
             return meta.snapshot(), dc_replace(meta, properties=props)
 
         self._try_commit(build)

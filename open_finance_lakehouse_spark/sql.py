@@ -1146,7 +1146,7 @@ def run_alter(
         # satisfy the constraint, else the table would be in violation
         # of its own declared contract from the first second. NULL
         # results pass (the write gate's semantics, see tag_violations).
-        show = [f.name for f in tgt._empty_df().schema.fields
+        show = [f.name for f in fields
                 if f.dataType.simpleString() != "binary"][:4]
         try:
             # also rejects expressions legal in SELECT but not per-row
@@ -1162,8 +1162,39 @@ def run_alter(
             raise ValueError(
                 f"ADD CONSTRAINT {cname}: existing rows violate {expr!r} "
                 f"(sample of ≤5): {[r.asDict() for r in bad]}")
-        c.checks[cname] = expr
-        tgt.set_properties(set_props={qc.PROPERTY_KEY: c.to_property()})
+        checked_sid = tgt.meta.current_snapshot_id
+
+        # the merge happens INSIDE the commit CAS against commit-time
+        # properties: composing the new contract from the handle's stale
+        # snapshot would silently drop a concurrent ADD/DROP CONSTRAINT
+        # when this commit wins the retry, and rows appended between the
+        # pre-check above and the commit would dodge validation
+        def xf(props: dict, meta) -> dict:
+            cc = qc.Contract.from_properties(props) or qc.Contract()
+            cl2 = next((k for k in cc.checks
+                        if k.lower() == cname.lower()), None)
+            if cl2 is not None:
+                raise ValueError(
+                    f"ADD CONSTRAINT: {tgt.meta.name} already has a CHECK "
+                    f"constraint {cl2!r} ({cc.checks[cl2]!r}); DROP it "
+                    "first to replace it")
+            if meta.current_snapshot_id != checked_sid:
+                # scan through a FRESH handle: the issuing handle's
+                # metadata may predate the commit-time snapshot id
+                fresh = LakeTable.load(spark, tgt.location)
+                n_bad = (fresh.scan(snapshot_id=meta.current_snapshot_id)
+                         .filter(F.expr(f"({expr})") == F.lit(False))
+                         .limit(1).count())
+                if n_bad:
+                    raise ValueError(
+                        f"ADD CONSTRAINT {cname}: rows committed "
+                        f"concurrently violate {expr!r}")
+            cc.checks[cname] = expr
+            out = dict(props)
+            out[qc.PROPERTY_KEY] = cc.to_property()
+            return out
+
+        tgt.set_properties(transform=xf)
         return {"operation": "add_constraint", "table": tgt.meta.name,
                 "constraint": cname, "check": expr}
 
@@ -1183,14 +1214,30 @@ def run_alter(
             raise ValueError(
                 f"DROP CONSTRAINT: no CHECK constraint {cname!r} on "
                 f"{tgt.meta.name}; have: {sorted(c.checks) if c else []}")
-        del c.checks[key]
-        if c.empty():
-            # an all-empty contract unsets the property so writers keep
-            # the no-contract fast path (append commits without the
-            # tag-violations job)
-            tgt.set_properties(unset=[qc.PROPERTY_KEY])
-        else:
-            tgt.set_properties(set_props={qc.PROPERTY_KEY: c.to_property()})
+        # resolve + delete INSIDE the commit CAS: a contract composed
+        # from the handle's snapshot would resurrect a concurrently
+        # dropped sibling constraint (or drop a concurrently added one)
+        # when this commit wins the retry
+        def xf(props: dict, meta) -> dict:
+            cc = qc.Contract.from_properties(props)
+            k2 = next((k for k in (cc.checks if cc else {})
+                       if k.lower() == cname.lower()), None)
+            if k2 is None:
+                # raced away since the pre-check; dropping an absent
+                # constraint is the statement's goal state
+                return props
+            del cc.checks[k2]
+            out = dict(props)
+            if cc.empty():
+                # an all-empty contract unsets the property so writers
+                # keep the no-contract fast path (append commits without
+                # the tag-violations job)
+                out.pop(qc.PROPERTY_KEY, None)
+            else:
+                out[qc.PROPERTY_KEY] = cc.to_property()
+            return out
+
+        tgt.set_properties(transform=xf)
         return {"operation": "drop_constraint", "table": tgt.meta.name,
                 "dropped": key}
 

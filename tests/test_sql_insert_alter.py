@@ -550,6 +550,41 @@ def test_add_constraint_expression_validation(spark, tmp_path):
                   "CHECK (dur_ms >= 1)", {"ck3": t})
 
 
+def test_constraint_edits_merge_inside_the_commit_cas(spark, tmp_path):
+    """ADD/DROP CONSTRAINT resolve the contract at COMMIT time, not from
+    the issuing handle's snapshot: a stale handle's edit must not drop a
+    constraint another writer added after the handle loaded (the classic
+    lost update), and an ADD revalidates rows committed between its
+    pre-check and the property commit."""
+    from open_finance_lakehouse_spark.quality.contracts import Contract
+
+    t = _table(spark, tmp_path, "ck9", n=5)
+    stale = LakeTable.load(spark, t.location)  # snapshot taken NOW
+    run_alter(spark, "ALTER TABLE ck9 ADD CONSTRAINT a "
+              "CHECK (dur_ms >= 0)", {"ck9": t})
+    # the stale handle never saw constraint a; its ADD must keep it
+    run_alter(spark, "ALTER TABLE ck9 ADD CONSTRAINT b "
+              "CHECK (sr_hz > 0)", {"ck9": stale})
+    c = Contract.from_properties(t.refresh().meta.properties)
+    assert set(c.checks) == {"a", "b"}
+
+    # DROP through another stale handle keeps the sibling added after it
+    stale2 = LakeTable.load(spark, t.location)
+    run_alter(spark, "ALTER TABLE ck9 ADD CONSTRAINT c "
+              "CHECK (length(transcript) >= 0)", {"ck9": t})
+    run_alter(spark, "ALTER TABLE ck9 DROP CONSTRAINT a", {"ck9": stale2})
+    c2 = Contract.from_properties(t.refresh().meta.properties)
+    assert set(c2.checks) == {"b", "c"}
+
+    # rows committed after a stale handle's pre-check scan are
+    # revalidated inside the CAS: the ADD must see them and refuse
+    stale3 = LakeTable.load(spark, t.location)
+    t.append(synth_clips(spark, 1, id_offset=77_000, dur_max_ms=100))
+    with pytest.raises(ValueError, match="concurrently violate"):
+        run_alter(spark, "ALTER TABLE ck9 ADD CONSTRAINT no_new "
+                  "CHECK (clip_id NOT LIKE '%77000')", {"ck9": stale3})
+
+
 def test_check_constraint_null_passes(spark, tmp_path):
     """SQL CHECK semantics: a NULL result satisfies the constraint
     (violation requires an explicit FALSE) — require values with
