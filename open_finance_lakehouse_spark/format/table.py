@@ -1529,8 +1529,12 @@ class LakeTable:
         if contract is None:
             return dict(properties)
         renames = {old: new for new, old in mapping.items()}
-        new_names = {f.name for f in
-                     self.spark.createDataFrame([], new_ddl).schema.fields}
+        # one analyzer round-trip: the probe serves both the name set and
+        # the CHECK re-analysis below (this method runs twice per rewrite
+        # — fail-fast and in-CAS — so duplicated createDataFrame calls
+        # multiply)
+        probe = self.spark.createDataFrame([], new_ddl)
+        new_names = {f.name for f in probe.schema.fields}
 
         def carry(col: str, rule: str) -> str:
             if col in renames:
@@ -1551,7 +1555,6 @@ class LakeTable:
             allowed={carry(k, "allowed"): v
                      for k, v in contract.allowed.items()},
             checks=dict(contract.checks))
-        probe = self.spark.createDataFrame([], new_ddl)
         for nm, ex in carried.checks.items():
             try:
                 probe.selectExpr(f"({ex}) AS __c")

@@ -1357,9 +1357,12 @@ def run_create_table(
             "spec the format defines")
 
     location = None
-    lm = re.match(r"location\s+'([^']+)'\s*", rest, re.I)
+    # '' is an escaped quote inside the literal (SQL-style, matching
+    # SHOW CREATE TABLE's renderer) — [^']+ alone would stop a path
+    # like /data/o'brien at the quote and choke on the remainder
+    lm = re.match(r"location\s+'((?:[^']|'')+)'\s*", rest, re.I)
     if lm:
-        location = lm.group(1)
+        location = lm.group(1).replace("''", "'")
         rest = rest[lm.end():]
 
     props = None
@@ -1749,7 +1752,9 @@ def run_maintenance_sql(
                 .agg(F.count("*").alias("num_files"),
                      F.sum("file_size_bytes").alias("size_in_bytes"),
                      F.sum("record_count").alias("num_records"))
-                .orderBy("partition")
+                # bucket values are unpadded numeric STRINGS: a lexical
+                # sort reads '0','1','10','11',...,'2' past 9 buckets
+                .orderBy(F.col("partition").cast("int"), "partition")
                 .collect())
         return {"operation": "show_partitions", "table": table.meta.name,
                 "partition_spec": dict(table.meta.partition_spec),
@@ -1773,7 +1778,7 @@ def run_maintenance_sql(
         if spec:
             lines.append(f"PARTITIONED BY (bucket({spec['num_buckets']}, "
                          f"{spec['column']}))")
-        lines.append(f"LOCATION '{table.location}'")
+        lines.append(f"LOCATION '{esc(table.location)}'")
         props = dict(table.meta.properties)
         if props:
             body = ",\n  ".join(f"'{esc(k)}'='{esc(v)}'"

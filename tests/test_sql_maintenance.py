@@ -345,6 +345,44 @@ def test_show_create_table_minimal(spark, tmp_path):
         t._empty_df().schema
 
 
+def test_show_create_table_quoted_location_round_trips(spark, tmp_path):
+    """A path containing a single quote must survive the render+re-parse
+    loop: the renderer escapes LOCATION SQL-style ('') and the CREATE
+    parser unescapes — [^']+ alone would truncate the path at the quote
+    and choke on the remainder."""
+    from open_finance_lakehouse_spark.sql import run_create_table
+
+    loc = str(tmp_path / "o'brien" / "t")
+    t = LakeTable.create(spark, loc, "qloc", "`a` int")
+    res = run_maintenance_sql(spark, "SHOW CREATE TABLE qloc",
+                              {"qloc": t})
+    assert "o''brien" in res["statement"]
+    clone_loc = str(tmp_path / "it's a clone")
+    run_create_table(
+        spark,
+        res["statement"].replace("CREATE TABLE qloc ",
+                                 "CREATE TABLE qloc2 ")
+        .replace(loc.replace("'", "''"), clone_loc.replace("'", "''")),
+        {})
+    assert LakeTable.load(spark, clone_loc)._empty_df().schema == \
+        t._empty_df().schema
+
+
+def test_show_partitions_orders_buckets_numerically(spark, tmp_path):
+    """Past 9 buckets a lexical sort on the (string) partition value
+    reads '0','1','10','11',...,'2' — the inventory must come back in
+    numeric bucket order."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "msp12"), "msp12", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 12})
+    t.append(synth_clips(spark, 60))
+    res = run_maintenance_sql(spark, "SHOW PARTITIONS msp12",
+                              {"msp12": t})
+    got = [int(p["partition"]) for p in res["partitions"]]
+    assert got == sorted(got) and len(got) > 10
+
+
 def test_show_partitions_inventory(spark, tmp_path):
     """SHOW PARTITIONS returns the per-bucket inventory as ONE grouped
     aggregate over the manifest relation (O(partitions) driver rows) and
