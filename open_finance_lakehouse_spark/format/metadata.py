@@ -206,6 +206,14 @@ def list_metadata_versions(location: str) -> list[int]:
     )
 
 
+# how old an EMPTY head version file must be before readers treat it as
+# the corpse of a writer that died between the O_EXCL claim and
+# os.replace (no-hardlink fallback) and remove it — generous versus the
+# sub-millisecond claim->replace window, same bounded-staleness
+# assumption object-store CAS fallbacks make
+DEAD_CLAIM_AGE_MS = 60_000
+
+
 def read_current_metadata(location: str) -> TableMetadata:
     versions = list_metadata_versions(location)
     if not versions:
@@ -223,6 +231,24 @@ def read_current_metadata(location: str) -> TableMetadata:
             return TableMetadata.from_json(text, version=v)
         except (json.JSONDecodeError, ValueError, KeyError, TypeError):
             time.sleep(0.01)
+    # dead-claim recovery: content lands atomically (link/replace), so a
+    # still-EMPTY head this old is the corpse of a fallback writer that
+    # died after claiming the name — without recovery it bricks the
+    # table forever (readers always pick the highest version; committers
+    # can never re-claim the name). Non-empty-but-unparseable stays a
+    # hard error: that is real corruption, not a known crash window.
+    try:
+        dead = (os.path.getsize(path) == 0
+                and (time.time() - os.path.getmtime(path)) * 1000
+                >= DEAD_CLAIM_AGE_MS)
+    except OSError:
+        dead = False
+    if dead:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass  # a concurrent reader already recovered it
+        return read_current_metadata(location)
     raise ValueError(f"unreadable table metadata document: {path}")
 
 
@@ -261,7 +287,18 @@ def write_metadata_exclusive(meta: TableMetadata, version: int) -> str:
             os.unlink(tmp)
             raise
         os.close(fd)
-        os.replace(tmp, path)  # consumes tmp
+        try:
+            os.replace(tmp, path)  # consumes tmp
+        except OSError:
+            # the claim must not outlive a failed content swap (e.g. the
+            # tmp file was swept): an empty head file at the highest
+            # version would brick every reader AND block this version id
+            # for every future committer
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            raise
         return path
     os.unlink(tmp)
     return path

@@ -60,6 +60,50 @@ def _widenable(old: str, new: str) -> bool:
     return old == "float" and new == "double"
 
 
+# column names the write/maintenance plans claim for themselves (the
+# staging router, the clustering key, merge internals): a user column
+# with one of these names would pass schema checks and then be silently
+# overwritten/stripped mid-plan — refuse at the schema front doors
+RESERVED_COLUMNS = frozenset({"__part", "__zval", "__salt", "__s_op"})
+
+
+def _ddl_column_names(ddl: str) -> list[str]:
+    """Top-level column names from a DDL string, no analyzer needed
+    (``create`` must work with ``spark=None`` in JVM-free workers)."""
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    names = []
+    for c in parts:
+        c = c.strip()
+        if not c:
+            continue
+        if c.startswith("`"):
+            names.append(c[1:].split("`", 1)[0])
+        else:
+            names.append(c.split()[0].rstrip(":"))
+    return names
+
+
+def _check_reserved(names) -> None:
+    bad = sorted(n for n in names if n in RESERVED_COLUMNS)
+    if bad:
+        raise ValueError(
+            f"column name(s) {bad} are reserved by the engine's write "
+            "and maintenance plans (staging router / clustering key / "
+            "merge internals) — rename them")
+
+
 @dataclass
 class ColumnRange:
     """Conjunctive predicate used for manifest-level file pruning: either a
@@ -208,6 +252,7 @@ class LakeTable:
 
             properties = {**(properties or {}),
                           **maintenance_properties(maintenance)}
+        _check_reserved(_ddl_column_names(schema_ddl))
         os.makedirs(os.path.join(location, "data"), exist_ok=True)
         meta = md.new_table_metadata(name, location, schema_ddl, partition_spec,
                                      properties)
@@ -431,42 +476,54 @@ class LakeTable:
         partition column name may differ from the current metadata's).
         """
         staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
-        spec = self.meta.partition_spec
-        if fixed_partition is not None:
-            writer = df.write.mode("overwrite")
-            if max_records_per_file:
-                writer = writer.option("maxRecordsPerFile",
-                                       str(max_records_per_file))
-            writer.parquet(staging)
-        else:
-            writer_df = df.withColumn(
-                "__part",
-                partition_value if partition_value is not None
-                else self.partition_value_col())
-            if spec and repartition_by_partition:
-                writer_df = writer_df.repartition("__part")
-            writer = writer_df.write.mode("overwrite")
-            if max_records_per_file:
-                writer = writer.option("maxRecordsPerFile",
-                                       str(max_records_per_file))
-            writer.partitionBy("__part").parquet(staging)
+        try:
+            spec = self.meta.partition_spec
+            if fixed_partition is not None:
+                writer = df.write.mode("overwrite")
+                if max_records_per_file:
+                    writer = writer.option("maxRecordsPerFile",
+                                           str(max_records_per_file))
+                writer.parquet(staging)
+            else:
+                writer_df = df.withColumn(
+                    "__part",
+                    partition_value if partition_value is not None
+                    else self.partition_value_col())
+                if spec and repartition_by_partition:
+                    writer_df = writer_df.repartition("__part")
+                writer = writer_df.write.mode("overwrite")
+                if max_records_per_file:
+                    writer = writer.option("maxRecordsPerFile",
+                                           str(max_records_per_file))
+                writer.partitionBy("__part").parquet(staging)
 
-        entries: list[mf.DataFile] = []
-        for root, _dirs, names in os.walk(staging):
-            for n in sorted(names):
-                if not n.endswith(".parquet"):
-                    continue
-                part = fixed_partition if fixed_partition is not None else "0"
-                base = os.path.basename(root)
-                if base.startswith("__part="):
-                    part = base.split("=", 1)[1]
-                part_dir = os.path.join(self.location, "data", f"part={part}")
-                os.makedirs(part_dir, exist_ok=True)
-                rel = os.path.join("data", f"part={part}",
-                                   f"{uuid.uuid4().hex}.parquet")
-                abs_dst = os.path.join(self.location, rel)
-                os.replace(os.path.join(root, n), abs_dst)
-                entries.append(mf.collect_file_stats(abs_dst, rel, part))
+            entries: list[mf.DataFile] = []
+            for root, _dirs, names in os.walk(staging):
+                for n in sorted(names):
+                    if not n.endswith(".parquet"):
+                        continue
+                    part = (fixed_partition
+                            if fixed_partition is not None else "0")
+                    base = os.path.basename(root)
+                    if base.startswith("__part="):
+                        part = base.split("=", 1)[1]
+                    part_dir = os.path.join(self.location, "data",
+                                            f"part={part}")
+                    os.makedirs(part_dir, exist_ok=True)
+                    rel = os.path.join("data", f"part={part}",
+                                       f"{uuid.uuid4().hex}.parquet")
+                    abs_dst = os.path.join(self.location, rel)
+                    os.replace(os.path.join(root, n), abs_dst)
+                    entries.append(mf.collect_file_stats(abs_dst, rel, part))
+        except BaseException:
+            # a failed write (executor OOM, task failure) must not leak
+            # its half-materialized _staging tree: no GC path walks
+            # _staging for anything but age-gated corpse sweeps, so
+            # repeated failing jobs would accumulate unbounded parquet.
+            # Files already moved into data/ become plain orphans the
+            # regular GC reclaims.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -489,26 +546,30 @@ class LakeTable:
         import re
 
         staging = os.path.join(self.location, "_staging", uuid.uuid4().hex)
-        writer = df.write.mode("overwrite")
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile",
-                                   str(max_records_per_file))
-        writer.parquet(staging)
-        entries: list[mf.DataFile] = []
-        for n in sorted(os.listdir(staging)):
-            if not n.endswith(".parquet"):
-                continue
-            m = re.match(r"part-(\d+)-", n)
-            if m is None:
-                raise RuntimeError(f"unexpected staged file name {n}")
-            part = partition_of_task[int(m.group(1))]
-            part_dir = os.path.join(self.location, "data", f"part={part}")
-            os.makedirs(part_dir, exist_ok=True)
-            rel = os.path.join("data", f"part={part}",
-                               f"{uuid.uuid4().hex}.parquet")
-            abs_dst = os.path.join(self.location, rel)
-            os.replace(os.path.join(staging, n), abs_dst)
-            entries.append(mf.collect_file_stats(abs_dst, rel, part))
+        try:
+            writer = df.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile",
+                                       str(max_records_per_file))
+            writer.parquet(staging)
+            entries: list[mf.DataFile] = []
+            for n in sorted(os.listdir(staging)):
+                if not n.endswith(".parquet"):
+                    continue
+                m = re.match(r"part-(\d+)-", n)
+                if m is None:
+                    raise RuntimeError(f"unexpected staged file name {n}")
+                part = partition_of_task[int(m.group(1))]
+                part_dir = os.path.join(self.location, "data", f"part={part}")
+                os.makedirs(part_dir, exist_ok=True)
+                rel = os.path.join("data", f"part={part}",
+                                   f"{uuid.uuid4().hex}.parquet")
+                abs_dst = os.path.join(self.location, rel)
+                os.replace(os.path.join(staging, n), abs_dst)
+                entries.append(mf.collect_file_stats(abs_dst, rel, part))
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)  # no leaked trees
+            raise
         shutil.rmtree(staging, ignore_errors=True)
         return entries
 
@@ -1183,6 +1244,11 @@ class LakeTable:
             if s.snapshot_id in skip:
                 continue
             for m in s.manifests:
+                if m in reach:
+                    # appends inherit the parent's full manifest list, so
+                    # retained snapshots share most manifests — without
+                    # this guard the walk reads O(snapshots x manifests)
+                    continue
                 reach.add(m)
                 reach.update(e.file_path for e in mf.read_manifest(self.location, m))
         return reach
@@ -1228,16 +1294,57 @@ class LakeTable:
                 grace_ms, now, exclude_snapshots)
         if not dry_run:
             root = self.location
+
+            def _rm(rel: str) -> None:
+                # overlapping GCs (cron + manual) compute the same
+                # victims; losing the unlink race is success, not a
+                # reason to abort the rest of the sweep
+                try:
+                    os.remove(os.path.join(root, rel))
+                except FileNotFoundError:
+                    pass
+
             if distributed and len(victims) > 64:
-                self.spark.sparkContext.parallelize(victims, 32).foreach(
-                    lambda rel: os.remove(os.path.join(root, rel)))
+                self.spark.sparkContext.parallelize(victims, 32).foreach(_rm)
             else:
                 for rel in victims:
-                    os.remove(os.path.join(self.location, rel))
+                    _rm(rel)
             # metadata/ .tmp-* litter from writers that died mid-commit
-            # lives outside data/ — sweep it under the same grace window
-            md.sweep_stale_tmp(self.location, max_age_ms=max(grace_ms, 1))
+            # lives outside data/ — sweep it under the grace window, but
+            # never below the dead-claim age: at grace 0 (tests/benches)
+            # an age of ~0 would unlink a LIVE committer's in-flight tmp
+            # between its fsync and link, failing that commit
+            md.sweep_stale_tmp(
+                self.location,
+                max_age_ms=max(grace_ms, md.DEAD_CLAIM_AGE_MS))
+            self._sweep_dead_staging(
+                max_age_ms=max(grace_ms, md.DEAD_CLAIM_AGE_MS))
         return sorted(victims)
+
+    def _sweep_dead_staging(self, max_age_ms: int) -> list[str]:
+        """Remove ``_staging/<uuid>`` trees abandoned by writers that
+        died mid-write (the orphan walk covers only data/ and
+        metadata/manifests, so these would accumulate forever).
+        Age-gated like the metadata tmp sweep: a live writer's staging
+        directory survives."""
+        import shutil
+
+        base = os.path.join(self.location, "_staging")
+        removed: list[str] = []
+        try:
+            names = os.listdir(base)
+        except FileNotFoundError:
+            return removed
+        now_ms = time.time() * 1000
+        for n in names:
+            p = os.path.join(base, n)
+            try:
+                if now_ms - os.path.getmtime(p) * 1000 >= max_age_ms:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(p)
+            except FileNotFoundError:
+                pass  # concurrent sweep won
+        return removed
 
     def _find_orphans_walk(self, grace_ms: int, now: float,
                            exclude_snapshots: "set[int] | None" = None,
@@ -1326,6 +1433,16 @@ class LakeTable:
 
         def build(meta: md.TableMetadata):
             target = meta.snapshot(snapshot_id)  # raises if unknown
+            if target.summary.get("staged") == "true":
+                # a staged WAP snapshot is pre-audit by definition: making
+                # it current would expose unaudited rows AND corrupt a
+                # later publish_staged (its cherry-pick adds the staged
+                # manifests onto a head that already holds them — every
+                # scan would read those files twice)
+                raise ValueError(
+                    f"snapshot {snapshot_id} is a STAGED write-audit-"
+                    "publish snapshot — publish or drop it "
+                    "(publish_staged / drop_staged), don't restore to it")
             rolled = dc_replace(meta, properties=dict(meta.properties),
                                 current_snapshot_id=target.snapshot_id,
                                 snapshots=list(meta.snapshots))
@@ -1385,6 +1502,7 @@ class LakeTable:
             new = {f.name: f.dataType.simpleString()
                    for f in self.spark.createDataFrame(
                        [], new_ddl).schema.fields}
+            _check_reserved(new)
             dropped = [c for c in old if c not in new]
             if dropped:
                 raise SchemaEvolutionError(
@@ -1439,12 +1557,30 @@ class LakeTable:
         """
         mapping = dict(mapping or {})
         new_fields = self.spark.createDataFrame([], new_ddl).schema.fields
-        old_names = [f.name for f in self._empty_df().schema.fields]
+        _check_reserved(f.name for f in new_fields)
+        old_fields = self._empty_df().schema.fields
+        old_names = [f.name for f in old_fields]
+        old_types = {f.name: f.dataType.simpleString() for f in old_fields}
         unknown = [s for s in mapping.values() if s not in old_names]
         if unknown:
             raise SchemaEvolutionError(
                 f"mapping sources {unknown} not in the current schema "
                 f"{old_names}")
+        # retypes ride the same cast the rename/drop staging applies, so
+        # they must obey update_schema's widening rule: a narrowing cast
+        # (bigint -> int) silently wraps/nulls row-by-row under default
+        # Spark semantics — table-wide data corruption, not evolution
+        for f in new_fields:
+            src = mapping.get(f.name,
+                              f.name if f.name in old_types else None)
+            if src is None:
+                continue
+            ot, nt = old_types[src], f.dataType.simpleString()
+            if ot != nt and not _widenable(ot, nt):
+                raise SchemaEvolutionError(
+                    f"column {src!r} -> {f.name!r}: {ot} -> {nt} is not a "
+                    "widening change — a rewrite cast would corrupt "
+                    "values silently (export + re-import to narrow)")
         # fail fast BEFORE staging: a contract rule referencing a column
         # this rewrite drops would otherwise break every later write,
         # statements away from the cause (the in-build call below is the
@@ -1480,6 +1616,8 @@ class LakeTable:
             new_spec = {**spec, "column": new_col}
 
         head = self.current_snapshot_id()
+        planned_old_ddl = self.meta.schema_ddl
+        planned_old_spec = self.meta.partition_spec
         entries = self.stage_dataframe(
             self.scan().select(*exprs), max_records_per_file,
             partition_value=self.partition_value_col(new_spec))
@@ -1492,6 +1630,16 @@ class LakeTable:
                     f"table head moved ({head} -> "
                     f"{meta.current_snapshot_id}) while the schema rewrite "
                     "was staging — retry against the new head")
+            # metadata-only evolution (update_schema ADD/widen, partition
+            # rewrite) moves NO snapshot — the head check alone would let
+            # this commit flip schema_ddl back over a concurrently added
+            # column, vanishing it without error
+            if (meta.schema_ddl != planned_old_ddl
+                    or meta.partition_spec != planned_old_spec):
+                raise CommitConflict(
+                    "table schema/partition spec evolved while the "
+                    "schema rewrite was staging — retry against the new "
+                    "shape")
             evolved = dc_replace(
                 meta,
                 properties=self._carry_contract(meta.properties, new_ddl,

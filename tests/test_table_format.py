@@ -851,3 +851,158 @@ def test_idempotent_skip_leaves_handle_at_visible_head(spark, warehouse):
     assert snap.snapshot_id == t.meta.current_snapshot_id
     # no refresh() by the caller: the handle itself must be current
     assert stale.scan().count() == 8
+
+
+# ------------------------------------------- round-5 hardening findings
+
+
+def test_rollback_refuses_staged_snapshot(spark, warehouse):
+    """RESTORE to a staged WAP snapshot would expose unaudited rows and
+    make a later publish_staged double-count its manifests — refuse."""
+    t = make_table(spark, warehouse, "rbstg")
+    t.append(kdf(spark, 0, 10))
+    staged = t.append_staged(kdf(spark, 100, 105))
+    with pytest.raises(ValueError, match="STAGED"):
+        t.rollback(staged.snapshot_id)
+    # the legitimate paths still work
+    t.publish_staged(staged.snapshot_id)
+    assert t.scan().count() == 15
+
+
+def test_rewrite_schema_refuses_narrowing_retype(spark, warehouse):
+    """A retype smuggled through the copy-on-write rewrite must obey the
+    same widening rule as update_schema: a narrowing cast silently
+    wraps/nulls values row-by-row — corruption, not evolution."""
+    from open_finance_lakehouse_spark.format.table import (
+        SchemaEvolutionError,
+    )
+
+    t = make_table(spark, warehouse, "rsnarrow")
+    t.append(kdf(spark, 0, 10))
+    with pytest.raises(SchemaEvolutionError, match="not a widening"):
+        t.rewrite_schema("k INT, cat STRING, v DOUBLE")  # bigint -> int
+    with pytest.raises(SchemaEvolutionError, match="not a widening"):
+        # the narrowing hides behind a rename
+        t.rewrite_schema("kk INT, cat STRING, v DOUBLE",
+                         mapping={"kk": "k"})
+    # widening through the rewrite is fine (v stays, k widens via rename)
+    t.rewrite_schema("k BIGINT, cat STRING, v DOUBLE")  # no-op types OK
+
+
+def test_rewrite_schema_conflicts_with_concurrent_add_column(
+        spark, warehouse):
+    """update_schema commits metadata WITHOUT moving the snapshot head —
+    the rewrite's head check alone would let it flip schema_ddl back
+    over a concurrently added column, vanishing it with no error."""
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+
+    t = make_table(spark, warehouse, "rsrace")
+    t.append(kdf(spark, 0, 10))
+
+    orig = LakeTable.stage_dataframe
+    fired = []
+
+    def race(self, df, *a, **kw):
+        if not fired:
+            fired.append(True)
+            other = LakeTable.load(spark, t.location)
+            other.update_schema(DDL + ", note string")  # head unmoved
+        return orig(self, df, *a, **kw)
+
+    LakeTable.stage_dataframe = race
+    try:
+        with pytest.raises(CommitConflict, match="evolved"):
+            t.rewrite_schema("k BIGINT, category STRING, v DOUBLE",
+                             mapping={"category": "cat"})
+    finally:
+        LakeTable.stage_dataframe = orig
+    # the concurrently added column survived
+    assert "note" in t.refresh().scan().columns
+
+
+def test_reserved_column_names_refused(spark, warehouse):
+    """__part/__zval/… are the write and maintenance plans' own columns:
+    a user column with one of these names would be silently overwritten
+    (stage_dataframe's router) or stripped — refuse at every schema
+    front door."""
+    with pytest.raises(ValueError, match="reserved"):
+        make_table_bad = LakeTable.create(
+            spark, os.path.join(warehouse, "resv"), "resv",
+            "k long, __part string")
+    t = make_table(spark, warehouse, "resv2")
+    with pytest.raises(ValueError, match="reserved"):
+        t.update_schema(DDL + ", __zval long")
+    with pytest.raises(ValueError, match="reserved"):
+        t.rewrite_schema("k BIGINT, __part STRING, v DOUBLE",
+                         mapping={"__part": "cat"})
+
+
+def test_dead_metadata_claim_recovery(spark, warehouse):
+    """A writer that died between the O_EXCL claim and os.replace (the
+    no-hardlink fallback) leaves an EMPTY head version file; readers
+    must treat an old empty head as a corpse — removing it and serving
+    the intact predecessor — instead of bricking the table forever."""
+    from open_finance_lakehouse_spark.format import metadata as md
+
+    t = make_table(spark, warehouse, "corpse")
+    t.append(kdf(spark, 0, 10))
+    good_version = t.meta.version
+    d = md.metadata_dir(t.location)
+    dead = os.path.join(d, f"v{good_version + 1}.metadata.json")
+    with open(dead, "w"):
+        pass  # 0 bytes: a claim with no content
+    os.utime(dead, (1, 1))  # died long ago
+
+    m = md.read_current_metadata(t.location)
+    assert m.version == good_version
+    assert not os.path.exists(dead)
+    # commits proceed normally (the burned claim name is free again)
+    t2 = LakeTable.load(spark, t.location)
+    t2.append(kdf(spark, 10, 15))
+    assert t2.scan().count() == 15
+
+    # a FRESH empty head is a live writer's in-flight window, not a
+    # corpse: readers must keep refusing rather than yank it
+    with open(os.path.join(
+            d, f"v{t2.meta.version + 1}.metadata.json"), "w"):
+        pass
+    with pytest.raises(ValueError, match="unreadable"):
+        md.read_current_metadata(t.location)
+
+
+def test_failed_staging_write_cleans_up(spark, warehouse):
+    """A failed Spark write must not leak its _staging tree: no GC path
+    reclaims _staging except the age-gated corpse sweep, so repeated
+    failing jobs would accumulate unbounded parquet."""
+    from pyspark.sql.functions import udf
+
+    t = make_table(spark, warehouse, "leak")
+    boom = udf(lambda x: 1 // 0, "long")
+    with pytest.raises(Exception):
+        t.append(kdf(spark, 0, 5).withColumn("k", boom("k")))
+    staging = os.path.join(t.location, "_staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []
+
+
+def test_gc_sweeps_dead_staging_and_tolerates_lost_unlink_race(
+        spark, warehouse, monkeypatch):
+    """Orphan GC removes _staging corpses past the age gate (keeping a
+    live writer's fresh tree), and a victim already unlinked by an
+    overlapping GC is success, not an abort."""
+    t = make_table(spark, warehouse, "gcrace")
+    t.append(kdf(spark, 0, 10))
+    base = os.path.join(t.location, "_staging")
+    os.makedirs(os.path.join(base, "deadjob"), exist_ok=True)
+    with open(os.path.join(base, "deadjob", "x.parquet"), "w") as f:
+        f.write("junk")
+    os.utime(os.path.join(base, "deadjob"), (1, 1))
+    os.makedirs(os.path.join(base, "livejob"), exist_ok=True)
+
+    # overlapping-GC race: a phantom victim another GC already removed
+    monkeypatch.setattr(
+        LakeTable, "_find_orphans_walk",
+        lambda self, *a, **k: ["data/ghost.parquet"])
+    t.delete_orphans(grace_ms=60_000, distributed=False)  # must not raise
+    assert not os.path.exists(os.path.join(base, "deadjob"))
+    assert os.path.exists(os.path.join(base, "livejob"))
+    assert t.refresh().scan().count() == 10
