@@ -327,3 +327,64 @@ def sweep_stale_tmp(location: str, max_age_ms: int = 3_600_000) -> list[str]:
         except FileNotFoundError:
             pass  # a concurrent sweep or the owning writer finished
     return removed
+
+
+# ------------------------------------------------------- DDL parsing
+
+_TYPE_ALIASES = {"integer": "int", "long": "bigint", "short": "smallint",
+                 "byte": "tinyint", "real": "float", "bool": "boolean"}
+
+
+def norm_ddl_type(typ: str) -> str:
+    t = "".join(typ.split()).lower()
+    return _TYPE_ALIASES.get(t, t)
+
+
+def ddl_columns(ddl: str) -> list[tuple[str, str]]:
+    """Top-level ``(name, normalized_type)`` pairs of a DDL string, no
+    SparkContext needed: depth-aware split (map<k,v>/struct<...> commas
+    don't break it) and backtick-quoted names are opaque spans (names
+    containing commas/spaces parse whole).  THE one DDL parser — the
+    frost data source and the table format both resolve column names
+    through it, so they can never disagree."""
+    cols, depth, cur, in_bt = [], 0, [], False
+
+    def emit(tok: str):
+        tok = tok.strip()
+        if not tok:
+            return
+        if tok.startswith("`"):
+            # a literal backtick inside a quoted name is escaped by
+            # doubling (Spark's quoteIfNeeded) — skip `` pairs when
+            # looking for the closing quote
+            name_chars, i = [], 1
+            while i < len(tok):
+                if tok[i] == "`":
+                    if i + 1 < len(tok) and tok[i + 1] == "`":
+                        name_chars.append("`")
+                        i += 2
+                        continue
+                    break
+                name_chars.append(tok[i])
+                i += 1
+            name, typ = "".join(name_chars), tok[i + 1:]
+        else:
+            parts = tok.split(None, 1)
+            name, typ = parts[0], parts[1] if len(parts) > 1 else ""
+        cols.append((name, norm_ddl_type(typ)))
+
+    for ch in ddl:
+        if ch == "`":
+            in_bt = not in_bt
+        if not in_bt:
+            if ch in "<(":
+                depth += 1
+            elif ch in ">)":
+                depth -= 1
+            if ch == "," and depth == 0:
+                emit("".join(cur))
+                cur = []
+                continue
+        cur.append(ch)
+    emit("".join(cur))
+    return cols

@@ -36,6 +36,14 @@ class CommitConflict(Exception):
     """A concurrent commit invalidated this one (removed files not live)."""
 
 
+class CommitRetriesExhausted(CommitConflict):
+    """The optimistic commit loop lost every CAS race — pure contention,
+    NOT a semantic conflict: the caller's staged work is still valid and
+    retrying the COMMIT alone (later, under less contention) can succeed.
+    Subclasses CommitConflict so existing conflict handling still fires
+    for callers that don't care about the distinction."""
+
+
 class SchemaEvolutionError(ValueError):
     """A proposed schema change is not add-column / widen-type."""
 
@@ -69,30 +77,10 @@ RESERVED_COLUMNS = frozenset({"__part", "__zval", "__salt", "__s_op"})
 
 def _ddl_column_names(ddl: str) -> list[str]:
     """Top-level column names from a DDL string, no analyzer needed
-    (``create`` must work with ``spark=None`` in JVM-free workers)."""
-    parts, depth, cur = [], 0, []
-    for ch in ddl:
-        if ch in "<(":
-            depth += 1
-        elif ch in ">)":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    names = []
-    for c in parts:
-        c = c.strip()
-        if not c:
-            continue
-        if c.startswith("`"):
-            names.append(c[1:].split("`", 1)[0])
-        else:
-            names.append(c.split()[0].rstrip(":"))
-    return names
+    (``create`` must work with ``spark=None`` in JVM-free workers).
+    Delegates to THE canonical parser in ``format.metadata`` so the
+    table format and the frost source can never disagree on names."""
+    return [n for n, _ in md.ddl_columns(ddl)]
 
 
 def _check_reserved(names) -> None:
@@ -601,7 +589,8 @@ class LakeTable:
                     # lost the race; re-read and revalidate (jitter breaks
                     # lockstep retry storms across processes)
                     time.sleep(0.01 + random.random() * 0.04)
-            raise CommitConflict("gave up after 50 commit attempts")
+            raise CommitRetriesExhausted(
+                "gave up after 50 commit attempts")
 
     def commit_append(self, added: list[mf.DataFile], summary: dict | None = None,
                       expect_partition_spec: "dict | None | object" = "__any__",
@@ -970,7 +959,24 @@ class LakeTable:
         themselves (e.g. ``cluster``) so incremental consumers skip them."""
         manifests = [mf.write_manifest(self.location, added)] if added else []
 
+        class _TxnAlreadyCommitted(Exception):
+            def __init__(self, snap):
+                self.snap = snap
+
         def build(meta: md.TableMetadata):
+            # idempotent-write fence INSIDE the CAS, same as
+            # commit_append's: a complete-mode stream replaying batch N
+            # after its restarted query already committed N (and N+1)
+            # would otherwise re-commit N's replace and REGRESS the
+            # table to the stale state — a check-then-act committed_txn
+            # lookup outside the CAS cannot close that zombie window
+            app = (summary or {}).get("txn_app_id")
+            txn = (summary or {}).get("txn_id")
+            if app is not None and txn is not None:
+                for s in meta.snapshots:
+                    if (s.summary.get("txn_app_id") == app
+                            and s.summary.get("txn_id") == txn):
+                        raise _TxnAlreadyCommitted(s)
             if (expect_current_snapshot_id != "__any__"
                     and meta.current_snapshot_id
                     != expect_current_snapshot_id):
@@ -987,7 +993,10 @@ class LakeTable:
             )
             return snap, meta.with_snapshot(snap)
 
-        return self._try_commit(build)
+        try:
+            return self._try_commit(build)
+        except _TxnAlreadyCommitted as done:
+            return done.snap
 
     def replace(self, df: DataFrame, max_records_per_file: int | None = None,
                 summary: dict | None = None) -> md.Snapshot:

@@ -92,61 +92,13 @@ def _read_file_batches(part: FrostFilePartition):
         yield batch
 
 
-def _ddl_columns(ddl: str) -> list[tuple[str, str]]:
-    """Top-level ``(name, normalized_type)`` pairs of a DDL string, no
-    SparkContext needed: depth-aware split (map<k,v>/struct<...> commas
-    don't break it) and backtick-quoted names are opaque spans (names
-    containing commas/spaces parse whole)."""
-    cols, depth, cur, in_bt = [], 0, [], False
-
-    def emit(tok: str):
-        tok = tok.strip()
-        if not tok:
-            return
-        if tok.startswith("`"):
-            # a literal backtick inside a quoted name is escaped by
-            # doubling (Spark's quoteIfNeeded) — skip `` pairs when
-            # looking for the closing quote
-            name_chars, i = [], 1
-            while i < len(tok):
-                if tok[i] == "`":
-                    if i + 1 < len(tok) and tok[i + 1] == "`":
-                        name_chars.append("`")
-                        i += 2
-                        continue
-                    break
-                name_chars.append(tok[i])
-                i += 1
-            name, typ = "".join(name_chars), tok[i + 1:]
-        else:
-            parts = tok.split(None, 1)
-            name, typ = parts[0], parts[1] if len(parts) > 1 else ""
-        cols.append((name, _norm_type(typ)))
-
-    for ch in ddl:
-        if ch == "`":
-            in_bt = not in_bt
-        if not in_bt:
-            if ch in "<(":
-                depth += 1
-            elif ch in ">)":
-                depth -= 1
-            if ch == "," and depth == 0:
-                emit("".join(cur))
-                cur = []
-                continue
-        cur.append(ch)
-    emit("".join(cur))
-    return cols
-
-
-_TYPE_ALIASES = {"integer": "int", "long": "bigint", "short": "smallint",
-                 "byte": "tinyint", "real": "float", "bool": "boolean"}
-
-
-def _norm_type(typ: str) -> str:
-    t = "".join(typ.split()).lower()
-    return _TYPE_ALIASES.get(t, t)
+# the canonical DDL parser lives in format/metadata.py (one parser, one
+# behavior — a drifting twin here would disagree on backticked names);
+# these aliases keep this module's historical call sites working
+from open_finance_lakehouse_spark.format.metadata import (  # noqa: E402
+    ddl_columns as _ddl_columns,
+    norm_ddl_type as _norm_type,
+)
 
 
 def _load_meta(location: str):
@@ -751,7 +703,7 @@ class FrostDataSource(DataSource):
                 "ids are the table's versions)")
         return v if v is not None else a
 
-    def _starting_cursor(self) -> str | None:
+    def _starting_cursor(self, stream_cdc: bool = False) -> str | None:
         """Resolve the stream/CDC start cursor, translating Delta's
         ``startingVersion`` to the frost cursor convention.
 
@@ -791,6 +743,19 @@ class FrostDataSource(DataSource):
             raise ValueError(
                 f"startingVersion={n} has been expired from the log — "
                 "the retention window must exceed the consumer lag")
+        if snap.parent_id is None and stream_cdc:
+            # cursor 0 means 'initial live load' to the CDC STREAM (its
+            # documented expired-history-robust start), NOT a genesis log
+            # replay — silently delivering current state as inserts
+            # stamped with the end snapshot would lose every historical
+            # delete/update a Delta CDF consumer expects from
+            # startingVersion=<first commit>
+            raise ValueError(
+                f"startingVersion={n} names the table's first commit: a "
+                "streaming change feed starts from the current live "
+                "state (omit the option) or from a later version; use "
+                "the BATCH change feed (read, not readStream) for a "
+                "full historical replay")
         return str(snap.parent_id if snap.parent_id is not None else 0)
 
     def _cdc(self) -> bool:
@@ -834,6 +799,14 @@ class FrostDataSource(DataSource):
 
     def reader(self, schema: StructType):
         if self._cdc():
+            # also enforced in schema(), but Spark SKIPS schema() when
+            # the user supplies .schema(...) — without this twin check a
+            # CDC read would silently ignore snapshotId/asOfTimestampMs
+            if self._snapshot_id() is not None:
+                raise ValueError(
+                    "readChangeFeed and snapshotId/asOfTimestampMs are "
+                    "mutually exclusive: the change feed is an interval, "
+                    "not a point-in-time state")
             start = self._starting_cursor()
             if start is not None and str(start).lower() == "latest":
                 raise ValueError(
@@ -859,7 +832,7 @@ class FrostDataSource(DataSource):
         return FrostStreamReader(schema, self._location(), skip, starting)
 
     def _resolve_starting(self) -> str | None:
-        starting = self._starting_cursor()
+        starting = self._starting_cursor(stream_cdc=self._cdc())
         ts = self.options.get("startingTimestampMs")
         if ts is not None:
             if starting is not None:

@@ -94,6 +94,17 @@ def added_entries(location: str, meta, snap: Snapshot) -> list[mf.DataFile]:
     ``format("frost")`` streaming source.)"""
     parent = next((s for s in meta.snapshots
                    if s.snapshot_id == snap.parent_id), None)
+    if snap.parent_id is not None and parent is None:
+        # the parent expired while this child stayed retained (expire
+        # keeps the last K chain ancestors): with no parent manifests to
+        # diff against, EVERY manifest would read as 'added' and the
+        # consumer would silently re-deliver the whole table state —
+        # the worst failure a changelog can have. Refuse loudly.
+        raise ValueError(
+            f"snapshot {snap.snapshot_id}'s parent {snap.parent_id} has "
+            "been expired from the log — the added-files diff cannot be "
+            "computed exactly; the retention window must exceed the "
+            "consumer lag")
     parent_manifests = set(parent.manifests) if parent else set()
     out: list[mf.DataFile] = []
     for m in snap.manifests:
@@ -172,7 +183,16 @@ def incremental_changes(
     changed = [s for s in delta if not _is_row_preserving(s)]
     n_files = 0
     for s in changed:
-        if s.operation == "append":
+        # the count is informational — take it from the commit summary
+        # (every committer records added/removed_files) instead of
+        # re-reading every manifest of both snapshots; table_changes
+        # below re-derives the exact file sets anyway, so the manifest
+        # I/O here was pure duplication
+        summ = s.summary or {}
+        if "added_files" in summ or "removed_files" in summ:
+            n_files += (int(summ.get("added_files", 0))
+                        + int(summ.get("removed_files", 0)))
+        elif s.operation == "append":
             n_files += len(added_files(table, s))
         else:
             prev = ({f.file_path for f in table.live_files(s.parent_id)}
@@ -221,6 +241,7 @@ class IncrementalSilver:
         self.ledger = ledger
         self.query_id = query_id
         self.window = window
+        self._window_us()  # fail at construction, not mid-drain
         self.max_records_per_file = max_records_per_file
         if os.path.isdir(os.path.join(location, "metadata")):
             self.silver = LakeTable.load(spark, location)
@@ -360,10 +381,18 @@ class IncrementalSilver:
         finally:
             delta.unpersist()
 
+    _WINDOW_UNITS = {"second": 1, "seconds": 1, "minute": 60,
+                     "minutes": 60, "hour": 3600, "hours": 3600,
+                     "day": 86_400, "days": 86_400,
+                     "week": 604_800, "weeks": 604_800}
+
     def _window_us(self) -> int:
         qty, unit = self.window.split()
-        per = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
-               "hour": 3600, "hours": 3600}[unit]
+        per = self._WINDOW_UNITS.get(unit)
+        if per is None:
+            raise ValueError(
+                f"unsupported window unit {unit!r} in {self.window!r}; "
+                f"supported: {sorted(set(self._WINDOW_UNITS))}")
         return int(qty) * per * 1_000_000
 
     def _record(self, head: int, rows: int, windows: int) -> None:

@@ -107,7 +107,19 @@ def streaming_audited_append(
                 report = audit_staged(table, marker.snapshot_id, checks,
                                       drop_on_breach=False)
                 break
-            except CommitConflict:
+            except CommitConflict as e:
+                from open_finance_lakehouse_spark.format.table import (
+                    CommitRetriesExhausted,
+                )
+
+                if isinstance(e, CommitRetriesExhausted):
+                    # pure commit contention — the staged snapshot is
+                    # green and publishable; dropping it would re-run
+                    # the whole stage+audit for nothing and mislabel
+                    # the failure as layout drift. Surface the error:
+                    # the stream's batch retry re-enters via find_txn
+                    # and re-audits the SAME staged snapshot.
+                    raise
                 # the table's partition spec or schema drifted between
                 # stage and publish: the staged files are stale-routed
                 # and can never publish — drop them and re-stage under

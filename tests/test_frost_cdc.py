@@ -292,3 +292,51 @@ def test_version_as_of_alias_time_travel(spark, history):
     b = (spark.read.format("frost").option("location", t.location)
          .option("versionAsOf", snaps[1]).load())
     assert _multiset_equal(a, b) and a.count() > 0
+
+
+def test_streaming_cdc_refuses_genesis_starting_version(
+        spark, history, tmp_path):
+    """Cursor 0 means 'initial live load' to the CDC STREAM, not a
+    genesis replay — silently delivering current state as inserts would
+    lose every historical delete a Delta CDF consumer expects from
+    startingVersion=<first commit>. Must refuse with a pointer to the
+    batch change feed."""
+    t, snaps = history
+    out, ckpt = str(tmp_path / "og"), str(tmp_path / "ckg")
+    with pytest.raises(Exception, match="first commit"):
+        q = (spark.readStream.format("frost")
+             .option("location", t.location)
+             .option("readChangeFeed", "true")
+             .option("startingVersion", snaps[1]).load()
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    # a later version still works through the stream (inclusive alias)
+    out2, ckpt2 = str(tmp_path / "og2"), str(tmp_path / "ckg2")
+    q2 = (spark.readStream.format("frost")
+          .option("location", t.location)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", snaps[2]).load()
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out2).option("checkpointLocation", ckpt2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out2)
+    batch = (spark.read.format("frost").option("location", t.location)
+             .option("readChangeFeed", "true")
+             .option("startingSnapshotId", snaps[1]).load())
+    assert _multiset_equal(got, batch)
+
+
+def test_cdc_option_validation_survives_user_schema(spark, history):
+    """Spark skips schema() when the user supplies .schema(...) — the
+    CDC/time-travel mutual exclusion must still refuse in reader()
+    instead of silently ignoring snapshotId."""
+    t, snaps = history
+    ddl = t.meta.schema_ddl + fs.CHANGE_COLS_DDL
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (spark.read.format("frost").schema(ddl)
+         .option("location", t.location)
+         .option("readChangeFeed", "true")
+         .option("snapshotId", snaps[2]).load()).collect()

@@ -402,3 +402,61 @@ def test_incremental_scan_skips_abandoned_rollback_branch(spark, bronze):
     ids = {r["trade_id"] for r in delta.collect()}
     assert ids == {77}  # 66 (abandoned) is NOT delivered
     assert cur2 == bronze.current_snapshot_id()
+
+
+# ---------------------------------------------- round-5 hardening tests
+
+
+def test_added_entries_refuses_expired_parent(spark, tmp_path):
+    """expire keeps the last K chain ancestors, so a retained snapshot's
+    parent can be gone from the log — the added-files diff would then
+    treat EVERY manifest as new and silently re-deliver the whole table.
+    Must refuse loudly instead."""
+    from open_finance_lakehouse_spark.streaming.table_source import (
+        added_entries,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "exp"), "exp",
+                         "k long, v double")
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+    t.expire_snapshots(retain_last=2)
+    t.refresh()
+    oldest_kept = min(t.meta.snapshots, key=lambda s: s.snapshot_id)
+    assert oldest_kept.parent_id is not None  # parent expired, child kept
+    with pytest.raises(ValueError, match="expired from the log"):
+        added_entries(t.location, t.meta, oldest_kept)
+
+
+def test_commit_replace_txn_fence_inside_cas(spark, tmp_path):
+    """complete-mode streams replay batches: a zombie driver's replace of
+    batch N landing AFTER the restarted query committed N (and more)
+    must be a no-op returning the original snapshot — never a commit
+    that regresses the table to the stale state."""
+    t = LakeTable.create(spark, str(tmp_path / "cmr"), "cmr",
+                         "k long, v double")
+    txn = {"txn_app_id": "q1", "txn_id": 5}
+    first = t.replace(spark.createDataFrame([(1, 1.0)], "k long, v double"),
+                      summary=dict(txn))
+    t.append(spark.createDataFrame([(2, 2.0)], "k long, v double"))
+    head_before = t.current_snapshot_id()
+    # the zombie's replay of batch 5
+    replay = t.replace(
+        spark.createDataFrame([(9, 9.0)], "k long, v double"),
+        summary=dict(txn))
+    assert replay.snapshot_id == first.snapshot_id
+    assert t.refresh().current_snapshot_id() == head_before
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+
+
+def test_incremental_silver_rejects_bad_window_unit(spark, bronze,
+                                                    tmp_path):
+    """An unsupported window unit must fail AT CONSTRUCTION with a clear
+    message, not as a KeyError mid-drain; day windows are supported."""
+    led = CheckpointLedger(str(tmp_path / "lw"))
+    with pytest.raises(ValueError, match="unsupported window unit"):
+        IncrementalSilver(spark, bronze, str(tmp_path / "s1"), led,
+                          window="1 fortnight")
+    s = IncrementalSilver(spark, bronze, str(tmp_path / "s2"), led,
+                          window="1 day")
+    assert s._window_us() == 86_400 * 1_000_000

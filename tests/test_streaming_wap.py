@@ -189,3 +189,41 @@ def test_streaming_wap_breach_report_records_drop(spark, tmp_path):
     assert reports[0]["dropped"] is True
     assert all(s.summary.get("staged") != "true"
                for s in t.refresh().snapshots())
+
+
+def test_streaming_wap_contention_keeps_staged_snapshot(
+        spark, tmp_path, monkeypatch):
+    """Commit contention (CommitRetriesExhausted) is NOT layout drift:
+    the audited staged snapshot must survive — dropped-and-restaged
+    would waste the whole batch's work and mislabel the failure — and
+    the batch's replay must publish the SAME staged snapshot."""
+    import pytest
+
+    from open_finance_lakehouse_spark.format.table import (
+        CommitRetriesExhausted,
+        LakeTable as LT,
+    )
+
+    t = _table(spark, tmp_path, "swapc")
+    fn = streaming_audited_append(t, "cont-job", checks=UNIQUE)
+    batch = synth_clips(spark, 6)
+
+    orig = LT.publish_staged
+    calls = []
+
+    def contended(self, snapshot_id):
+        if not calls:
+            calls.append(True)
+            raise CommitRetriesExhausted("gave up after 50 commit attempts")
+        return orig(self, snapshot_id)
+
+    monkeypatch.setattr(LT, "publish_staged", contended)
+    with pytest.raises(CommitRetriesExhausted):
+        fn(batch, 0)
+    staged = t.refresh().find_txn("cont-job", 0)
+    assert staged is not None and staged.summary.get("staged") == "true"
+
+    fn(batch, 0)  # the stream's batch retry
+    t.refresh()
+    assert t.find_txn("cont-job", 0).summary.get("staged") != "true"
+    assert t.scan().count() == 6
