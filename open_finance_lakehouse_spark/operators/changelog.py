@@ -122,7 +122,26 @@ def table_changes(
         )
 
     parts: list[DataFrame] = []
+    # consecutive commits share a boundary: snapshot i's live set IS
+    # snapshot i+1's parent set — carry it forward instead of reading
+    # every manifest twice per row-changing commit
+    carried_id, carried = object(), None
     for snap in chain:
+        if (snap.summary or {}).get("schema_rewrite") == "true":
+            if parts:
+                # rows committed BEFORE a rename/drop cannot be expressed
+                # in the post-rewrite schema: reading their files with the
+                # end DDL would silently project the renamed columns as
+                # NULL — corrupt change rows. The rewrite is row-changing
+                # to consumers by contract (rewrite_schema's docstring):
+                # refuse and make them recompute from a post-rewrite
+                # cursor.
+                raise ValueError(
+                    f"change interval crosses schema rewrite "
+                    f"{snap.snapshot_id}: rows committed before it cannot "
+                    "be read under the post-rewrite schema — restart the "
+                    f"consumer from snapshot {snap.snapshot_id} or later")
+            continue
         if _is_row_preserving(snap):
             continue
         if snap.operation == "append":
@@ -133,8 +152,10 @@ def table_changes(
             continue
         # generic row-changing commit: diff the live-file sets, then the
         # rows — both sides bounded by what the commit actually touched
-        prev = _live_paths(table, snap.parent_id)
+        prev = (carried if carried_id == snap.parent_id
+                else _live_paths(table, snap.parent_id))
         cur = _live_paths(table, snap.snapshot_id)
+        carried_id, carried = snap.snapshot_id, cur
         added = read(list(cur - prev))
         removed = read(list(prev - cur))
         parts.append(stamp(added.exceptAll(removed), INSERT, snap))

@@ -52,17 +52,22 @@ def expire(
     ledger.upsert(CheckpointRecord(
         job_id=job_id, table=table.meta.name, partition_id="__snapshots__",
         file_set_hash="", status=STATUS_COMMITTED,
-        files_in=len(orphans), engine_ms=engine_ms,
+        files_in=0 if dry_run_gc else len(orphans), engine_ms=engine_ms,
         committed_snapshot_id=table.current_snapshot_id(),
     ))
     # lineage grain is one row per files_OUT entry — deletions go there
     # (as the consumed/removed artifact of the expire), else the call
-    # would emit ZERO rows and GC'd paths would be unrecorded anywhere
-    ledger.append_lineage(job_id, "__snapshots__", [], orphans, "expire")
+    # would emit ZERO rows and GC'd paths would be unrecorded anywhere.
+    # A dry-run GC deleted NOTHING: recording its preview as deletions
+    # would leave a permanent audit trail of a sweep that never ran.
+    if not dry_run_gc:
+        ledger.append_lineage(job_id, "__snapshots__", [], orphans,
+                              "expire")
     return {
         "job_id": job_id,
         "operation": "expire",
         "expired_snapshots": expired,
-        "orphans_deleted": len(orphans),
+        ("orphans_previewed" if dry_run_gc else "orphans_deleted"):
+            len(orphans),
         "engine_ms": engine_ms,
     }

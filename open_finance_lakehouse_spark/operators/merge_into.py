@@ -119,10 +119,17 @@ def dedup_latest_salted(source: DataFrame, key="clip_id",
         n_salts = choose_salt_count(source, keys, sample_fraction=0.1)
     payload = F.struct(*[F.col(c) for c in data_cols]).alias("payload")
     rank = F.struct(F.col("seq"), F.col("op")).alias("rank")
+    # the salt must vary WITHIN a key to split a hot key's rows across
+    # reducers — seq alone collapses to one bucket whenever a batch
+    # carries a constant version (run_merge emits seq=1 for every row).
+    # monotonically_increasing_id varies per row; its task-dependent
+    # values are fine because only the dedup RESULT must be stable and
+    # max_by(payload, rank) is salt-independent.
     salted = source.select(
         *[F.col(k) for k in keys],
-        F.pmod(F.xxhash64(F.col("seq").cast("string")), F.lit(n_salts))
-         .alias("__salt"),
+        F.pmod(F.xxhash64(F.col("seq").cast("string"),
+                          F.monotonically_increasing_id()),
+               F.lit(n_salts)).alias("__salt"),
         payload, rank,
     )
     partial = (
@@ -177,6 +184,10 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
     OOM the driver's broadcast build."""
     lead = _lead_key(table, key)
     kind = _stats_map_for(table, lead)
+    dtype = dict(
+        (f.name, f.dataType.simpleString())
+        for f in table._empty_df().schema.fields
+    ).get(lead)
     bounds = table.files_df().select(
         "file_path", "partition", "record_count", "file_size_bytes",
         F.element_at(f"min_{kind}", F.lit(lead)).alias("lo"),
@@ -185,7 +196,22 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
     n_files = table.live_file_count()  # exact, from manifest footers
     bounds_rel = (F.broadcast(bounds) if n_files < BROADCAST_FILE_LIMIT
                   else bounds)
-    keys = src.select(lead, "__part")
+    # DISTINCT before the range join: millions of source rows share a
+    # handful of lead values under a composite key — joining per ROW
+    # would build rows x matching-files pairs the aggregate collapses
+    # anyway
+    keys = src.select(lead, "__part").distinct()
+    # temporal keys compare in the stats domain: manifests store
+    # date/timestamp min/max as epoch-MICROS longs (temporal_to_micros;
+    # dates at midnight UTC, session TZ pinned UTC) — comparing the raw
+    # column to a long is an AnalysisException under ANSI and a silent
+    # unit mismatch without it
+    if dtype == "date":
+        keyx = F.unix_date(F.col(lead)).cast("long") * F.lit(86_400_000_000)
+    elif dtype in ("timestamp", "timestamp_ntz"):
+        keyx = F.unix_micros(F.col(lead).cast("timestamp"))
+    else:
+        keyx = F.col(lead)
     # a key can only match rows in ITS OWN bucket partition's files, so the
     # partition equality is part of the join — it also guarantees two
     # concurrent partition workers never claim the same file (disjoint
@@ -194,8 +220,7 @@ def merge_plan_df(table: LakeTable, src: DataFrame,
         bounds_rel,
         (F.col("__part") == bounds.partition)
         & (bounds.lo.isNull()
-           | ((F.col(lead) >= bounds.lo)
-              & (F.col(lead) <= bounds.hi))),
+           | ((keyx >= bounds.lo) & (keyx <= bounds.hi))),
         "left",
     )
     return (
@@ -304,6 +329,18 @@ def merge_into(
     src = src.withColumn("__part", table.partition_value_col())
     src.persist()
     try:
+        # the op contract is 'U' | 'D', nothing else: an unexpected value
+        # would fall through the survives filter as a DELETE (silent,
+        # irreversible loss for a caller who wrote 'u' or 'UPDATE'), and
+        # a NULL op would masquerade as a target-only row and insert
+        # null-padded garbage — fail loudly before any file is touched
+        bad = (src.filter(F.col("op").isNull()
+                          | ~F.col("op").isin("U", "D"))
+               .select("op").limit(1).collect())
+        if bad:
+            raise ValueError(
+                f"merge source op column must be 'U' or 'D'; found "
+                f"{bad[0]['op']!r}")
         plan = plan_merge_partitions(table, src, key=keys)
 
         totals = {

@@ -124,6 +124,16 @@ def _update_once(
     df = table.spark.read.schema(table.meta.schema_ddl).parquet(*paths)
     # pushdown count pass: predicate columns only cross the scan
     rows_updated = df.filter(matched).count()
+    if rows_updated == 0:
+        # stats-overlap without row matches: rewriting every candidate
+        # byte to change nothing would also cost incremental consumers
+        # their append-only fast path (a row-changing snapshot forces
+        # the CDC drain) — mirror delete_where's no-match early return
+        totals["files_rewritten"] = 0
+        totals["files_untouched"] = untouched + len(candidates)
+        totals["bytes_in"] = 0
+        totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
+        return totals
 
     # ONE select over the source frame: SQL UPDATE evaluates every SET
     # expression AND the WHERE against the PRE-update row. Sequential

@@ -32,20 +32,47 @@ def package_zip(dest_dir: str | None = None) -> str:
     ``sc.addPyFile`` so Python workers can import the engine regardless of
     the driver's working directory — in cluster mode this is the
     ``--py-files`` argument (north_rule packaging requirement).
-    """
+
+    The artifact name is CONTENT-ADDRESSED: two concurrent sessions on
+    one host (a bench run next to a test run) would otherwise clobber a
+    shared fixed path while the other's executors fetch it — Spark then
+    fails every task with 'exists and does not match contents'. Writes
+    land via a unique tmp name + atomic rename so a half-written zip is
+    never visible under its final name."""
+    import hashlib
+
     pkg_root = os.path.dirname(os.path.abspath(__file__))
     base = os.path.basename(pkg_root)
-    dest = os.path.join(dest_dir or tempfile.gettempdir(),
-                        "open_finance_lakehouse_spark.zip")
-    with zipfile.ZipFile(dest, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, names in os.walk(pkg_root):
-            if "__pycache__" in root:
-                continue
-            for n in sorted(names):
-                if n.endswith(".py"):
-                    ap = os.path.join(root, n)
-                    rel = os.path.join(base, os.path.relpath(ap, pkg_root))
-                    zf.write(ap, rel)
+    entries = []
+    h = hashlib.sha256()
+    for root, _dirs, names in os.walk(pkg_root):
+        if "__pycache__" in root:
+            continue
+        for n in sorted(names):
+            if n.endswith(".py"):
+                ap = os.path.join(root, n)
+                rel = os.path.join(base, os.path.relpath(ap, pkg_root))
+                with open(ap, "rb") as f:
+                    data = f.read()
+                h.update(rel.encode())
+                h.update(data)
+                entries.append((rel, data))
+    digest = h.hexdigest()[:16]
+    d = dest_dir or tempfile.gettempdir()
+    os.makedirs(d, exist_ok=True)
+    dest = os.path.join(d, f"open_finance_lakehouse_spark-{digest}.zip")
+    if os.path.exists(dest):
+        return dest  # same content, same name: reuse
+    tmp = f"{dest}.tmp-{os.getpid()}"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for rel, data in entries:
+            # pinned timestamp => byte-identical zips for identical
+            # sources, so two racing creators of the same name replace
+            # it with the SAME bytes and executor caches never mismatch
+            zi = zipfile.ZipInfo(rel, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    os.replace(tmp, dest)
     return dest
 
 

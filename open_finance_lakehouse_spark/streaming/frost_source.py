@@ -311,6 +311,16 @@ def _plan_change_partitions(location: str, meta, start_id, end_id: int,
         return parts
 
     for snap in ancestry_interval(meta, start_id, end_id):
+        if (snap.summary or {}).get("schema_rewrite") == "true":
+            if parts:
+                # same rule as operators.changelog.table_changes: rows
+                # committed before a rename/drop would be read under the
+                # post-rewrite schema (renamed columns NULL) — refuse
+                raise ValueError(
+                    f"change interval crosses schema rewrite "
+                    f"{snap.snapshot_id}: restart the consumer from that "
+                    "snapshot or later")
+            continue
         if _is_row_preserving(snap):
             continue
         if snap.operation == "append":

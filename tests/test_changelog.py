@@ -201,3 +201,41 @@ def test_partition_rewrite_is_invisible(spark, tmp_path_factory):
     t.rewrite_partitioning({"kind": "bucket", "column": "clip_id",
                             "num_buckets": 4})
     assert table_changes(t, s1, t.current_snapshot_id()).count() == 0
+
+
+def test_change_interval_crossing_schema_rewrite_refuses(spark, tmp_path):
+    """Rows committed before a rename/drop cannot be read under the
+    post-rewrite schema (renamed columns would project NULL — corrupt
+    change rows): both CDC paths refuse and point the consumer at a
+    post-rewrite cursor. From a cursor AT the rewrite, changes flow."""
+    t = LakeTable.create(spark, str(tmp_path / "sr"), "sr",
+                         "k BIGINT, old_name STRING")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "k BIGINT, old_name STRING"))
+    s1 = t.current_snapshot_id()
+    t.rewrite_schema("k BIGINT, new_name STRING",
+                     mapping={"new_name": "old_name"})
+    s2 = t.current_snapshot_id()
+    t.append(spark.createDataFrame([(3, "c")], "k BIGINT, new_name STRING"))
+
+    with pytest.raises(ValueError, match="schema rewrite"):
+        table_changes(t, None).collect()
+    with pytest.raises(ValueError, match="schema rewrite"):
+        table_changes(t, s1 - 100 if s1 > 100 else None).collect()
+    # post-rewrite cursor: clean inserts under the new schema
+    got = table_changes(t, s2)
+    assert [r["new_name"] for r in got.collect()] == ["c"]
+
+    # the frost batch CDC path enforces the same rule
+    from open_finance_lakehouse_spark.streaming.frost_source import (
+        register_frost_source,
+    )
+
+    register_frost_source(spark)
+    with pytest.raises(Exception, match="schema rewrite"):
+        (spark.read.format("frost").option("location", t.location)
+         .option("readChangeFeed", "true").load()).collect()
+    ok = (spark.read.format("frost").option("location", t.location)
+          .option("readChangeFeed", "true")
+          .option("startingSnapshotId", s2).load())
+    assert [r["new_name"] for r in ok.collect()] == ["c"]

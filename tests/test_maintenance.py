@@ -1396,3 +1396,115 @@ def test_doctor_flags_oversized_partitions(spark, tmp_path, monkeypatch):
     import re
     n = int(re.search(r"~(\d+) buckets", hit[0]).group(1))
     assert n > 2 and (n & (n - 1)) == 0  # > current count, power of two
+
+
+def test_merge_temporal_key_plans_in_micros(spark, tmp_path):
+    """MERGE on a date/timestamp key: manifest stats store temporal
+    min/max as epoch-micros LONGS, so the plan join must compare in that
+    domain — comparing the raw temporal column to a long is an
+    AnalysisException under ANSI (and a silent unit mismatch without)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "tk"), "tk",
+        "day DATE, amount DOUBLE")
+    t.append(spark.sql(
+        "SELECT date_add(DATE'2026-01-01', CAST(id AS INT)) AS day, "
+        "CAST(id AS DOUBLE) AS amount FROM range(30)"),
+        max_records_per_file=5)
+    led = CheckpointLedger(str(tmp_path / "led_tk"))
+    src = spark.sql(
+        "SELECT DATE'2026-01-05' AS day, 99.0 AS amount, 'U' AS op, "
+        "CAST(1 AS LONG) AS seq "
+        "UNION ALL SELECT DATE'2026-01-07', NULL, 'D', CAST(1 AS LONG) "
+        "UNION ALL SELECT DATE'2026-03-01', 1.0, 'U', CAST(1 AS LONG)")
+    res = merge_into(t, src, led, "tk-merge", source_token="d1",
+                     key="day")
+    assert res["partitions_planned"] >= 1
+    after = {str(r["day"]): r["amount"] for r in t.scan().collect()}
+    assert after["2026-01-05"] == 99.0
+    assert "2026-01-07" not in after
+    assert after["2026-03-01"] == 1.0
+    assert len(after) == 30  # 30 - 1 delete + 1 insert
+
+    # timestamp key too (the other temporal stats family)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "tk2"), "tk2", "ts TIMESTAMP, v DOUBLE")
+    t2.append(spark.sql(
+        "SELECT timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP'2026-01-01 00:00:00') AS ts, CAST(id AS DOUBLE) AS v "
+        "FROM range(24)"), max_records_per_file=6)
+    src2 = spark.sql(
+        "SELECT TIMESTAMP'2026-01-01 03:00:00' AS ts, 77.0 AS v, "
+        "'U' AS op, CAST(1 AS LONG) AS seq")
+    merge_into(t2, src2, CheckpointLedger(str(tmp_path / "led_tk2")),
+               "tk2-merge", source_token="t1", key="ts")
+    got = {str(r["ts"]): r["v"] for r in t2.scan().collect()}
+    assert got["2026-01-01 03:00:00"] == 77.0 and len(got) == 24
+
+
+def test_merge_rejects_invalid_op_values(spark, clip_table, ledger):
+    """op outside {'U','D'} would silently fall through the survives
+    filter as a DELETE (a caller writing 'u' or 'UPDATE' loses rows
+    irreversibly) and NULL op would insert null-padded rows — both must
+    refuse before any file is touched."""
+    head = clip_table.current_snapshot_id()
+    base = clip_table.scan().limit(1).select(
+        *clip_table.scan().columns)
+    for bad_op in ["u", "UPDATE", None]:
+        src = (base.withColumn("op", F.lit(bad_op).cast("string"))
+               .withColumn("seq", F.lit(1).cast("long")))
+        with pytest.raises(ValueError, match="must be 'U' or 'D'"):
+            merge_into(clip_table, src, ledger, "bad-op",
+                       source_token=f"b-{bad_op}")
+    assert clip_table.refresh().current_snapshot_id() == head
+
+
+def test_expire_dry_run_gc_records_no_deletions(spark, tmp_path):
+    """expire(dry_run_gc=True) deletes nothing — the ledger and lineage
+    must not record a GC that never ran (a permanent audit trail of
+    phantom deletions), and the report must say 'previewed'."""
+    from open_finance_lakehouse_spark.operators.expire import expire
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "edr"), "edr", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 30), max_records_per_file=5)
+    led = CheckpointLedger(str(tmp_path / "led_edr"))
+    compact(t, led, "edr-compact")  # orphans the small files' history
+
+    res = expire(t, led, "edr-expire", retain_last=1, gc_grace_ms=0,
+                 dry_run_gc=True)
+    assert res["orphans_previewed"] > 0 and "orphans_deleted" not in res
+    rows = led.lineage_rows("edr-expire")
+    assert rows == [] or all(r.get("operation") != "expire" for r in rows)
+    # nothing actually deleted: the orphaned bytes are still on disk
+    import os as _os
+
+    live = {f.file_path for f in t.live_files()}
+    all_data = []
+    for root, _d, names in _os.walk(_os.path.join(t.location, "data")):
+        all_data += [n for n in names if n.endswith(".parquet")]
+    assert len(all_data) > len(live)  # orphaned bytes still on disk
+
+    real = expire(t, led, "edr-expire-2", retain_last=1, gc_grace_ms=0)
+    assert real["orphans_deleted"] > 0
+
+
+def test_update_where_zero_match_commits_nothing(spark, tmp_path):
+    """Stats overlap without row matches: UPDATE must not rewrite every
+    candidate byte to change nothing (and must not cost incremental
+    consumers their append-only fast path with a row-changing no-op)."""
+    from open_finance_lakehouse_spark.operators.update_where import (
+        update_where,
+    )
+
+    t = LakeTable.create(spark, str(tmp_path / "uz"), "uz",
+                         "k BIGINT, v DOUBLE")
+    t.append(spark.createDataFrame([(10, 1.0), (20, 2.0)],
+                                   "k BIGINT, v DOUBLE"))
+    head = t.current_snapshot_id()
+    led = CheckpointLedger(str(tmp_path / "led_uz"))
+    res = update_where(t, led, "uz-job", set={"v": "v + 1"},
+                       predicates=[ColumnRange("k", lo=15, hi=15)])
+    assert res["rows_updated"] == 0 and res["files_rewritten"] == 0
+    assert t.refresh().current_snapshot_id() == head

@@ -4,8 +4,10 @@ Run with the engine shipped ONLY via --py-files (the script itself imports
 the package from the shipped zip, proving workers and driver both resolve
 it with no repo checkout on the cluster):
 
-  spark-submit --master local[2] \\
-      --py-files /tmp/open_finance_lakehouse_spark.zip \\
+  ZIP=$(python -c "import sys; sys.path.insert(0, '.'); \\
+      from open_finance_lakehouse_spark.session import package_zip; \\
+      print(package_zip())")   # content-addressed name
+  spark-submit --master local[2] --py-files "$ZIP" \\
       tools/submit_job.py --workdir /tmp/submit_demo --rows 300
 
 Builds a clip table, runs the full maintenance pipeline with both gates,
