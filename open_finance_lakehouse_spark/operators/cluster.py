@@ -156,27 +156,44 @@ def cluster_global(
       plan (measured: the union form runs the whole table on one core).
       Parallelism = partition count — the right regime for many modest
       partitions, which is precisely what a bucket-partitioned clip table
-      gives; per-partition output sizing is exact (each partition gets its
-      own records-per-file from its observed bytes/row).
+      gives. Output sizing uses ONE records-per-file for the whole job,
+      taken from the widest-row partition (the min over per-partition
+      bytes/row), so no partition can exceed target_bytes; narrow-row
+      partitions emit proportionally smaller files — the safe side of
+      the trade (stage_indexed writes all branches through one writer
+      conf, so a per-partition cap isn't expressible in one job).
     - ``"auto"`` (default) — ``local`` when every partition fits a
       single-task sort (≤ ``LOCAL_SORT_MAX_PARTITION_BYTES`` and >1
       partition), else ``range``."""
+    if exchange not in ("auto", "local", "range"):
+        # a typo'd mode silently falling through to the range exchange
+        # would pay the measured 1.68x shuffle tax with no clue — the
+        # registry's no-silent-fallback discipline applies to call sites
+        raise ValueError(
+            f"exchange={exchange!r}: expected 'auto', 'local', or 'range'")
     # plan against the CURRENT head, not whatever snapshot this handle
     # last saw: a stale plan's removal set conflicts on commit (correct but
     # wasted work), and a retried run would re-conflict forever
     table.refresh()
     inv = table.files_df().select(
         "file_path", "partition", "file_size_bytes", "record_count")
+    # ONE planning job: the sizing aggregate also folds the input
+    # fingerprint (XOR is associative — per-partition xor, then xor of
+    # xors) instead of re-scanning the manifest relation per metric
     agg = (
         inv.groupBy("partition")
         .agg(F.count(F.lit(1)).alias("pf"),
              F.sum("file_size_bytes").alias("pb"),
-             F.sum("record_count").alias("pr"))
+             F.sum("record_count").alias("pr"),
+             F.bit_xor(F.xxhash64(
+                 F.concat(F.lit(f"{curve}:"), F.col("file_path"))))
+             .alias("px"))
         .agg(F.coalesce(F.sum("pf"), F.lit(0)).alias("files"),
              F.count(F.lit(1)).alias("parts"),
              F.coalesce(F.sum("pb"), F.lit(0)).alias("bytes"),
              F.coalesce(F.sum("pr"), F.lit(0)).alias("records"),
-             F.coalesce(F.max("pb"), F.lit(0)).alias("max_part_bytes"))
+             F.coalesce(F.max("pb"), F.lit(0)).alias("max_part_bytes"),
+             F.coalesce(F.bit_xor("px"), F.lit(0)).alias("x"))
         .first()
     )
     totals = {
@@ -197,12 +214,14 @@ def cluster_global(
                     if (int(agg["parts"]) > 1 and not oversized
                         and per_part >= LOCAL_MIN_BYTES_PER_PARTITION)
                     else "range")
-        if oversized and int(agg["parts"]) > 1:
+        if oversized:
             # the sf10 finding (BENCH/sf10.md): a fixed bucket count lets
             # partitions outgrow the single-task sort bound, flipping auto
             # to the range exchange — every byte then transits shuffle
             # storage (measured 1.68x slower at sf10). The durable remedy
-            # is the engine's own partition-spec evolution; surface it.
+            # is the engine's own partition-spec evolution; surface it —
+            # INCLUDING for a 1-partition table, the degenerate case that
+            # needs re-bucketing most.
             totals["advisory"] = (
                 f"largest partition {int(agg['max_part_bytes']) >> 20} MB "
                 f"exceeds the single-task sort bound "
@@ -213,16 +232,12 @@ def cluster_global(
     pre_snap = table.meta.snapshot()  # plan-time head (CAS guard)
     pre_snapshot = pre_snap.snapshot_id
     pre_manifests = set(pre_snap.manifests)
-    # input fingerprint: ONE Spark aggregate over the manifest relation —
-    # XOR of per-path xxhash64 is order-insensitive and never materializes
-    # the path list on the driver (count hardens it against the xor's
-    # even-multiset blind spot; paths within a snapshot are unique anyway)
-    fp = inv.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.bit_xor(F.xxhash64(
-            F.concat(F.lit(f"{curve}:"), F.col("file_path")))).alias("x"),
-    ).first()
-    fingerprint = _xor_fingerprint_repr(curve, int(fp["n"]), int(fp["x"]))
+    # input fingerprint: XOR of per-path xxhash64 is order-insensitive and
+    # never materializes the path list on the driver (count hardens it
+    # against the xor's even-multiset blind spot; paths within a snapshot
+    # are unique anyway) — folded into the planning aggregate above
+    fingerprint = _xor_fingerprint_repr(
+        curve, int(agg["files"]), int(agg["x"]))
     if ledger.is_committed(job_id, "__table__", fingerprint):
         totals["partitions_skipped"] = totals["partitions_planned"]
         return totals
@@ -243,11 +258,21 @@ def cluster_global(
     # single table-wide average would let a partition with 2×-wide rows
     # (codec/duration mix) emit 2×-target files while narrow partitions
     # emit half-size ones
-    part_stat_rows = (
-        inv.groupBy("partition")
-        .agg(F.sum("file_size_bytes").alias("pb"),
-             F.sum("record_count").alias("pr"))
-        .collect())
+    # local-mode branches and file-grain lineage both need the per-
+    # partition path lists — carry them on the SAME grouped collect
+    # instead of two more jobs over the manifest relation (range mode
+    # above the lineage bound stays O(partitions) rows, no paths)
+    need_paths = (exchange == "local"
+                  or totals["files_in"] <= LINEAGE_FILE_GRAIN_MAX)
+    agg_cols = [F.sum("file_size_bytes").alias("pb"),
+                F.sum("record_count").alias("pr")]
+    if need_paths:
+        agg_cols.append(
+            F.sort_array(F.collect_list("file_path")).alias("ps"))
+    part_stat_rows = inv.groupBy("partition").agg(*agg_cols).collect()
+    by_part: dict[str, list[str]] = (
+        {r["partition"]: list(r["ps"]) for r in part_stat_rows}
+        if need_paths else {})
     rpf = min(
         (binpack.records_per_file(int(r["pb"]), int(r["pr"]), target_bytes)
          for r in part_stat_rows if r["pr"]),
@@ -263,15 +288,12 @@ def cluster_global(
         # normally merge equal-partition-count union children into one
         # task (spark.sql.unionOutputPartitioning) — disabled around this
         # job so the branches stay parallel.
-        # local mode builds one explicit-file read per partition — this
-        # (partition, path) collect is SCAN-TASK PLANNING (what every
-        # format's driver does to schedule reads), not commit arithmetic,
-        # and local mode is only chosen when partitions are modest (the
-        # many-small-partitions regime); the 100 TB path is "range", which
-        # plans through table.scan() and collects no path list here
-        by_part: dict[str, list[str]] = {}
-        for r in inv.select("partition", "file_path").collect():
-            by_part.setdefault(r["partition"], []).append(r["file_path"])
+        # local mode builds one explicit-file read per partition from the
+        # path lists the planning collect already carried (SCAN-TASK
+        # PLANNING — what every format's driver does to schedule reads;
+        # local mode is only chosen when partitions are modest). The
+        # 100 TB path is "range", which plans through table.scan() and
+        # collects no path list at all.
         spark = table.spark
         parts_sorted = sorted(by_part)
 
@@ -344,9 +366,29 @@ def cluster_global(
             expect_current_snapshot_id=pre_snapshot,
             summary=cluster_summary)
     except CommitConflict:
-        snap = table.commit_rewrite_manifests(
-            pre_manifests, added, operation="cluster",
-            summary=cluster_summary)
+        try:
+            snap = table.commit_rewrite_manifests(
+                pre_manifests, added, operation="cluster",
+                summary=cluster_summary)
+        except CommitConflict:
+            # a concurrent REWRITE (compact/MERGE/DML) replaced a planned
+            # manifest, so neither commit path can prove the removal set.
+            # Surrender like compact()/cluster() do: discard the staged
+            # whole-table copy (else it sits orphaned until GC grace),
+            # record the conflict, and return — a replay replans against
+            # the new head (the ledger only skips STATUS_COMMITTED).
+            table._discard_staged(added, [])
+            ledger.upsert(CheckpointRecord(
+                job_id=job_id, table=table.meta.name,
+                partition_id="__table__", file_set_hash=fingerprint,
+                status=STATUS_CONFLICTED,
+                files_in=totals["files_in"], bytes_in=bytes_in,
+                engine_ms=int((time.monotonic() - t0) * 1000),
+            ))
+            totals["partitions_skipped"] = totals["partitions_planned"]
+            totals["conflicted"] = True
+            totals["engine_ms"] = int((time.monotonic() - t0) * 1000)
+            return totals
     engine_ms = int((time.monotonic() - t0) * 1000)
 
     # per-partition ledger records (metrics grain preserved) + job record
@@ -359,14 +401,8 @@ def cluster_global(
     # queries useless. File-grain lineage inherently materializes the
     # path list (it gets WRITTEN to the log), so above the bound the log
     # degrades to manifest-grain inputs instead of OOMing the driver.
-    if totals["files_in"] <= LINEAGE_FILE_GRAIN_MAX:
-        part_inputs = {
-            r["partition"]: sorted(r["ps"])
-            for r in inv.groupBy("partition")
-            .agg(F.collect_list("file_path").alias("ps")).collect()
-        }
-    else:
-        part_inputs = {}
+    part_inputs = (by_part
+                   if totals["files_in"] <= LINEAGE_FILE_GRAIN_MAX else {})
     manifest_inputs = sorted(pre_manifests)
     for part, outs in sorted(by_out.items()):
         ledger.append_lineage(job_id, f"part={part}",

@@ -214,7 +214,9 @@ def compact(
         return totals
     items = []
     for part, bins in sorted(plan.items()):
-        if max_bins_per_partition:
+        if max_bins_per_partition is not None:
+            # (is not None, not truthiness: 0 means 'no bins this run' —
+            # a computed backpressure budget's floor — not 'unlimited')
             # backpressure: bound work per task batch the way the reference
             # bounds micro-batches (maxFilesPerTrigger,
             # /root/reference/ofl/streaming/bronze.py:229-231)

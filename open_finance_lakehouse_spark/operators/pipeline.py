@@ -32,6 +32,7 @@ import time
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from open_finance_lakehouse_spark.format.table import LakeTable
 from open_finance_lakehouse_spark.operators import audit as audit_ops
@@ -107,8 +108,24 @@ def run_maintenance(
     cluster_exchange = (cfg["cluster_exchange"] if cluster_exchange is _UNSET
                         else cluster_exchange)
 
+    # mode knobs refuse unknown values LOUDLY (the engine-wide
+    # no-silent-fallback discipline): a typo'd snr_gate would silently
+    # disable the corruption gate and then expire the rollback snapshot
+    if snr_gate not in (None, "off", "overlap", "serial"):
+        raise ValueError(
+            f"snr_gate={snr_gate!r}: expected 'off', 'overlap', or "
+            "'serial'")
+    if cluster_mode not in ("global", "per-partition", "partition"):
+        raise ValueError(
+            f"cluster_mode={cluster_mode!r}: expected 'global' or "
+            "'per-partition'")
+
     job_id = job_id or f"maint-{uuid.uuid4().hex[:12]}"
-    clip_count = sum(f.record_count for f in table.live_files())
+    # one Spark aggregate over the manifest relation — live_files() would
+    # driver-materialize a DataFile per file just to sum a counter
+    clip_count = int(
+        table.files_df().agg(F.coalesce(F.sum("record_count"), F.lit(0)))
+        .first()[0])
     pre_snapshot = table.current_snapshot_id()
 
     t_start = time.monotonic()

@@ -1508,3 +1508,75 @@ def test_update_where_zero_match_commits_nothing(spark, tmp_path):
                        predicates=[ColumnRange("k", lo=15, hi=15)])
     assert res["rows_updated"] == 0 and res["files_rewritten"] == 0
     assert t.refresh().current_snapshot_id() == head
+
+
+def test_cluster_global_double_conflict_surrenders(spark, tmp_path,
+                                                   monkeypatch):
+    """When BOTH the conditional replace and the manifest-granularity
+    fallback conflict (a concurrent rewrite replaced a planned
+    manifest), cluster_global must surrender like compact(): discard the
+    staged whole-table copy, record STATUS_CONFLICTED, and return —
+    never propagate with orphaned bytes and a stuck REWRITING record."""
+    import os as _os
+
+    from open_finance_lakehouse_spark.format.table import CommitConflict
+    from open_finance_lakehouse_spark.operators.cluster import (
+        cluster_global,
+    )
+    from open_finance_lakehouse_spark.plans.ledger import (
+        STATUS_CONFLICTED,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "cgc"), "cgc", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 20), max_records_per_file=5)
+    led = CheckpointLedger(str(tmp_path / "led_cgc"))
+
+    def conflict(*a, **kw):
+        raise CommitConflict("simulated concurrent rewrite")
+
+    monkeypatch.setattr(t, "commit_replace", conflict)
+    monkeypatch.setattr(t, "commit_rewrite_manifests", conflict)
+
+    def count_data():
+        n = 0
+        for root, _d, names in _os.walk(_os.path.join(t.location, "data")):
+            n += sum(1 for x in names if x.endswith(".parquet"))
+        return n
+
+    before = count_data()
+    res = cluster_global(t, led, "cgc-job")
+    assert res.get("conflicted") is True
+    assert count_data() == before  # staged copy discarded, no orphans
+    rec = led.get("cgc-job", "__table__")
+    assert rec.status == STATUS_CONFLICTED
+    # replay against the (unchanged) head replans and is not skipped
+    monkeypatch.undo()
+    res2 = cluster_global(t, led, "cgc-job")
+    assert res2["partitions_rewritten"] > 0
+
+
+def test_maintenance_knobs_refuse_unknown_values(spark, tmp_path):
+    """snr_gate / cluster_mode / exchange typos must refuse loudly, not
+    silently disable a gate or fall through to the shuffle path."""
+    from open_finance_lakehouse_spark.operators.cluster import (
+        cluster_global,
+    )
+    from open_finance_lakehouse_spark.operators.pipeline import (
+        run_maintenance,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "knob"), "knob", CLIP_SCHEMA_DDL,
+        partition_spec={"kind": "bucket", "column": "clip_id",
+                        "num_buckets": 2})
+    t.append(synth_clips(spark, 5))
+    led = CheckpointLedger(str(tmp_path / "led_knob"))
+    with pytest.raises(ValueError, match="snr_gate"):
+        run_maintenance(t, led, snr_gate="overlapped")
+    with pytest.raises(ValueError, match="cluster_mode"):
+        run_maintenance(t, led, cluster_mode="globl")
+    with pytest.raises(ValueError, match="exchange"):
+        cluster_global(t, led, "x", exchange="Local")
