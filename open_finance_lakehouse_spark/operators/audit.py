@@ -75,8 +75,19 @@ def scan_parity(
             F.when(both & ~F.col(f"b_{c}_h").eqNullSafe(F.col(f"a_{c}_h")),
                    F.lit(f"{c}_mismatch")))
     reason = F.coalesce(*reasons)
-    return j.withColumn("reason", reason).filter(F.col("reason").isNotNull()) \
-            .select(key, "reason")
+    value_violations = (
+        j.withColumn("reason", reason).filter(F.col("reason").isNotNull())
+        .select(key, "reason"))
+    # duplicate keys defeat a per-key equi-join: dropping one of two
+    # IDENTICAL copies joins clean (the surviving copy matches), so the
+    # per-key row counts must also agree — a count change on a key
+    # present on both sides is row loss/duplication the join can't see
+    bn = before.groupBy(key).agg(F.count(F.lit(1)).alias("b_n"))
+    an = after.groupBy(key).agg(F.count(F.lit(1)).alias("a_n"))
+    mult = (bn.join(an, key, "inner")
+            .filter(F.col("b_n") != F.col("a_n"))
+            .select(key, F.lit("multiplicity_mismatch").alias("reason")))
+    return value_violations.unionByName(mult)
 
 
 def snr_violations(clips: DataFrame, threshold_db: float = SNR_THRESHOLD_DB

@@ -42,7 +42,16 @@ def publish_overwrite(
     ``{"published": bool, "snapshot_id": int | None,
        "violations": {check_name: [row dicts]}, "rows": int, "engine_ms": int}``
     """
+    from pyspark.sql import functions as F
+
+    from open_finance_lakehouse_spark.quality import contracts as qc
+
     t0 = time.monotonic()
+    # the same write gates every append enforces (a publish is a write):
+    # a misnamed/mistyped candidate column would stage fine and read back
+    # all-NULL under the table schema — published silent corruption
+    qc.check_schema(candidate, table._empty_df().schema)
+    contract = qc.Contract.from_properties(table.meta.properties)
     staged_spec = table.meta.partition_spec  # commit is conditional on it
     added = table.stage_dataframe(candidate,
                                   max_records_per_file=max_records_per_file)
@@ -53,6 +62,16 @@ def publish_overwrite(
     )
 
     violations: dict[str, list[dict]] = {}
+    if contract is not None:
+        # the table contract is a check every writer runs — the publish
+        # lane expresses a breach as a withheld publish (its native
+        # failure mode) instead of append's reject/dead-letter
+        bad = [r.asDict() for r in
+               qc.tag_violations(staged, contract)
+               .filter(F.col(qc.VIOLATION_COL).isNotNull())
+               .limit(max_violations_shown).collect()]
+        if bad:
+            violations["_contract"] = bad
     for name, check in (checks or {}).items():
         bad = [r.asDict() for r in
                check(staged).limit(max_violations_shown).collect()]
@@ -92,6 +111,8 @@ def append_audited(
     just batch-local rules), then publish (fast-forward or cherry-pick
     if other commits landed meanwhile) or drop. Readers never observe an
     unaudited row; a dropped batch leaves only GC-able orphans.
+    Schema/contract gates ride ``append_staged``/the checks — the staged
+    write is an append and gets every append-path write gate.
 
     Returns ``{"published": bool, "snapshot_id": int | None,
     "staged_snapshot_id": int, "violations": {...}, "rows": int,
@@ -116,9 +137,40 @@ def audit_staged(
     ``drop_staged`` (or keep it pending when ``drop_on_breach=False`` so
     the caller can dead-letter the batch's rows first). The resume half
     of write-audit-publish: a crash between stage and decision replays
-    into this function with the already-staged snapshot id."""
+    into this function with the already-staged snapshot id — INCLUDING a
+    crash after the decision: an already-published snapshot (fast-forward
+    keeps it with ``staged='false'``; cherry-pick consumes it, leaving a
+    twin stamped ``cherry_picked_from``) returns the prior outcome with
+    ``replayed=True``, and a vanished snapshot with no published twin
+    reports the drop. (Caveat: if the published twin has itself been
+    EXPIRED, the replay reads as dropped — retention must exceed replay
+    lag, the engine-wide cursor rule.)"""
     t0 = time.monotonic()
-    snap = table.refresh().meta.snapshot(snapshot_id)
+    meta = table.refresh().meta
+    snap = next((s for s in meta.snapshots
+                 if s.snapshot_id == snapshot_id), None)
+    if snap is None or snap.summary.get("staged") != "true":
+        if snap is not None:  # fast-forward published, still in the log
+            pub = snap
+        else:
+            pub = next(
+                (s for s in meta.snapshots
+                 if s.summary.get("cherry_picked_from") == snapshot_id),
+                None)
+        if pub is not None:
+            return {
+                "published": True, "snapshot_id": pub.snapshot_id,
+                "staged_snapshot_id": snapshot_id, "violations": {},
+                "rows": int(pub.summary.get("added_records", 0)),
+                "replayed": True,
+                "engine_ms": int((time.monotonic() - t0) * 1000),
+            }
+        return {
+            "published": False, "snapshot_id": None,
+            "staged_snapshot_id": snapshot_id, "dropped": True,
+            "violations": {}, "rows": 0, "replayed": True,
+            "engine_ms": int((time.monotonic() - t0) * 1000),
+        }
     staged_state = table.scan(snapshot_id=snapshot_id)
 
     violations: dict[str, list[dict]] = {}

@@ -244,7 +244,9 @@ class StreamingIngest:
 def write_jsonl_batch(path: str, events: list[dict]) -> None:
     """Atomic landing: stage + rename so the stream never reads a partial
     file (/root/reference/ofl/streaming/paths.py:16-19 discipline)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:  # bare filename: dirname is '' and makedirs('') raises
+        os.makedirs(d, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         for e in events:

@@ -82,13 +82,32 @@ def _merge_sessions(sessions: list[tuple], gap_ms: int) -> list[tuple]:
     return out
 
 
-def make_session_fn(gap_ms: int):
+def make_session_fn(gap_ms: int, tz: str = "UTC"):
     """Returns the (key, batches, state) -> batches function for
-    ``applyInPandasWithState`` with ``GroupStateTimeout.EventTimeTimeout``."""
+    ``applyInPandasWithState`` with ``GroupStateTimeout.EventTimeTimeout``.
+
+    ``tz`` is the SESSION timezone (``spark.sql.session.timeZone``):
+    Arrow hands pandas tz-naive timestamps in that zone, while the
+    watermark is true UTC epoch-ms — all session arithmetic runs in
+    session-tz WALL ms (matching the row values and the batch mirror)
+    and the watermark/timeout convert at the boundary. With the
+    engine's pinned UTC both conversions are identity."""
+
+    def _wall(utc_ms: int) -> int:
+        if tz == "UTC" or not utc_ms:
+            return utc_ms
+        return int(pd.Timestamp(utc_ms, unit="ms", tz="UTC")
+                   .tz_convert(tz).tz_localize(None).value // 1_000_000)
+
+    def _utc(wall_ms: int) -> int:
+        if tz == "UTC":
+            return wall_ms
+        return int(pd.Timestamp(wall_ms, unit="ms").tz_localize(tz)
+                   .tz_convert("UTC").value // 1_000_000)
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         symbol = key[0]
-        wm = int(state.getCurrentWatermarkMs() or 0)
+        wm = _wall(int(state.getCurrentWatermarkMs() or 0))
         if state.exists:
             starts, lasts, ns, vols, nots = state.get
             sessions = list(zip(starts, lasts, ns, vols, nots))
@@ -106,10 +125,12 @@ def make_session_fn(gap_ms: int):
                                 float(price) * float(qty)))
             sessions = _merge_sessions(sessions + pts, gap_ms)
 
-        # a session is CLOSED once the watermark reaches its horizon: any
-        # row that could still join (ts <= last+gap) would be late-dropped
-        closed = [s for s in sessions if wm and s[1] + gap_ms <= wm]
-        open_ = [s for s in sessions if not (wm and s[1] + gap_ms <= wm)]
+        # a session is CLOSED once the watermark passes STRICTLY beyond
+        # its horizon: a non-late row at ts == wm == last+gap would still
+        # merge under the batch rule (closure only on strict gap excess),
+        # so equality must keep the session open
+        closed = [s for s in sessions if wm and s[1] + gap_ms < wm]
+        open_ = [s for s in sessions if not (wm and s[1] + gap_ms < wm)]
 
         if open_:
             state.update((
@@ -117,9 +138,12 @@ def make_session_fn(gap_ms: int):
                 [s[2] for s in open_], [s[3] for s in open_],
                 [s[4] for s in open_],
             ))
-            # fire when the watermark reaches the EARLIEST open horizon
-            # (strictly above wm by the closure rule, so always legal)
-            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in open_))
+            # fire when the watermark passes the EARLIEST open horizon
+            # (+1 ms: closure requires wm STRICTLY beyond the horizon;
+            # EventTimeTimeout fires at wm >= timeout). The timeout API
+            # takes true-UTC epoch-ms, so convert back from wall ms.
+            state.setTimeoutTimestamp(
+                _utc(min(s[1] + gap_ms for s in open_) + 1))
         else:
             state.remove()
         if closed:
@@ -133,11 +157,12 @@ def sessionize_stream(events, gap_ms: int = 60_000, watermark: str = "2 minutes"
     applyInPandasWithState, append mode (rows emitted only on closure)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
     return (
         events.withWatermark("trade_time", watermark)
         .groupBy("symbol")
         .applyInPandasWithState(
-            make_session_fn(gap_ms),
+            make_session_fn(gap_ms, tz=tz),
             outputStructType=SESSION_DDL,
             stateStructType=_STATE_DDL,
             outputMode="append",
@@ -168,4 +193,10 @@ def sessionize_batch(pdf: pd.DataFrame, gap_ms: int = 60_000) -> pd.DataFrame:
                       st[3] + float(qty), st[4] + float(price) * float(qty))
         if st is not None:
             out.append(_emit(symbol, st))
+    if not out:
+        # a column-less frame would KeyError any consumer selecting the
+        # documented session columns; empty must still carry the schema
+        return pd.DataFrame(columns=[
+            "symbol", "session_start", "session_end", "n_trades",
+            "volume", "vwap"])
     return pd.DataFrame(out)

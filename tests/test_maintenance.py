@@ -1580,3 +1580,18 @@ def test_maintenance_knobs_refuse_unknown_values(spark, tmp_path):
         run_maintenance(t, led, cluster_mode="globl")
     with pytest.raises(ValueError, match="exchange"):
         cluster_global(t, led, "x", exchange="Local")
+
+
+def test_scan_parity_catches_dropped_duplicate_copy(spark):
+    """A per-key equi-join is blind to multiplicity: dropping one of two
+    IDENTICAL rows joins clean — the parity gate must flag the count
+    change (the exact silent-loss case a buggy rewrite produces)."""
+    ddl = ("clip_id STRING, bytes BINARY, sr_hz INT, dur_ms INT, "
+           "codec STRING, transcript STRING")
+    row = ("x", bytearray(b"pcm"), 8000, 100, "pcm16", "hi")
+    before = spark.createDataFrame([row, row, ("y",) + row[1:]], ddl)
+    after = spark.createDataFrame([row, ("y",) + row[1:]], ddl)
+    v = scan_parity(before, after).collect()
+    assert [(r["clip_id"], r["reason"]) for r in v] == \
+        [("x", "multiplicity_mismatch")]
+    assert scan_parity(before, before).count() == 0

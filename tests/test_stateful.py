@@ -135,3 +135,31 @@ def test_sessionization_out_of_order_extends_open_session(spark, tmp_path):
     # the first emitted session is [0s, 30s] with BOTH trades
     first = expected[0]
     assert first[1] == BASE and first[2] == BASE + 30_000 and first[3] == 2
+
+
+def test_sessionize_batch_empty_keeps_schema():
+    """Zero rows must still return the documented session columns — a
+    column-less frame KeyErrors any consumer selecting them."""
+    import pandas as pd
+
+    from open_finance_lakehouse_spark.streaming.stateful import (
+        sessionize_batch,
+    )
+
+    out = sessionize_batch(pd.DataFrame(
+        columns=["symbol", "trade_time", "trade_id", "price", "qty"]))
+    assert list(out.columns) == ["symbol", "session_start", "session_end",
+                                 "n_trades", "volume", "vwap"]
+    assert len(out) == 0
+
+
+def test_write_jsonl_batch_bare_filename(tmp_path, monkeypatch):
+    """A path with no directory component must land in the cwd, not
+    crash on makedirs('')."""
+    from open_finance_lakehouse_spark.streaming.ingest import (
+        write_jsonl_batch,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    write_jsonl_batch("events.jsonl", [{"a": 1}])
+    assert (tmp_path / "events.jsonl").read_text().strip() == '{"a": 1}'

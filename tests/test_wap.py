@@ -186,3 +186,70 @@ def test_staged_txn_marker_fence_blocks_duplicate_runs(spark, tmp_path):
     # a different batch id stages fine
     t.append_staged(_batch(spark, 5, 8200),
                     summary={"txn_app_id": "job", "txn_id": 8})
+
+
+def test_audit_staged_replay_after_decision_returns_prior_outcome(
+        spark, tmp_path):
+    """A crash after the decision replays into audit_staged with the
+    already-decided snapshot id: fast-forward-published (still in the
+    log, staged='false'), cherry-pick-published (consumed, twin stamped
+    cherry_picked_from), and dropped snapshots must all return the prior
+    outcome with replayed=True — never an unrelated ValueError."""
+    from open_finance_lakehouse_spark.operators.publish import audit_staged
+
+    t = _table(spark, tmp_path, "wapr")
+    # fast-forward: publish, then replay the audit
+    s1 = t.append_staged(_batch(spark, 5, 1000))
+    r1 = audit_staged(t, s1.snapshot_id)
+    assert r1["published"] and "replayed" not in r1
+    r1b = audit_staged(t, s1.snapshot_id)
+    assert r1b["published"] and r1b["replayed"] is True
+    assert r1b["snapshot_id"] == r1["snapshot_id"]
+
+    # cherry-pick: another commit lands between stage and publish
+    s2 = t.append_staged(_batch(spark, 5, 2000))
+    t.append(_batch(spark, 3, 3000))  # moves the head
+    r2 = audit_staged(t, s2.snapshot_id)
+    assert r2["published"]
+    r2b = audit_staged(t, s2.snapshot_id)
+    assert r2b["published"] and r2b["replayed"] is True
+    assert r2b["snapshot_id"] == r2["snapshot_id"]
+
+    # dropped: replay reports the drop
+    s3 = t.append_staged(_batch(spark, 5, 4000))
+    t.drop_staged(s3.snapshot_id)
+    r3 = audit_staged(t, s3.snapshot_id)
+    assert not r3["published"] and r3["dropped"] and r3["replayed"] is True
+
+
+def test_publish_overwrite_enforces_schema_and_contract(spark, tmp_path):
+    """The publish lane is a write: a misnamed candidate column must
+    refuse (it would read back all-NULL), and a declared table contract
+    withholds the publish on breach like every other writer."""
+    from open_finance_lakehouse_spark.operators.publish import (
+        publish_overwrite,
+    )
+    from open_finance_lakehouse_spark.quality.contracts import (
+        Contract,
+        SchemaMismatch,
+    )
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pog"), "pog", "k BIGINT, price DOUBLE",
+        contract=Contract(bounds={"price": [0.0, 100.0]}))
+    t.append(spark.createDataFrame([(1, 5.0)], "k BIGINT, price DOUBLE"))
+
+    bad_schema = spark.createDataFrame([(2, 6.0)],
+                                       "k BIGINT, pricee DOUBLE")
+    with pytest.raises(SchemaMismatch):
+        publish_overwrite(t, bad_schema)
+
+    breach = spark.createDataFrame([(2, 999.0)], "k BIGINT, price DOUBLE")
+    rep = publish_overwrite(t, breach)
+    assert not rep["published"] and "_contract" in rep["violations"]
+    assert [r["k"] for r in t.refresh().scan().collect()] == [1]
+
+    ok = spark.createDataFrame([(3, 7.0)], "k BIGINT, price DOUBLE")
+    rep2 = publish_overwrite(t, ok)
+    assert rep2["published"]
+    assert [r["k"] for r in t.refresh().scan().collect()] == [3]
