@@ -29,6 +29,17 @@ from open_finance_lakehouse_spark.sources.synth import (
 )
 
 
+def _meta_row_count(t: LakeTable) -> int:
+    """Row count from manifest footers — the report number for
+    metadata-only commands (rollback etc.), which must not trigger a
+    full data scan just to print a counter."""
+    from pyspark.sql import functions as F
+
+    return int(t.files_df()
+               .agg(F.coalesce(F.sum("record_count"), F.lit(0)))
+               .first()[0])
+
+
 def _common(p: argparse.ArgumentParser):
     p.add_argument("--table", required=True, help="table location")
     p.add_argument("--ledger", required=True, help="checkpoint ledger root")
@@ -48,6 +59,11 @@ def _parse_where(exprs: list[str]):
 
     def val(s: str):
         s = s.strip()
+        # SQL-habit quoting ('pcm') must not become part of the value —
+        # equality against the quote-wrapped string silently matches
+        # nothing and the delete "succeeds" at 0 rows
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            return s[1:-1]
         for cast in (int, float):
             try:
                 return cast(s)
@@ -59,6 +75,15 @@ def _parse_where(exprs: list[str]):
 
     preds = []
     for e in exprs:
+        # unsupported operators refuse at parse time: '==' would
+        # partition at the FIRST '=' into equality on a garbage value
+        # (matching nothing — the delete "succeeds"), '!='/'=>' into a
+        # garbage column that dies later with an opaque analysis error
+        for bad_op in ("==", "!=", "<>", "=>", "=<"):
+            if bad_op in e:
+                raise SystemExit(
+                    f"--where does not support {bad_op!r} (got {e!r}); "
+                    "grammar: col<=v | col>=v | col=v | col in v1,v2")
         # comparisons FIRST: an equality whose VALUE contains ' in '
         # ("transcript = call in progress") must not be split as an
         # IN-list over a garbage column name
@@ -318,7 +343,7 @@ def _execute(spark, args) -> dict:
         t = LakeTable.load(spark, args.table)
         snap = t.rollback(args.snapshot_id)
         out = {"operation": "rollback", "current": snap.snapshot_id,
-               "rows": t.scan().count()}
+               "rows": _meta_row_count(t)}
     elif args.cmd == "evolve-schema":
         t = LakeTable.load(spark, args.table)
         t.update_schema(args.ddl)
@@ -334,7 +359,7 @@ def _execute(spark, args) -> dict:
         snap = t.rewrite_schema(args.ddl, mapping=mapping,
                                 max_records_per_file=args.records_per_file)
         out = {"operation": "rewrite-schema", "snapshot": snap.snapshot_id,
-               "schema": t.meta.schema_ddl, "rows": t.scan().count()}
+               "schema": t.meta.schema_ddl, "rows": _meta_row_count(t)}
     elif args.cmd == "rewrite-partitioning":
         t = LakeTable.load(spark, args.table)
         if args.unpartition:
@@ -350,7 +375,7 @@ def _execute(spark, args) -> dict:
         out = {"operation": "rewrite-partitioning",
                "snapshot": snap.snapshot_id,
                "partition_spec": t.meta.partition_spec,
-               "rows": t.scan().count()}
+               "rows": _meta_row_count(t)}
     elif args.cmd == "doctor":
         from open_finance_lakehouse_spark.operators import binpack
         from open_finance_lakehouse_spark.operators.doctor import doctor
@@ -405,7 +430,8 @@ def _execute(spark, args) -> dict:
                 r["error"] = e.get("error")
                 r["summary"] = e.get("summary", {})
         out = {"operation": "runs",
-               "runs": list(by_run.values())[-args.limit:]}
+               "runs": (list(by_run.values())[-args.limit:]
+                        if args.limit > 0 else [])}
     elif args.cmd == "sql":
         from open_finance_lakehouse_spark.sql import (
             register_tables,
@@ -492,14 +518,27 @@ def _execute(spark, args) -> dict:
                        "reason": "table declares maintenance.curve=none "
                                  "(pass --curve to override)"}
             else:
-                fn = cluster_global if mode == "global" else cluster
-                out = fn(t, ledger, job_id, curve=curve, target_bytes=target)
+                # declared maintenance.* knobs apply here too — the
+                # flags > declared-config > defaults precedence must not
+                # diverge between the CLI lane and run_maintenance
+                if mode == "global":
+                    out = cluster_global(
+                        t, ledger, job_id, curve=curve,
+                        target_bytes=target,
+                        exchange=cfg["cluster_exchange"])
+                else:
+                    out = cluster(t, ledger, job_id, curve=curve,
+                                  target_bytes=target,
+                                  concurrency=cfg["concurrency"])
         elif args.cmd == "expire":
             from open_finance_lakehouse_spark.operators.expire import expire
 
             retain = (args.retain_last if args.retain_last is not None
                       else cfg["retain_last"])
-            out = expire(t, ledger, job_id, retain_last=retain)
+            kw = {}
+            if cfg["gc_grace_ms"] is not None:  # declared knob applies
+                kw["gc_grace_ms"] = cfg["gc_grace_ms"]
+            out = expire(t, ledger, job_id, retain_last=retain, **kw)
         elif args.cmd == "delete":
             from open_finance_lakehouse_spark.operators.delete_where import (
                 delete_where,

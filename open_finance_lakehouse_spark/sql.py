@@ -98,11 +98,9 @@ def run_select(
         spans, i, n = [], 0, len(s)
         while i < n:
             if s[i] in "'\"":
-                q, j = s[i], i + 1
-                while j < n and s[j] != q:
-                    j += 1
-                spans.append((i, j))
-                i = j + 1
+                end = _skip_quoted(s, i)  # backslash-escape aware
+                spans.append((i, end - 1))
+                i = end
             else:
                 i += 1
         return spans
@@ -136,6 +134,23 @@ def run_select(
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
+def _skip_quoted(s: str, i: int) -> int:
+    """``s[i]`` is a quote char: return the index just past the span's
+    closing quote. Backslash-escaped characters inside are SKIPPED —
+    Spark's default literal syntax decodes ``\\'`` as a quote, so a
+    scanner blind to it flips quote parity and treats literal content
+    as code. An unterminated span runs to end-of-string."""
+    q, j, n = s[i], i + 1, len(s)
+    while j < n:
+        if s[j] == "\\":
+            j += 2
+            continue
+        if s[j] == q:
+            return j + 1
+        j += 1
+    return n
+
+
 def _split_top(s: str, sep: str) -> list[str]:
     """Split on ``sep`` (case-insensitive) at paren/quote depth zero.
     Word separators must carry their own spaces (``" and "``) — that is
@@ -149,11 +164,9 @@ def _split_top(s: str, sep: str) -> list[str]:
             # opaque span: a single-quoted literal or a double-quoted
             # literal/identifier (Spark treats "..." as a string by
             # default) — keywords inside never split
-            j = i + 1
-            while j < n and s[j] != c:
-                j += 1
-            buf.append(s[i:j + 1])
-            i = j + 1
+            end = _skip_quoted(s, i)
+            buf.append(s[i:end])
+            i = end
             continue
         if c == "(":
             depth += 1
@@ -192,10 +205,7 @@ def _strip_outer_parens(s: str) -> str:
         while i < n:
             c = s[i]
             if c == "'":
-                j = i + 1
-                while j < n and s[j] != "'":
-                    j += 1
-                i = j + 1
+                i = _skip_quoted(s, i)
                 continue
             if c == "(":
                 depth += 1
@@ -214,6 +224,12 @@ def _strip_outer_parens(s: str) -> str:
 def _parse_literal(tok: str):
     tok = tok.strip()
     if tok.startswith("'"):
+        if "\\" in tok:
+            # Spark's default literal syntax DECODES backslash escapes
+            # ('a\nb' is a-LF-b): lifting the raw text would compare —
+            # and prune on — the wrong value. Not liftable; the conjunct
+            # stays in the residual where Spark evaluates it natively.
+            return None
         # the token must be EXACTLY one quoted literal (scanning past ''
         # escapes): a first-and-last-quote check would accept
         # "'x' or b = 'y'" as one string, silently lifting a bogus
@@ -463,10 +479,7 @@ def _find_kw_outside_case(s: str, word: str, start: int = 0) -> int:
         if c in "'\"":
             # opaque span: single-quoted literal or double-quoted
             # literal/identifier — keywords inside never match
-            j = i + 1
-            while j < n and s[j] != c:
-                j += 1
-            i = j + 1
+            i = _skip_quoted(s, i)
             continue
         if c == "(":
             depth += 1
@@ -698,8 +711,12 @@ def run_merge(
     # conditional clause never claimed — so refuse BEFORE claiming, from
     # a key-columns-only semi-join plan (cheaper than re-running the
     # full clause-resolved join)
+    # no broadcast HINT: the source is any registered relation (USING
+    # <big_table> is legal) — a forced broadcast of its distinct keys
+    # collects them all to the driver; unhinted, Spark/AQE picks
+    # broadcast when the side is actually small and shuffle otherwise
     tdup = (tgt.scan().select(*keys)
-            .join(F.broadcast(source.select(*keys).distinct()),
+            .join(source.select(*keys).distinct(),
                   on=keys, how="left_semi")
             .groupBy(*keys).count().filter("count > 1").limit(1)
             .collect())

@@ -640,3 +640,68 @@ def test_merge_sql_scanner_edges(spark, tmp_path):
         "case when t.delta > 0 then 1 else 0 end")
     assert len(cls) == 1
     assert "case when" in cls[0]["set"]["value"].lower()
+
+
+# ------------------------------------------- round-5 escape-aware parsing
+
+
+def test_backslash_escape_literals_are_not_lifted():
+    """Spark DECODES backslash escapes in literals ('a\\nb' is a-LF-b):
+    lifting the raw text would compare (and prune on) the wrong value —
+    such conjuncts must stay residual, and an escaped quote must not
+    flip the splitter's quote parity."""
+    preds, fully = _extract_conjuncts(r"transcript = 'a\nb'")
+    assert preds == [] and not fully
+    # escaped quote inside the literal: the AND belongs to the literal's
+    # text continuation, not the grammar — nothing mis-lifts
+    preds, fully = _extract_conjuncts(r"msg = 'a \' and b' AND k = 5")
+    assert not fully
+    assert all(p.column != "msg" for p in preds)
+    assert any(p.column == "k" and p.lo == 5 for p in preds)
+    # plain '' doubling still lifts exactly
+    preds, fully = _extract_conjuncts("name = 'it''s'")
+    assert fully and preds[0].lo == "it's"
+
+
+def test_sql_delete_backslash_literal_deletes_exactly(spark, tmp_path):
+    """End-to-end: a DELETE whose literal carries a backslash escape
+    must delete the decoded-match rows (Spark's semantics), not the
+    raw-text matches."""
+    t = LakeTable.create(spark, str(tmp_path / "besc"), "besc",
+                         "k BIGINT, msg STRING")
+    t.append(spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\\nb"), (3, "c")], "k BIGINT, msg STRING"))
+    led = CheckpointLedger(str(tmp_path / "led_besc"))
+    res = run_dml(spark, r"DELETE FROM besc WHERE msg = 'a\nb'",
+                  {"besc": t}, led)
+    assert res["rows_deleted"] == 1
+    assert sorted(r["k"] for r in t.refresh().scan().collect()) == [2, 3]
+
+
+def test_select_time_travel_ignores_escaped_quote_literals(spark, tmp_path):
+    """The inline time-travel scanner must not treat text after an
+    escaped quote as code: 'version as of' INSIDE a literal never
+    rewrites, and a literal containing \\' keeps its content intact."""
+    from open_finance_lakehouse_spark.sql import run_select
+
+    t = LakeTable.create(spark, str(tmp_path / "ttq"), "ttq", "k BIGINT")
+    t.append(spark.createDataFrame([(1,)], "k BIGINT"))
+    got = run_select(
+        spark,
+        r"SELECT 'x \' ttq version as of 3' AS s, k FROM ttq",
+        {"ttq": t}).collect()
+    assert got[0]["s"] == "x ' ttq version as of 3" and got[0]["k"] == 1
+
+
+def test_cli_parse_where_quotes_and_bad_operators():
+    """SQL-habit quoting strips; unsupported operators refuse at parse
+    time instead of silently matching nothing."""
+    from open_finance_lakehouse_spark.cli import _parse_where
+
+    [p] = _parse_where(["codec='pcm'"])
+    assert p.column == "codec" and p.lo == "pcm" and p.hi == "pcm"
+    [q] = _parse_where(['name="x y"'])
+    assert q.lo == "x y"
+    for bad in ["codec==pcm", "codec!=pcm", "dur<>5"]:
+        with pytest.raises(SystemExit, match="does not support"):
+            _parse_where([bad])
