@@ -43,7 +43,7 @@ def clips_from_documents(spark, sf_dir, limit: int | None = None):
     exact expected payload size — independently; only the waveform seed
     stays xxhash64 (the oracle never decodes audio)."""
     d = load(spark, sf_dir, "documents")
-    if limit:
+    if limit is not None:  # 0 means an EMPTY clip table, not 'no limit'
         d = d.filter(F.col("doc_id") < limit)
     attrs = d.select(
         F.format_string("clip-%012d", F.col("doc_id")).alias("clip_id"),
@@ -257,13 +257,18 @@ def audio_maintenance_pipeline(spark, sf_dir):
                                   snr_gate="overlap", parity_gate=True)
         parity_bad = metrics["gates"]["parity_violations"]
         snr_bad = metrics["gates"].get("snr_violations", -1)
+        # the violations column carries the metric's ACTUAL violation
+        # count (0 for pure counters): a literal-0 column next to a
+        # *_violations value row would read as "no violations" to any
+        # consumer checking the column by name
         rows = [
             ("rows_before", int(n_before), 0),
             ("rows_after", int(metrics["table_audit"]["rows"]), 0),
             ("duplicate_keys",
-             int(metrics["table_audit"]["duplicate_keys"]), 0),
-            ("parity_violations", int(parity_bad), 0),
-            ("snr_violations", int(snr_bad), 0),
+             int(metrics["table_audit"]["duplicate_keys"]),
+             int(metrics["table_audit"]["duplicate_keys"])),
+            ("parity_violations", int(parity_bad), int(parity_bad)),
+            ("snr_violations", int(snr_bad), max(0, int(snr_bad))),
             ("files_rewritten",
              int(metrics["stages"]["cluster"]["files_in"]), 0),
             ("snapshots_after_expire", len(t.snapshots()), 0),

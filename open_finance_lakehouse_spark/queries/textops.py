@@ -72,7 +72,6 @@ def _enforce_candidate_budget(spark, blocks_df, block_cols, query: str):
             "doc_minhash_lsh_pairs (banded LSH prefilter) at this scale, "
             "or raise/disable the budget explicitly.")
 
-_TOKENS = "split(text, ' ')"
 _TOKENS_SQL = "string_split(text, ' ')"
 
 # trigram shingles, 0-indexed (Spark) vs 1-indexed (DuckDB). The <3-token
@@ -322,7 +321,10 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
              - inter)
-    jac = inter.cast("double") / union
+    # try_divide: both shingle sets can be EMPTY (<3-token docs guard to
+    # []), and 0/0 is a DIVIDE_BY_ZERO crash under the ANSI default —
+    # NULL (the oracle's 0/0) fails the threshold filter identically
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.len_bucket") == F.col("b.len_bucket"))
@@ -395,7 +397,10 @@ def doc_ngram_jaccard_pairs_pm1(spark, sf_dir):
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
     union = (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))
              - inter)
-    jac = inter.cast("double") / union
+    # try_divide: both shingle sets can be EMPTY (<3-token docs guard to
+    # []), and 0/0 is a DIVIDE_BY_ZERO crash under the ANSI default —
+    # NULL (the oracle's 0/0) fails the threshold filter identically
+    jac = F.try_divide(inter.cast("double"), union)
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.block") == F.col("b.block"))
@@ -652,6 +657,8 @@ def doc_simhash_near_pairs(spark, sf_dir):
     return (
         cand.join(sa, "doc_a").join(sb, "doc_b")
         .filter(ham <= 6)
+        # no .distinct(): cand is already distinct and sa/sb carry ONE
+        # row per doc_id, so the join cannot duplicate — the old final
+        # distinct shuffled the whole result set to remove nothing
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .distinct()
     )

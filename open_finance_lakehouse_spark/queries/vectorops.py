@@ -61,9 +61,12 @@ _DOT_SQL = "list_dot_product({a}, {b})"
 # is noise against the pair joins downstream. A let-binding would need a
 # materialization barrier anyway (projection collapse re-inlines columns).
 _NORMED = (
-    "transform({e}, x -> cast(x as double) / sqrt(aggregate("
+    # try_divide: an all-zero vector's norm is 0 and x/0 is a
+    # DIVIDE_BY_ZERO crash under the ANSI default — NULL elements match
+    # the DuckDB twin's 0-division semantics
+    "transform({e}, x -> try_divide(cast(x as double), sqrt(aggregate("
     "zip_with({e}, {e}, (p, q) -> cast(p as double) * cast(q as double)),"
-    " cast(0.0 as double), (acc, v) -> acc + v)))"
+    " cast(0.0 as double), (acc, v) -> acc + v))))"
 )
 _NORMED_SQL = (
     "list_transform({e}::DOUBLE[], x -> x /"
