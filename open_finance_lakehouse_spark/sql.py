@@ -134,15 +134,17 @@ def run_select(
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
-def _skip_quoted(s: str, i: int) -> int:
+def _skip_quoted(s: str, i: int, backslash: bool = True) -> int:
     """``s[i]`` is a quote char: return the index just past the span's
-    closing quote. Backslash-escaped characters inside are SKIPPED —
-    Spark's default literal syntax decodes ``\\'`` as a quote, so a
-    scanner blind to it flips quote parity and treats literal content
-    as code. An unterminated span runs to end-of-string."""
+    closing quote. With ``backslash`` (Spark's default literal syntax)
+    ``\\'`` is an escaped quote and is SKIPPED — a scanner blind to it
+    flips quote parity and treats literal content as code. Pass
+    ``backslash=False`` for grammars where only ``''`` doubling escapes
+    (TBLPROPERTIES values — a backslash there is a plain character).
+    An unterminated span runs to end-of-string."""
     q, j, n = s[i], i + 1, len(s)
     while j < n:
-        if s[j] == "\\":
+        if backslash and s[j] == "\\":
             j += 2
             continue
         if s[j] == q:
@@ -151,7 +153,8 @@ def _skip_quoted(s: str, i: int) -> int:
     return n
 
 
-def _split_top(s: str, sep: str) -> list[str]:
+def _split_top(s: str, sep: str, backslash_escapes: bool = True
+               ) -> list[str]:
     """Split on ``sep`` (case-insensitive) at paren/quote depth zero.
     Word separators must carry their own spaces (``" and "``) — that is
     what keeps ``band`` or ``android`` from matching."""
@@ -164,7 +167,7 @@ def _split_top(s: str, sep: str) -> list[str]:
             # opaque span: a single-quoted literal or a double-quoted
             # literal/identifier (Spark treats "..." as a string by
             # default) — keywords inside never split
-            end = _skip_quoted(s, i)
+            end = _skip_quoted(s, i, backslash=backslash_escapes)
             buf.append(s[i:end])
             i = end
             continue
@@ -953,7 +956,10 @@ def _parse_prop_pairs(inner: str, ctx: str) -> dict:
     import re
 
     props = {}
-    for item in _split_top(inner, ","):
+    # backslash is a PLAIN character in this grammar ('' doubling is the
+    # only escape) — a contract value ending in a backslash must not
+    # swallow its closing quote
+    for item in _split_top(inner, ",", backslash_escapes=False):
         # '' inside a literal is SQL's escaped single quote — a contract
         # check like "codec in ('pcm')" renders (SHOW CREATE TABLE) and
         # re-parses through this doubling

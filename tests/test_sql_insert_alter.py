@@ -725,3 +725,16 @@ def test_add_constraint_preserves_literal_whitespace(spark, tmp_path):
               "CHECK (transcript != 'a  b')", {"cc2": t})
     c = json.loads(t.refresh().meta.properties["contract"])
     assert c["checks"]["no_marker"] == "transcript != 'a  b'"
+
+
+def test_tblproperties_value_with_trailing_backslash_round_trips(
+        spark, tmp_path):
+    """TBLPROPERTIES values use '' doubling as the ONLY escape — a value
+    ending in a backslash (regex fragments in contracts) must not
+    swallow its closing quote in the pair splitter."""
+    t = _table(spark, tmp_path, "bsp", n=3)
+    run_alter(spark,
+              r"ALTER TABLE bsp SET TBLPROPERTIES ('re'='\d+\', "
+              r"'other'='x')", {"bsp": t})
+    props = t.refresh().meta.properties
+    assert props["re"] == "\\d+\\" and props["other"] == "x"
