@@ -178,7 +178,12 @@ def frame_feature_batches(batch_iter: Iterator[pd.DataFrame]
             frame = max(1, int(int(sr) * 0.025))
             n_frames = len(x) // frame
             if n_frames == 0:
-                rows.append((clip_id, codec, int(sr), 0, 0.0, 0.0, 0.0))
+                # sub-frame clip: no framed RMS, but real zero-crossings
+                # still exist — a hardcoded 0.0 would read as a zcr
+                # violation downstream on a perfectly good clip
+                s = np.signbit(x)
+                z = float(np.mean(s[1:] != s[:-1])) if len(x) > 1 else 0.0
+                rows.append((clip_id, codec, int(sr), 0, 0.0, 0.0, z))
                 continue
             f = x[: n_frames * frame].reshape(n_frames, frame)
             rms = np.sqrt(np.mean(f * f, axis=1))

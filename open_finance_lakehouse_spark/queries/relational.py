@@ -894,7 +894,8 @@ def safe_ratio_guard(spark, sf_dir):
     "event_props_extract",
     """
     SELECT event_type,
-           round(avg(CAST(regexp_extract(props, 'k"?: *(\\d+)', 1) AS INT)), 6)
+           round(avg(TRY_CAST(regexp_extract(props, 'k"?: *(\\d+)', 1)
+                              AS INT)), 6)
              AS avg_k,
            count(*) AS n
     FROM events GROUP BY event_type

@@ -54,6 +54,14 @@ def clip_attrs_df(
     base = spark.range(id_offset, id_offset + n_rows).withColumnRenamed("id", "i")
     h = F.xxhash64(F.col("i").cast("string"))
     hot_pct = int(round(hot_fraction * 100))
+    if hot_fraction > 0 and hot_pct == 0:
+        # whole-percent quantization (kept: changing the base would
+        # silently regenerate every existing fixture) — a sub-percent
+        # request would otherwise produce ZERO hot keys with no error,
+        # quietly voiding any skew test configured with it
+        raise ValueError(
+            f"hot_fraction={hot_fraction} quantizes to zero hot keys "
+            "(whole-percent resolution); use >= 0.01 or 0")
     is_hot = F.pmod(h, F.lit(100)) < F.lit(hot_pct)
     hot_idx = F.pmod(F.xxhash64(F.col("i").cast("string"), F.lit("hot")),
                      F.lit(n_hot_prefixes))
