@@ -270,8 +270,17 @@ def doc_fingerprint(spark, sf_dir):
         "(t, i) -> cast(conv(substring(md5(t),1,8),16,10) as bigint) * i), "
         "0L, (acc, x) -> acc ^ x)"
     )
-    fpd = d.select("doc_id", fp.alias("fingerprint"))
-    return fpd.join(doc_simhash(spark, sf_dir), "doc_id")
+    # FUSED plan: the fingerprint (per-row array algebra) rides the
+    # SimHash explode and comes back through the same groupBy as a
+    # first() — ONE documents scan and ONE shuffle, where the old
+    # fp-join-simhash shape paid two scans plus a join exchange
+    tok = d.select(
+        "doc_id", fp.alias("fingerprint"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).withColumn("h", h32(F.col("tok")))
+    return (tok.groupBy("doc_id")
+            .agg(F.first("fingerprint").alias("fingerprint"),
+                 _simhash_agg_col()))
 
 
 @register(
@@ -576,6 +585,20 @@ def _simhash_cols(h_expr: str, n_expr: str, bits: int = 32):
     return terms
 
 
+def _simhash_agg_col():
+    """The 32-bit majority-vote reassembly as ONE aggregate Column over
+    exploded (doc_id, h) rows — shared by doc_simhash and the fused
+    doc_fingerprint plan so the two can never drift."""
+    n = F.count(F.lit(1))
+    sim = None
+    for j in range(32):
+        bit = F.when(
+            F.sum(F.shiftright("h", j).bitwiseAND(1)) * 2 > n, 1 << j
+        ).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return sim.cast("bigint").alias("simhash")
+
+
 def doc_simhash(spark, sf_dir):
     """SimHash: per bit j, majority vote of distinct-token hash bits.
     Formulated as explode → 32 conditional sums → bit reassembly, so the
@@ -585,14 +608,7 @@ def doc_simhash(spark, sf_dir):
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     ).withColumn("h", h32(F.col("tok")))
-    n = F.count(F.lit(1))
-    sim = None
-    for j in range(32):
-        bit = F.when(
-            F.sum(F.shiftright("h", j).bitwiseAND(1)) * 2 > n, 1 << j
-        ).otherwise(0)
-        sim = bit if sim is None else sim + bit
-    return tok.groupBy("doc_id").agg(sim.cast("bigint").alias("simhash"))
+    return tok.groupBy("doc_id").agg(_simhash_agg_col())
 
 
 # registered here (not at the def site): the oracle SQL reuses
