@@ -78,11 +78,35 @@ def run_rewriter(location: str, rounds: int) -> None:
         sys.exit(3)
 
 
+def run_propmerger(location: str, writer_id: int, rounds: int) -> None:
+    """Race set_properties(transform): each round merges one key into a
+    JSON-dict property INSIDE the commit CAS — the exact read-modify-
+    write shape ADD/DROP CONSTRAINT uses. Every writer's every key must
+    survive arbitrary interleaving (the lost-update test)."""
+    import json
+
+    t = LakeTable.load(None, location)
+    for r in range(rounds):
+        key = f"w{writer_id}-r{r}"
+
+        def xf(props: dict, meta, _k=key) -> dict:
+            doc = json.loads(props.get("registry", "{}"))
+            doc[_k] = 1
+            out = dict(props)
+            out["registry"] = json.dumps(doc, sort_keys=True)
+            return out
+
+        t.set_properties(transform=xf)
+    print(f"propmerger {writer_id}: {rounds} merges ok")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "append":
         run_appender(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     elif mode == "rewrite":
         run_rewriter(sys.argv[2], int(sys.argv[3]))
+    elif mode == "propmerge":
+        run_propmerger(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     else:
         raise SystemExit(f"unknown mode {mode}")

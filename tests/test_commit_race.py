@@ -63,3 +63,38 @@ def test_cross_process_commit_race_linear_history_no_lost_rows(
     got = [r["k"] for r in t.scan().collect()]
     assert len(got) == len(expect)
     assert set(got) == expect
+
+
+def test_cross_process_property_transform_race_no_lost_updates(
+        spark, tmp_path):
+    """set_properties(transform) under TRUE cross-process contention:
+    four OS processes each merge 6 keys into one JSON-dict property
+    (the ADD/DROP CONSTRAINT shape). Every key must survive — a merge
+    composed outside the commit CAS would lose whole writers' worth of
+    updates when commits interleave."""
+    import json
+
+    loc = str(tmp_path / "prace")
+    LakeTable.create(None, loc, "prace", "k BIGINT")
+
+    writers, rounds = 4, 6
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, "propmerge", loc, str(i), str(rounds)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(writers)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out.decode()
+
+    t = LakeTable.load(spark, loc)
+    doc = json.loads(t.meta.properties["registry"])
+    assert sorted(doc) == sorted(
+        f"w{w}-r{r}" for w in range(writers) for r in range(rounds))
+    # property commits move no snapshot; versions stay contiguous
+    from open_finance_lakehouse_spark.format import metadata as md
+
+    versions = md.list_metadata_versions(loc)
+    assert versions == list(range(1, len(versions) + 1))
+    assert len(versions) == 1 + writers * rounds  # create + every merge
